@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.C batch query set — the relational/dataflow surface the
+  * reference's demos exercise on top of the connector, re-expressed as
+  * declarative DataFrame programs so Catalyst owns pushdown, pruning,
+  * join selection and whole-stage codegen.
+  *
+  * Reference anchors are cited per query (paths into /root/reference/,
+  * shortened: dis/ = dis-spark-streaming/src/main/scala/org/apache/spark/
+  * streaming/dis/).
+  *
+  * Scale notes (100 TB): every query here shuffles at most once on its
+  * natural key, dimension joins are broadcast, and top-N uses
+  * TakeOrderedAndProject (per-partition partial limits) rather than a
+  * global sort.
+  */
+object CoreQueries {
+
+  /** Metadata+payload projection — the RDD demo's record projection
+    * (demo DISSparkRDDExample.scala:41 prints topic/partition/offset/
+    * key/value). Column-pruned at the parquet scan. */
+  def qScanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  /** Half-open offset-range predicate [from, until) — OffsetRange
+    * semantics (dis/OffsetRange.scala:98-99: fromOffset inclusive,
+    * untilOffset exclusive). Pushed to the parquet scan. */
+  def qFilterRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") >= 100L && col("event_id") < 5000L)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+
+  /** The canonical demo query: tokenize + count per word
+    * (demo DISSparkStreamingSubscribeExample.scala:46 —
+    * `.flatMap(_.split(" ")).map((_, 1L)).reduceByKey(_ + _)`).
+    * explode(split()) is a Catalyst Generator; groupBy.count is a
+    * partial+final HashAggregate (map-side combine = reduceByKey). */
+  def qWordcount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** O(1)-count semantics generalized: per-key record counts
+    * (dis/DISRDD.scala:89-94 count = untilOffset-fromOffset). */
+  def qCountMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** take(num) (dis/DISRDD.scala:114-144 computes per-partition quotas
+    * driver-side) → orderBy+limit compiles to TakeOrderedAndProject:
+    * per-partition partial top-N, no global sort — the same
+    * only-touch-what-you-need idea at executor scale. */
+  def qTakeLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .limit(100)
+
+  /** Per-key numeric aggregation — the reduceByKey generalization
+    * (SURVEY §2.B). Single shuffle on event_type, partial agg map-side. */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Enrich facts with dimensions (orders ⋈ customer ⋈ nation) —
+    * the standard downstream composition the connector exists to feed.
+    * Dimensions are broadcast: zero shuffle of the fact side. At 100 TB
+    * the fact table streams through executors while customer/nation
+    * (≤ GBs) ship once per executor. */
+  def qJoinEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("n_name"))
+  }
+
+  /** EXISTS / NOT EXISTS — events for users with/without orders.
+    * left_semi/left_anti against a broadcast build side: no shuffle of
+    * events. */
+  def qJoinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val semi = e.join(broadcast(o), e("user_id") === o("o_custkey"), "left_semi")
+      .withColumn("side", lit("with_orders"))
+    val anti = e.join(broadcast(o), e("user_id") === o("o_custkey"), "left_anti")
+      .withColumn("side", lit("no_orders"))
+    semi.unionAll(anti)
+  }
+
+  /** Tumbling event-time window — O4's per-trigger offset ranges
+    * generalized to event time (dis/DirectDISInputDStream.scala:234-265).
+    * window() is epoch-aligned, so start == date_trunc('hour', ts). */
+  def qWindowTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+
+  /** Sliding event-time window: 1 hour every 15 minutes — each event
+    * lands in 4 windows. Spark expands via a Generator then hash-aggs;
+    * one shuffle on window start. */
+  def qWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** Analytic window: top event per user by value (row_number, tiebreak
+    * event_id for determinism). Single shuffle on user_id; no global
+    * sort. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("value"))
+  }
+
+  /** Session windows (gap 30 min) per user. session_window merges
+    * events whose gap from the previous event is < 30 min; window end =
+    * last ts + gap. Batch analog of the stateful streaming op (the
+    * reference keeps only offset state, dis/DirectDISInputDStream
+    * .scala:66 — record-level state is ours to add). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermark semantics as a batch-checkable query: a row is late iff
+    * its event time trails the running max event time (the watermark)
+    * by > 10 min at its arrival position — exactly what
+    * withWatermark("ts","10 minutes") drops. The fixture's ts is
+    * monotone in event_id, so arrival order is simulated with a
+    * deterministic LCG permutation of event_id (identical integer
+    * arithmetic in Spark and the SQL oracle). Returns the dropped rows.
+    * NOTE: the unpartitioned running max is a correctness oracle, not a
+    * scale pattern — the streaming path (graft.streaming) maintains the
+    * watermark distributed per-trigger. */
+  def qLateData(spark: SparkSession, dir: String): DataFrame = {
+    val arrival = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    val w = Window.orderBy(arrival, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("max_ts_so_far", max(col("ts")).over(w))
+      .filter(col("ts") < col("max_ts_so_far") - expr("INTERVAL 10 MINUTES"))
+      .select(col("event_id"), col("ts"), col("user_id"))
+  }
+
+  /** Exact dedup (north star; exactly-once analog of O1's doc,
+    * dis/DISUtils.scala:43-45): distinct (user_id, event_type) pairs.
+    * Hash-aggregate dedup, partial map-side. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+
+  /** Approx distinct users per event_type — HLL++, the scalable analog
+    * of O8's countApprox (dis/DISRDD.scala:96-105). Sketches merge
+    * map-side: constant memory per key regardless of cardinality.
+    * No DuckDB oracle (different sketch impl) — rows-only check +
+    * ScalaTest accuracy bound vs exact. */
+  def qDedupApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** Top-K users by total value — O9's take generalized through an agg.
+    * Partial agg → shuffle on user_id → TakeOrderedAndProject. */
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id").asc)
+      .limit(10)
+
+  /** Set algebra over event-type slices: union / intersect / except of
+    * the user sets doing 'click' vs 'view'. All three are set-semantic
+    * (deduped), tagged for a single deterministic result. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String): DataFrame =
+      e.filter(col("event_type") === t).select(col("user_id"))
+    val clicks = users("click")
+    val views  = users("view")
+    clicks.union(views).distinct().withColumn("op", lit("union"))
+      .unionAll(clicks.intersect(views).withColumn("op", lit("intersect")))
+      .unionAll(clicks.except(views).withColumn("op", lit("except")))
+      .select(col("op"), col("user_id"))
+  }
+
+  /** JSON payload extraction — the deserializer-pluggability analog
+    * (dis/DISUtils.scala:379-380: value deserializer class option).
+    * from_json with an explicit schema stays in codegen. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k"))
+}
