@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{CoreQueries, TextQueries}
+import graft.ops.{ConnectorQueries, CoreQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,7 @@ object SparkEntry {
     "q_quality_score"   -> TextQueries.qQualityScore,
     "q_lang_id"         -> TextQueries.qLangId,
     "q_fingerprint"     -> TextQueries.qFingerprint,
+    "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -203,6 +204,8 @@ object SparkEntry {
          |    len(list_filter(string_split(text, ' '), t -> t IN ('el','la','los','de','y','es','un','en','que')))::BIGINT AS s_es,
          |    len(list_filter(string_split(text, ' '), t -> t IN ('le','les','des','et','est','un','une','du','que')))::BIGINT AS s_fr
          |  FROM documents)""".stripMargin,
+
+    "q_dis_roundtrip" -> ConnectorQueries.oracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,337 @@
+package graft.sources
+
+import java.{util => ju}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Spark DSv2 connector for the partitioned message stream — the
+  * engine's re-expression of the reference's three entry points
+  * (SURVEY §3): batch reads over explicit offset ranges
+  * (`DISUtils.createRDD`, dis/DISUtils.scala:57-78,240-303), the direct
+  * micro-batch streaming source (`createDirectStream` /
+  * `DirectDISInputDStream`, dis/DirectDISInputDStream.scala:50-406) and
+  * the producer sink (dis/DISSink.scala:23-55).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("dis")
+  *     .option("client.root", dir).option("stream", "s")
+  *     .option("offsetRanges", """{"s":{"0":[100,200],"1":[-2,-1]}}""")
+  *     .load()
+  *   spark.readStream.format("dis")
+  *     .option("client.root", dir).option("stream", "s")
+  *     .option("startingOffsets", "earliest")
+  *     .option("maxRecordsPerTrigger", "1000").load()
+  *   df.writeStream.format("dis").option(...).start()
+  * }}}
+  */
+class DisTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dis"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Dis.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform], properties: ju.Map[String, String]): Table =
+    new DisTable(properties.asScala.toMap)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object Dis {
+  /** Fixed record schema, Kafka-source-compatible (SURVEY §1.1):
+    * the reference's ConsumerRecord fields as columns. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType)))
+
+  def stream(options: Map[String, String]): String =
+    options.getOrElse("stream", throw new IllegalArgumentException("option 'stream' is required"))
+  def groupId(options: Map[String, String]): String =
+    options.getOrElse("groupid", options.getOrElse("groupId", "graft-default-group"))
+
+  /** Normalize option keys to lower case once (CaseInsensitiveStringMap
+    * semantics preserved when options travel to executors as a plain Map). */
+  def normalize(options: Map[String, String]): Map[String, String] =
+    options.map { case (k, v) => k.toLowerCase(ju.Locale.ROOT) -> v }
+}
+
+class DisTable(options: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+  private val opts = Dis.normalize(options)
+  override def name(): String = s"dis:${opts.getOrElse("stream", "?")}"
+  override def schema(): StructType = Dis.schema
+  override def capabilities(): ju.Set[TableCapability] = ju.EnumSet.of(
+    TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+    TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+    TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new DisScanBuilder(opts ++ Dis.normalize(scanOptions.asScala.toMap))
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new DisWriteBuilder(opts ++ Dis.normalize(info.options().asScala.toMap), info.schema())
+}
+
+class DisScanBuilder(options: Map[String, String]) extends ScanBuilder {
+  override def build(): Scan = new DisScan(options)
+}
+
+class DisScan(options: Map[String, String]) extends Scan {
+  override def readSchema(): StructType = Dis.schema
+  override def description(): String = s"DisScan(${Dis.stream(options)})"
+  override def toBatch: Batch = new DisBatch(options)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DisMicroBatchStream(options)
+}
+
+/** Batch scan over explicit or sentinel-resolved offset ranges —
+  * O1/O2 (dis/DISUtils.scala:57-78, 240-303). Sentinels are resolved
+  * driver-side against the admin surface of the client, then one
+  * InputPartition per range (O7, dis/DISRDD.scala:83-87). */
+class DisBatch(options: Map[String, String]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val stream = Dis.stream(options)
+    val client = StreamClient.forOptions(options)
+    try {
+      val ranges: Seq[OffsetRange] = options.get("offsetranges") match {
+        case Some(json) =>
+          Offsets.partitionRanges(json).map { r =>
+            OffsetRange(r.stream, r.partition,
+              Offsets.resolve(r.fromOffset, client.earliestOffset(r.stream, r.partition),
+                client.latestOffset(r.stream, r.partition)),
+              Offsets.resolve(r.untilOffset, client.earliestOffset(r.stream, r.partition),
+                client.latestOffset(r.stream, r.partition)))
+          }
+        case None =>
+          val starting = DisMicroBatchStream.resolveOffsets(
+            client, stream, options.getOrElse("startingoffsets", "earliest"))
+          val ending = DisMicroBatchStream.resolveOffsets(
+            client, stream, options.getOrElse("endingoffsets", "latest"))
+          starting.toSeq.sortBy(_._1).map { case ((s, p), from) =>
+            OffsetRange(s, p, from, math.max(ending.getOrElse((s, p), from), from))
+          }
+      }
+      val hosts = ExecutorLocator.sortedExecutors()
+      ranges.filter(_.count > 0L).map { r =>
+        DisInputPartition(r, options, ExecutorLocator.preferredFor(r.stream, r.partition, hosts))
+          .asInstanceOf[InputPartition]
+      }.toArray
+    } finally client.close()
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new DisReaderFactory(options)
+}
+
+/** One reader task per stream partition (O7), with cache-affinity
+  * preferred locations (O10, dis/DISRDD.scala:146-180). */
+final case class DisInputPartition(
+    range: OffsetRange,
+    options: Map[String, String],
+    preferred: Array[String]) extends InputPartition {
+  override def preferredLocations(): Array[String] = preferred
+}
+
+/** Deterministic executor choice per partition so the executor-side
+  * consumer cache keeps hitting: sort executors, index =
+  * floorMod(hash(stream, partition), n) — same trick as
+  * dis/DISRDD.scala:162-180. */
+object ExecutorLocator {
+  def sortedExecutors(): Array[String] =
+    SparkSession.getActiveSession.map(_.sparkContext) match {
+      case Some(sc) if !sc.isLocal =>
+        sc.statusTracker.getExecutorInfos.map(_.host()).distinct.sorted
+      case _ => Array.empty // local mode / no session: no preference
+    }
+
+  def preferredFor(stream: String, partition: Int, hosts: Array[String]): Array[String] =
+    if (hosts.isEmpty) Array.empty
+    else Array(hosts(java.lang.Math.floorMod((stream, partition).hashCode(), hosts.length)))
+}
+
+/** Streaming micro-batch source — the DirectDISInputDStream analog.
+  * Offset discovery + partition elasticity per trigger (O5,
+  * dis/DirectDISInputDStream.scala:185-220), lag-proportional admission
+  * control (O6, :129-161) via SupportsAdmissionControl, commit-on-
+  * progress (O17, :286-365) via `commit()`. Checkpoint recovery is
+  * Structured Streaming's offset WAL (replaces O18). */
+class DisMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  private val streamName = Dis.stream(options)
+  private val client = StreamClient.forOptions(options)
+  private val maxPerTrigger = options.get("maxrecordspertrigger").map(_.toLong)
+  private val maxRatePerPartition = options.get("maxratepertrigger")
+    .orElse(options.get("maxrateperpartition")).map(_.toLong)
+
+  // Trigger.AvailableNow: freeze the target offsets once, then let
+  // rate-limited triggers advance toward them (the wrapper-free path
+  // Spark asks connectors to provide).
+  @volatile private var availableNowTarget: Option[Map[(String, Int), Long]] = None
+
+  private def fetchLatest(): Map[(String, Int), Long] =
+    client.partitionsFor(streamName)
+      .map(p => (streamName, p) -> client.latestOffset(streamName, p)).toMap
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(fetchLatest())
+
+  override def reportLatestOffset(): Offset = DisSourceOffset(fetchLatest())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset =
+    DisSourceOffset(DisMicroBatchStream.resolveOffsets(
+      client, streamName, options.getOrElse("startingoffsets", "earliest")))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = DisSourceOffset.from(start).offsets
+    val latest = availableNowTarget.getOrElse(fetchLatest())
+    // partition elasticity: new partitions enter at their earliest offset
+    // (dis/DirectDISInputDStream.scala:190-196); revoked ones drop out.
+    val current = latest.map { case (tp, _) =>
+      tp -> startMap.getOrElse(tp, client.earliestOffset(tp._1, tp._2))
+    }
+    val budget = limit match {
+      case rows: ReadMaxRows => Some(rows.maxRows())
+      case _                 => maxPerTrigger
+    }
+    val lags = current.map { case (tp, cur) => tp -> math.max(latest(tp) - cur, 0L) }
+    val allocation = RateAllocator.allocate(lags, budget, maxRatePerPartition)
+    DisSourceOffset(RateAllocator.clamp(current, latest, allocation))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startMap = DisSourceOffset.from(start).offsets
+    val endMap = DisSourceOffset.from(end).offsets
+    val hosts = ExecutorLocator.sortedExecutors()
+    endMap.toSeq.sortBy(_._1).flatMap { case ((s, p), until) =>
+      val from = startMap.getOrElse((s, p), client.earliestOffset(s, p))
+      if (until > from) {
+        Some(DisInputPartition(OffsetRange(s, p, from, until), options,
+          ExecutorLocator.preferredFor(s, p, hosts)).asInstanceOf[InputPartition])
+      } else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new DisReaderFactory(options)
+
+  override def deserializeOffset(json: String): Offset =
+    DisSourceOffset(Offsets.partitionOffsets(json))
+
+  /** Commit-on-progress: push the trigger's end offsets back to the
+    * consumer group (O17 analog; opt-in like the reference's explicit
+    * commitAsync). */
+  override def commit(end: Offset): Unit =
+    if (options.get("commitontrigger").exists(_.toBoolean)) {
+      val byStream = DisSourceOffset.from(end).offsets.groupBy(_._1._1)
+      byStream.foreach { case (s, offs) =>
+        client.commit(s, Dis.groupId(options), offs.map { case ((_, p), o) => p -> o })
+      }
+    }
+
+  override def stop(): Unit = client.close()
+}
+
+object DisMicroBatchStream {
+  /** Resolve a startingOffsets/endingOffsets option value:
+    * "earliest" | "latest" | JSON with -1/-2 sentinels
+    * (O2/O16 semantics, dis/ConsumerStrategy.scala:485-513). */
+  def resolveOffsets(client: StreamClient, stream: String, spec: String): Map[(String, Int), Long] = {
+    val parts = client.partitionsFor(stream)
+    spec.trim.toLowerCase(ju.Locale.ROOT) match {
+      case "earliest" => parts.map(p => (stream, p) -> client.earliestOffset(stream, p)).toMap
+      case "latest"   => parts.map(p => (stream, p) -> client.latestOffset(stream, p)).toMap
+      case _ =>
+        val given = Offsets.partitionOffsets(spec)
+        parts.map { p =>
+          val o = given.get((stream, p))
+            .map(Offsets.resolve(_, client.earliestOffset(stream, p), client.latestOffset(stream, p)))
+            .getOrElse(client.earliestOffset(stream, p))
+          (stream, p) -> o
+        }.toMap
+    }
+  }
+}
+
+/** Streaming offset: JSON dialect `{"stream":{"0":23}}` — same as the
+  * reference's partitionOffsets codec (O23, dis/JsonUtils.scala:44-63)
+  * and Spark's Kafka source. */
+final case class DisSourceOffset(offsets: Map[(String, Int), Long]) extends Offset {
+  override def json(): String = Offsets.partitionOffsetsJson(offsets)
+}
+
+object DisSourceOffset {
+  def from(offset: Offset): DisSourceOffset = offset match {
+    case o: DisSourceOffset => o
+    case o => DisSourceOffset(Offsets.partitionOffsets(o.json()))
+  }
+}
+
+class DisReaderFactory(options: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DisPartitionReader(partition.asInstanceOf[DisInputPartition])
+}
+
+/** Executor-side sequential range reader [from, until) — O11
+  * (dis/DISRDD.scala:187-264): acquires a cached consumer, task-
+  * completion releases it; `get` enforces offset continuity unless
+  * allowNonConsecutiveOffsets (O12). */
+class DisPartitionReader(partition: DisInputPartition) extends PartitionReader[InternalRow] {
+  private val opts = partition.options
+  private val range = partition.range
+  private val reattempt = Option(TaskContext.get()).exists(_.attemptNumber() > 0)
+  private val consumer = ReaderCache.global.acquire(
+    ReaderCache.Key(Dis.groupId(opts), opts.getOrElse("client.root", ""),
+      range.stream, range.partition), reattempt) {
+    new PartitionConsumer(
+      Dis.groupId(opts), range.stream, range.partition,
+      StreamClient.forOptions(opts),
+      fetchBatchSize = opts.get("fetchbatchsize").map(_.toInt).getOrElse(1024),
+      pollTimeoutMs = opts.get("polltimeoutms").map(_.toLong).getOrElse(10000L),
+      allowNonConsecutiveOffsets = opts.get("allownonconsecutiveoffsets").exists(_.toBoolean))
+  }
+  private var nextOffset = range.fromOffset
+  private var current: StreamRecord = _
+
+  override def next(): Boolean = {
+    if (nextOffset >= range.untilOffset) return false
+    current = consumer.get(nextOffset)
+    if (current == null) {
+      if (opts.get("failondataloss").forall(_.toBoolean)) {
+        throw new IllegalStateException(
+          s"Offset $nextOffset unavailable in ${range.stream}-${range.partition} " +
+            s"(range [${range.fromOffset},${range.untilOffset})). " +
+            "Set failOnDataLoss=false to skip missing data.")
+      }
+      return false
+    }
+    nextOffset = current.offset + 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(6)
+    row.update(0, current.key)
+    row.update(1, current.value)
+    row.update(2, UTF8String.fromString(current.stream))
+    row.update(3, current.partition)
+    row.update(4, current.offset)
+    row.update(5, current.timestampMs * 1000L) // ms → µs for TimestampType
+    row
+  }
+
+  override def close(): Unit = ReaderCache.global.release(consumer)
+}

@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.io.{BufferedReader, FileReader, FileWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable
+
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** One record of a partitioned stream — the engine's analog of the
+  * reference's `ConsumerRecord[K,V]` (dis/DISRDD.scala:53): bytes in,
+  * bytes out, structure imposed downstream (SURVEY §1.2). */
+final case class StreamRecord(
+    stream: String,
+    partition: Int,
+    offset: Long,
+    key: Array[Byte],
+    value: Array[Byte],
+    timestampMs: Long)
+
+/** Client boundary to the partitioned message service. The reference
+  * delegates this to its dis-kafka-adapter SDK; we define the minimal
+  * surface the connector needs. Implementations must be cheap to
+  * construct on executors from string options (no serialized state). */
+trait StreamClient extends AutoCloseable {
+  /** Readable partition ids of a stream (dis/DISUtils.scala:345-361). */
+  def partitionsFor(stream: String): Seq[Int]
+  /** First available offset (seekToBeginning analog). */
+  def earliestOffset(stream: String, partition: Int): Long
+  /** One past the last available offset (seekToEnd analog). */
+  def latestOffset(stream: String, partition: Int): Long
+  /** Sequential fetch of up to `maxRecords` starting at `fromOffset`. */
+  def fetch(stream: String, partition: Int, fromOffset: Long, maxRecords: Int): Seq[StreamRecord]
+  /** Append one record; returns its assigned offset (producer analog,
+    * dis/DISSink.scala:27-34). At-least-once: no transactions. */
+  def append(stream: String, partition: Int, key: Array[Byte], value: Array[Byte]): Long
+  /** Batched append — the producer's buffered-send path; implementations
+    * should amortize connection/open costs. */
+  def appendAll(stream: String, partition: Int, records: Seq[(Array[Byte], Array[Byte])]): Unit =
+    records.foreach { case (k, v) => append(stream, partition, k, v) }
+  /** Commit consumer-group offsets (dis/OffsetRange.scala:60-91). */
+  def commit(stream: String, groupId: String, offsets: Map[Int, Long]): Unit
+  /** Last committed offsets for a group; empty if none. */
+  def committed(stream: String, groupId: String): Map[Int, Long]
+  override def close(): Unit = ()
+}
+
+object StreamClient {
+  /** Factory from connector options — executors rebuild clients from
+    * options rather than deserializing instances (same stance as the
+    * reference's executorKafkaParams, dis/DISUtils.scala:222-237). */
+  def forOptions(options: Map[String, String]): StreamClient = {
+    val root = options.getOrElse("client.root",
+      throw new IllegalArgumentException("option 'client.root' is required"))
+    new FileStreamClient(Paths.get(root))
+  }
+}
+
+/** File-backed stream service: `<root>/<stream>/p<k>.jsonl`, one JSON
+  * line per record, offset = line number. Deterministic, network-free —
+  * the test double standing in for the remote partitioned-stream service
+  * (the reference tests only against a live endpoint; we refuse to).
+  *
+  * Thread-safety: appends/commits synchronize on a per-path JVM-wide
+  * lock — sound for local[N] (one JVM); a multi-JVM deployment would
+  * implement [[StreamClient]] against the real service instead.
+  */
+final class FileStreamClient(root: Path) extends StreamClient {
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  private def streamDir(stream: String): Path = root.resolve(stream)
+  private def partFile(stream: String, p: Int): Path = streamDir(stream).resolve(s"p$p.jsonl")
+
+  override def partitionsFor(stream: String): Seq[Int] = {
+    val dir = streamDir(stream)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val re = "^p(\\d+)\\.jsonl$".r
+    val listing = Files.list(dir) // java Stream holds an FD: must close
+    try listing.toArray.toSeq.map(_.asInstanceOf[Path].getFileName.toString)
+      .collect { case re(p) => p.toInt }.sorted
+    finally listing.close()
+  }
+
+  /** Create a stream with `n` partitions (admin analog for tests). */
+  def createStream(stream: String, n: Int): Unit = {
+    Files.createDirectories(streamDir(stream))
+    (0 until n).foreach { p =>
+      val f = partFile(stream, p)
+      if (!Files.exists(f)) Files.createFile(f)
+    }
+  }
+
+  override def earliestOffset(stream: String, partition: Int): Long = 0L
+
+  override def latestOffset(stream: String, partition: Int): Long =
+    FileStreamClient.withLock(partFile(stream, partition)) { f =>
+      if (!Files.exists(f)) 0L
+      else {
+        val reader = new BufferedReader(new FileReader(f.toFile))
+        try Iterator.continually(reader.readLine()).takeWhile(_ != null).size.toLong
+        finally reader.close()
+      }
+    }
+
+  override def fetch(stream: String, partition: Int, fromOffset: Long, maxRecords: Int): Seq[StreamRecord] = {
+    val f = partFile(stream, partition)
+    if (!Files.exists(f)) return Seq.empty
+    val reader = new BufferedReader(new FileReader(f.toFile))
+    try {
+      var skipped = 0L
+      while (skipped < fromOffset && reader.readLine() != null) skipped += 1
+      val out = mutable.ArrayBuffer[StreamRecord]()
+      var offset = fromOffset
+      var line = if (out.size < maxRecords) reader.readLine() else null
+      while (line != null) {
+        out += FileStreamClient.parseRecord(stream, partition, offset, line)
+        offset += 1
+        line = if (out.size < maxRecords) reader.readLine() else null
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  override def append(stream: String, partition: Int, key: Array[Byte], value: Array[Byte]): Long = {
+    Files.createDirectories(streamDir(stream))
+    FileStreamClient.withLock(partFile(stream, partition)) { f =>
+      val offset = if (Files.exists(f)) latestOffsetUnlocked(f) else 0L
+      val w = new FileWriter(f.toFile, true)
+      try {
+        w.write(FileStreamClient.recordJson(key, value, System.currentTimeMillis()))
+        w.write('\n')
+      } finally w.close()
+      offset
+    }
+  }
+
+  override def appendAll(stream: String, partition: Int, records: Seq[(Array[Byte], Array[Byte])]): Unit = {
+    if (records.isEmpty) return
+    Files.createDirectories(streamDir(stream))
+    FileStreamClient.withLock(partFile(stream, partition)) { f =>
+      val now = System.currentTimeMillis()
+      val w = new java.io.BufferedWriter(new FileWriter(f.toFile, true))
+      try records.foreach { case (k, v) =>
+        w.write(FileStreamClient.recordJson(k, v, now)); w.write('\n')
+      } finally w.close()
+    }
+  }
+
+  private def latestOffsetUnlocked(f: Path): Long = {
+    val reader = new BufferedReader(new FileReader(f.toFile))
+    try Iterator.continually(reader.readLine()).takeWhile(_ != null).size.toLong
+    finally reader.close()
+  }
+
+  override def commit(stream: String, groupId: String, offsets: Map[Int, Long]): Unit = {
+    Files.createDirectories(streamDir(stream))
+    val f = streamDir(stream).resolve(s".committed-$groupId.json")
+    FileStreamClient.withLock(f) { _ =>
+      val merged = committed(stream, groupId) ++ offsets
+      Files.write(f, Serialization.write(merged.map { case (k, v) => k.toString -> v })
+        .getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  override def committed(stream: String, groupId: String): Map[Int, Long] = {
+    val f = streamDir(stream).resolve(s".committed-$groupId.json")
+    if (!Files.exists(f)) Map.empty
+    else Serialization.read[Map[String, Long]](new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .map { case (k, v) => k.toInt -> v }
+  }
+}
+
+object FileStreamClient {
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withLock[T](path: Path)(body: Path => T): T = {
+    val lock = locks.computeIfAbsent(path.toAbsolutePath.toString, _ => new Object)
+    lock.synchronized(body(path))
+  }
+
+  private implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  private[sources] def recordJson(key: Array[Byte], value: Array[Byte], tsMs: Long): String = {
+    val k = if (key == null) JNull else JString(new String(key, StandardCharsets.UTF_8))
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "key" -> k,
+      "value" -> JString(new String(value, StandardCharsets.UTF_8)),
+      "ts" -> JLong(tsMs))))
+  }
+
+  private[sources] def parseRecord(stream: String, partition: Int, offset: Long, line: String): StreamRecord = {
+    val j = JsonMethods.parse(line)
+    val key = j \ "key" match {
+      case JString(s) => s.getBytes(StandardCharsets.UTF_8)
+      case _          => null
+    }
+    val value = j \ "value" match {
+      case JString(s) => s.getBytes(StandardCharsets.UTF_8)
+      case _          => Array.emptyByteArray
+    }
+    val ts = j \ "ts" match {
+      case JInt(n)  => n.toLong
+      case JLong(n) => n
+      case _        => 0L
+    }
+    StreamRecord(stream, partition, offset, key, value, ts)
+  }
+}
