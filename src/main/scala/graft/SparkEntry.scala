@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ConnectorQueries, CoreQueries, TextQueries}
+import graft.ops.{ConnectorQueries, CoreQueries, DedupQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +54,12 @@ object SparkEntry {
     "q_lang_id"         -> TextQueries.qLangId,
     "q_fingerprint"     -> TextQueries.qFingerprint,
     "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
+    "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
+    "q_simhash"         -> DedupQueries.qSimhash,
+    "q_ngram_jaccard"   -> DedupQueries.qNgramJaccard,
+    "q_similarity_knn"  -> SimilarityQueries.qSimilarityKnn,
+    "q_embed_neardup"   -> SimilarityQueries.qEmbedNeardup,
+    "q_similarity_ivf"  -> SimilarityQueries.qSimilarityIvf,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -206,6 +212,11 @@ object SparkEntry {
          |  FROM documents)""".stripMargin,
 
     "q_dis_roundtrip" -> ConnectorQueries.oracle,
+    "q_minhash_dupes" -> DedupQueries.minhashOracle,
+    "q_simhash"       -> DedupQueries.simhashOracle,
+    "q_ngram_jaccard" -> DedupQueries.ngramOracle,
+    "q_similarity_knn" -> SimilarityQueries.knnOracle,
+    "q_embed_neardup" -> SimilarityQueries.neardupOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings.embedding` (array<float>, 64-d) —
+  * the ANN surface a training-data pipeline needs (north star).
+  *
+  * Scale design: the brute-force path is the correctness baseline
+  * (queries broadcast against the corpus — linear scan, no shuffle of
+  * the big side). The IVF path is the 100 TB shape: corpus is
+  * partitioned into nlist Voronoi cells once (shuffle on cell id);
+  * each query probes nprobe cells, so compute drops by ~nlist/nprobe
+  * and the candidate join is an equi-join on cell id instead of a
+  * cross product.
+  */
+object SimilarityQueries {
+
+  /** Cosine similarity of two float vectors, accumulated in double in
+    * array order (deterministic, SQL-replicable). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  private val K = 5
+  private val NQueries = 10 // vec_id < 10 play the role of query vectors
+
+  /** Brute-force exact cosine top-K: queries (a small set) broadcast
+    * against the corpus; rank per query with a deterministic tiebreak.
+    * Ties/FP: rank on round(cos, 12) then vec_id so the result is
+    * bit-stable across engines. */
+  def qSimilarityKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("embedding")), 12))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  val knnOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |      / sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+       |      / sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
+       |      12) AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
+  /** Embedding near-duplicate pairs: cosine ≥ 0.45 with vec_a < vec_b
+    * (threshold sits at the top tail of this corpus's cosine
+    * distribution — max pairwise cos is ~0.51, so a "real" dedup cut
+    * like 0.95 would be vacuously empty). Blocked self-join here (n² at
+    * tiny scale); at 100 TB this runs through the IVF cells (near-dups
+    * can only live in the same or adjacent cells). */
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 12))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+  }
+
+  val neardupOracle: String =
+    """SELECT vec_a, vec_b, cos FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))),
+      |      12) AS cos
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < b.vec_id)
+      |WHERE cos >= 0.45""".stripMargin
+
+  private val NList = 16  // IVF cells
+  private val NProbe = 4  // cells probed per query
+
+  /** IVF-bucketed approximate kNN — the scale path. Centroids are a
+    * deterministic sample (every corpus/NList-th vector); vectors are
+    * assigned to their nearest centroid (one broadcast join + argmin);
+    * queries probe their NProbe nearest cells. Recall vs the exact
+    * path is asserted in ScalaTest (approximate ⇒ no SQL oracle). */
+  def qSimilarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(pmod(col("vec_id"), lit(31L)) === 0)
+      .limit(NList)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+
+    def nearestCells(v: Column, n: Int): Column =
+      slice(transform(
+        array_sort(transform(col("cells"), c =>
+          struct((round(cosine(v, c.getField("cv")), 12) * -1).as("negcos"),
+            c.getField("cell_id").as("cell_id")))),
+        s => s.getField("cell_id")), 1, n)
+
+    val cellsArr = centroids.agg(collect_list(struct(col("cell_id"), col("cv"))).as("cells"))
+
+    // assign every vector to its nearest cell (broadcast the centroid array)
+    val assigned = emb.crossJoin(broadcast(cellsArr))
+      .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    // queries probe their NProbe nearest cells
+    val queries = emb.filter(col("vec_id") < NQueries).crossJoin(broadcast(cellsArr))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        explode(nearestCells(col("embedding"), NProbe)).as("cell"))
+
+    val scored = queries.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("q"), col("embedding")), 12))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
+  }
+}
