@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming query builders over the dis source — the
+  * engine's replacement for the reference's DStream surface
+  * (SURVEY §2.B): per-trigger micro-batches (O4) composed with
+  * event-time windows, watermarks, sessionization, streaming dedup and
+  * custom keyed state. The reference keeps only offset state
+  * (dis/DirectDISInputDStream.scala:66); record-level state here is
+  * Spark-managed (HDFSBackedStateStore / RocksDB at scale).
+  *
+  * Scale notes: every stateful op below keys its state by a bounded
+  * entity (window, user, event_id-within-watermark) and relies on
+  * watermark eviction, so state size is O(active keys), not O(stream).
+  */
+object StreamingQueries {
+
+  /** Schema of the JSON payloads the tests produce from the `events`
+    * fixture (FIXTURES.md). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    // epoch MICROSECONDS: JSON timestamp strings round-trip at only
+    // millisecond precision (to_json truncates), which visibly shifts
+    // session/window boundaries vs the micro-precision fixture
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of a dis stream whose record values are JSON
+    * events — deserializer-pluggability analog (the reference's
+    * value.deserializer, dis/DISUtils.scala:379-380): bytes →
+    * from_json → typed columns. */
+  def readEvents(
+      spark: SparkSession,
+      root: String,
+      stream: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.readStream.format("dis")
+      .option("client.root", root)
+      .option("stream", stream)
+    options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+      .load()
+      .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .select(col("e.*"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .drop("ts_us")
+  }
+
+  /** Tumbling event-time window counts with watermarking; append mode
+    * emits a window once the watermark passes its end. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("cnt"), col("sum_value"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** Streaming session windows (gap-based) per user. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the q_dedup_exact streaming variant (state = ids newer than the
+    * watermark; older duplicates are already impossible to admit). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals emitted on every update (Update mode) — the
+    * mapWithState-style surface the DStream API offered, rebuilt on
+    * Structured Streaming state stores. */
+  def runningUserStats(spark: SparkSession, events: DataFrame): Dataset[UserStat] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val next = UserStat(user, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
