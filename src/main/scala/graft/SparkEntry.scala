@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ConnectorQueries, CoreQueries, DedupQueries, SimilarityQueries, TextQueries}
+import graft.ops.{ConnectorQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -60,6 +60,8 @@ object SparkEntry {
     "q_similarity_knn"  -> SimilarityQueries.qSimilarityKnn,
     "q_embed_neardup"   -> SimilarityQueries.qEmbedNeardup,
     "q_similarity_ivf"  -> SimilarityQueries.qSimilarityIvf,
+    "q_multimodal_meta" -> MultimodalQueries.qMultimodalMeta,
+    "q_multimodal_features" -> MultimodalQueries.qMultimodalFeatures,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -217,6 +219,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramOracle,
     "q_similarity_knn" -> SimilarityQueries.knnOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
+    "q_multimodal_meta" -> MultimodalQueries.metaOracle,
+    "q_multimodal_features" -> MultimodalQueries.featuresOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (north star): media as opaque `binary`
+  * columns with typed metadata, processed in batched per-partition
+  * passes — the Scala analog of a Pandas-UDF/mapInPandas media
+  * pipeline.
+  *
+  * The actual media decode is STUBBED (no image/audio libs in this
+  * environment): [[DecodeStub]] derives deterministic "pixels" from the
+  * blob bytes. Everything around the stub — blob/metadata schema,
+  * partition-batched iteration, feature schema, the frame-sampling
+  * arithmetic — is the real production shape: swap [[DecodeStub.decode]]
+  * for a JNI/ImageIO call and nothing else changes.
+  *
+  * Scale notes: blobs never pass through a shuffle (all ops are
+  * per-row/per-partition); metadata-only predicates prune on parquet
+  * column stats without touching blob bytes.
+  */
+object MultimodalQueries {
+
+  /** STUB decoder: "decodes" a blob to its byte stream. A real build
+    * replaces this with the actual media codec; the call site,
+    * batching, and output contract stay identical. */
+  object DecodeStub {
+    def decode(blob: Array[Byte]): Array[Int] = blob.map(b => (b & 0xff))
+  }
+
+  /** Deterministic multimodal table derived from `documents`: blob =
+    * UTF-8 bytes of text (stand-in for image bytes), metadata struct
+    * typed like an image header. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      struct(
+        when(pmod(col("doc_id"), lit(3)) === 0, "png")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "jpeg")
+          .otherwise("webp").as("format"),
+        (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+        (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height")).as("meta"))
+
+  /** Metadata + blob-stat projection: the "don't decode what you can
+    * prune" path — only header fields and byte-level stats, no decode. */
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).select(
+      col("doc_id"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width").cast("long"),
+      col("meta.height").as("height").cast("long"),
+      length(col("blob")).cast("long").as("blob_len"),
+      ascii(decode(substring(col("blob"), 1, 1), "UTF-8")).cast("long").as("first_byte"))
+
+  val metaOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
+      |  (n_chars % 640 + 1)::BIGINT AS width,
+      |  (n_chars % 480 + 1)::BIGINT AS height,
+      |  octet_length(encode(text))::BIGINT AS blob_len,
+      |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
+      |FROM documents""".stripMargin
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("hist", ArrayType(LongType)),
+    StructField("n_frames", LongType),
+    StructField("sampled_sum", LongType)))
+
+  /** Feature extraction through the stubbed decoder, batched per
+    * partition (mapPartitions = the mapInPandas batch shape):
+    *  - hist: 16-bucket histogram of decoded values mod 16
+    *  - n_frames: blob sliced into 256-byte "frames" (frame-sample
+    *    analog), count
+    *  - sampled_sum: sum of the first decoded value of every 4th frame
+    */
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir).select(col("doc_id"), col("blob"))
+    val enc = Encoders.row(featureSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val px = DecodeStub.decode(r.getAs[Array[Byte]](1))
+        val hist = new Array[Long](16)
+        px.foreach(v => hist(v % 16) += 1)
+        val frames = px.grouped(256).toArray
+        val sampled = frames.indices.collect {
+          case i if i % 4 == 0 => frames(i).head.toLong
+        }.sum
+        Row(docId, hist.toSeq, frames.length.toLong, sampled)
+      }
+    }(enc)
+      // scalar rows (doc_id, bucket, cnt, ...) rather than an array
+      // column: hash-compare friendly and shuffle-free either way
+      .select(col("doc_id"), posexplode(col("hist")),
+        col("n_frames"), col("sampled_sum"))
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").as("cnt"), col("n_frames"), col("sampled_sum"))
+  }
+
+  val featuresOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS p
+      |  FROM documents
+      |)
+      |SELECT doc_id, b.b::BIGINT AS bucket,
+      |  len(list_filter(p, x -> x % 16 = b.b))::BIGINT AS cnt,
+      |  ((len(p) + 255) // 256)::BIGINT AS n_frames,
+      |  list_sum(list_transform(range(0, (len(p) + 255) // 256),
+      |    f -> CASE WHEN f % 4 = 0 THEN p[(f * 256 + 1)::INT] ELSE 0 END))::BIGINT AS sampled_sum
+      |FROM px, (SELECT unnest(range(0, 16)) AS b) b""".stripMargin
+}
