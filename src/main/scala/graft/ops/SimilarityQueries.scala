@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecMath.float_dot
+
 /** Similarity search over `embeddings.embedding` (array<float>, 64-d) —
   * the ANN surface a training-data pipeline needs (north star).
   *
@@ -17,14 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Cosine similarity of two float vectors, accumulated in double in
-    * array order (deterministic, SQL-replicable). */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, z) => acc + z)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine similarity of two float vectors via the codegen'd
+    * [[graft.functions.FloatVecDot]] expression: left-to-right double
+    * accumulation — deterministic and bit-identical to the SQL-oracle
+    * formulation, ~100× faster than the interpreted HOF route.
+    * Prefer [[cosinePrenormed]] across joins (norms computed once per
+    * side instead of once per pair). */
+  private def cosine(a: Column, b: Column): Column =
+    float_dot(a, b) / sqrt(float_dot(a, a)) / sqrt(float_dot(b, b))
+
+  /** Cosine from precomputed norms (hoist `sqrt(dot(v,v))` to each
+    * join side — O(n) norms instead of O(pairs)). */
+  private def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    float_dot(a, b) / normA / normB
+
+  private def withNorm(df: DataFrame, vec: String, norm: String): DataFrame =
+    df.withColumn(norm, sqrt(float_dot(col(vec), col(vec))))
 
   private val K = 5
   private val NQueries = 10 // vec_id < 10 play the role of query vectors
@@ -34,11 +44,13 @@ object SimilarityQueries {
     * Ties/FP: rank on round(cos, 12) then vec_id so the result is
     * bit-stable across engines. */
   def qSimilarityKnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
+    val queries = withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")), "q", "qnrm")
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("q"), col("embedding")), 12))
+      .withColumn("cos", round(
+        cosinePrenormed(col("q"), col("embedding"), col("qnrm"), col("nrm")), 12))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -71,9 +83,13 @@ object SimilarityQueries {
     * tiny scale); at 100 TB this runs through the IVF cells (near-dups
     * can only live in the same or adjacent cells). */
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val e = withNorm(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      "embedding", "nrm")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 12))
+      .withColumn("cos", round(
+        cosinePrenormed(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")), 12))
       .filter(col("cos") >= 0.45)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
   }
@@ -99,33 +115,38 @@ object SimilarityQueries {
     * queries probe their NProbe nearest cells. Recall vs the exact
     * path is asserted in ScalaTest (approximate ⇒ no SQL oracle). */
   def qSimilarityIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val centroids = emb.filter(pmod(col("vec_id"), lit(31L)) === 0)
-      .limit(NList)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cv"))
+    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
+    val centroids = withNorm(
+      Tables.embeddings(spark, dir).filter(pmod(col("vec_id"), lit(31L)) === 0)
+        .limit(NList)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cv")), "cv", "cvnrm")
 
-    def nearestCells(v: Column, n: Int): Column =
+    def nearestCells(v: Column, vnrm: Column, n: Int): Column =
       slice(transform(
         array_sort(transform(col("cells"), c =>
-          struct((round(cosine(v, c.getField("cv")), 12) * -1).as("negcos"),
+          struct((round(
+            float_dot(v, c.getField("cv")) / vnrm / c.getField("cvnrm"), 12) * -1)
+            .as("negcos"),
             c.getField("cell_id").as("cell_id")))),
         s => s.getField("cell_id")), 1, n)
 
-    val cellsArr = centroids.agg(collect_list(struct(col("cell_id"), col("cv"))).as("cells"))
+    val cellsArr = centroids
+      .agg(collect_list(struct(col("cell_id"), col("cv"), col("cvnrm"))).as("cells"))
 
     // assign every vector to its nearest cell (broadcast the centroid array)
     val assigned = emb.crossJoin(broadcast(cellsArr))
-      .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
-      .select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("cell", element_at(nearestCells(col("embedding"), col("nrm"), 1), 1))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
 
     // queries probe their NProbe nearest cells
     val queries = emb.filter(col("vec_id") < NQueries).crossJoin(broadcast(cellsArr))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        explode(nearestCells(col("embedding"), NProbe)).as("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("qnrm"),
+        explode(nearestCells(col("embedding"), col("nrm"), NProbe)).as("cell"))
 
     val scored = queries.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("q"), col("embedding")), 12))
+      .withColumn("cos", round(
+        cosinePrenormed(col("q"), col("embedding"), col("qnrm"), col("nrm")), 12))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestBase
+
+/** Physical-plan regression tests: the properties that make these
+  * queries scale (scan pushdown, column pruning, broadcast joins,
+  * partial-limit top-N, map-side partial aggregation) are asserted so
+  * a refactor can't silently trade them away. */
+class PlanSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q_filter_range pushes the half-open range into the parquet scan") {
+    val p = plan(CoreQueries.qFilterRange(spark, dir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(event_id,100)"), p)
+    assert(p.contains("LessThan(event_id,5000)"), p)
+  }
+
+  test("q_scan_project prunes unused columns at the scan (no props/ts read when unused)") {
+    val p = plan(CoreQueries.qScanProject(spark, dir))
+    assert(!p.contains("props"), s"props not pruned:\n$p")
+  }
+
+  test("q_join_enrich broadcasts both dimension tables") {
+    val p = plan(CoreQueries.qJoinEnrich(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"dimension join shuffled:\n$p")
+  }
+
+  test("q_join_semi_anti uses broadcast semi/anti joins (no shuffle of events)") {
+    val p = plan(CoreQueries.qJoinSemiAnti(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_take_limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(CoreQueries.qTakeLimit(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort present:\n$p")
+  }
+
+  test("q_topk ends in TakeOrderedAndProject over a partial+final agg") {
+    val p = plan(CoreQueries.qTopk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_wordcount / q_agg_stats do map-side partial aggregation") {
+    assert(plan(CoreQueries.qWordcount(spark, dir)).contains("partial_count"))
+    val p = plan(CoreQueries.qAggStats(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("similarity kNN keeps the corpus side unshuffled (broadcast queries)") {
+    val p = plan(SimilarityQueries.qSimilarityKnn(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("FloatVecDot is planned natively and supports codegen") {
+    val df = SimilarityQueries.qSimilarityKnn(spark, dir)
+    val p = plan(df).toLowerCase
+    assert(p.contains("floatvecdot"), p)
+    // the expression itself must not be a CodegenFallback
+    val e = graft.functions.FloatVecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    assert(e.eval(null) === 2.0)
+  }
+}
