@@ -56,6 +56,8 @@ object SparkEntry {
     "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
+    "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
+      graft.ops.Tables.documents(s, dir), "doc_id", "text", 3)),
     "q_ngram_jaccard"   -> DedupQueries.qNgramJaccard,
     "q_similarity_knn"  -> SimilarityQueries.qSimilarityKnn,
     "q_embed_neardup"   -> SimilarityQueries.qEmbedNeardup,
@@ -216,6 +218,13 @@ object SparkEntry {
     "q_dis_roundtrip" -> ConnectorQueries.oracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
+    "q_simhash_dupes" ->
+      s"""WITH sims AS (${DedupQueries.simhashOracle})
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sims a, sims b
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q_ngram_jaccard" -> DedupQueries.ngramOracle,
     "q_similarity_knn" -> SimilarityQueries.knnOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,

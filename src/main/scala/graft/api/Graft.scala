@@ -1,0 +1,183 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VecMath.float_dot
+
+/** The engine's public operator API: every operator parameterized over
+  * the caller's DataFrame and column names. The `SparkEntry.queries`
+  * entries are thin fixture bindings of these.
+  *
+  * Conventions: ids are LongType, text StringType, embeddings
+  * array<float>. Outputs use stable, documented column names. All
+  * exact operators are deterministic (ties broken on ids, float
+  * reductions in fixed order) so results are reproducible across
+  * engines and cluster sizes.
+  */
+object Graft {
+
+  // ---------- text analysis ----------
+
+  private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** Lowercased, punctuation-stripped text + its length. */
+  def cleanText(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(
+      col(id),
+      lower(regexp_replace(col(text), "[^a-zA-Z0-9 ]", "")).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCounts(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(
+      col(id),
+      size(tokens(col(text))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("bpe_tokens"),
+      length(col(text)).cast("long").as("n_chars"))
+
+  /** Per-document quality heuristics: stopword ratio, punctuation
+    * ratio, length features, composite score in [0,1]. */
+  def qualityScore(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")): DataFrame = {
+    val t = tokens(col(text))
+    val nWords = size(t).cast("double")
+    val nStop = size(filter(t, w => w.isin(stopwords: _*))).cast("double")
+    val nPunct = size(regexp_extract_all(col(text), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
+    val nChars = length(col(text)).cast("double")
+    df.select(
+      col(id),
+      nChars.as("n_chars"), nWords.as("n_words"),
+      (nStop / nWords).as("stop_ratio"),
+      (nPunct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      ((nChars - nWords + 1.0) / nWords).as("avg_word_len"))
+      .withColumn("quality",
+        col("stop_ratio") * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(col("n_words") / 100.0, lit(1.0)) * 0.3)
+  }
+
+  /** Stopword-profile language ID with deterministic priority
+    * tiebreak; profiles: language → stopword list (argmax order =
+    * map order). */
+  def langId(df: DataFrame, id: String, text: String,
+      profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val t = tokens(col(text))
+    val scored = profiles.foldLeft(df.select(col(id) +: df.columns.filter(_ != id).map(col): _*)) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"s_$lang", size(filter(t, w => w.isin(words: _*))).cast("long"))
+    }
+    val pred = profiles.init.zipWithIndex.foldRight(lit(profiles.last._1)) {
+      case (((lang, _), i), els) =>
+        val laters = profiles.drop(i + 1).map { case (l, _) => col(s"s_$lang") >= col(s"s_$l") }
+        when(laters.reduce(_ && _), lang).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  // ---------- hashing kernels (SQL-replicable arithmetic) ----------
+
+  /** 31-bit position-weighted char hash with an LCG mix — weak but
+    * engine-portable; see DedupQueries.polyHashS. */
+  def polyHash(s: String): Long = graft.ops.DedupQueries.polyHashS(s)
+
+  // ---------- dedup ----------
+
+  /** Exact dedup: distinct on the given columns. */
+  def exactDedup(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Canonical-keeper dedup: one row per key set, keeping the row with
+    * the minimum `orderCol` (deterministic, unlike dropDuplicates). */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification
+    * (word 3-gram shingles). Output: (id_a, id_b, jaccard). Never
+    * materializes O(n²): candidates come from an equi-join on LSH
+    * band hashes. */
+  def minhashDupes(df: DataFrame, id: String, text: String, threshold: Double = 0.8): DataFrame =
+    graft.ops.DedupQueries.minhashDupesOn(df, id, text, threshold)
+
+  /** 62-bit SimHash fingerprint per row. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.DedupQueries.simhashOn(df, id, text)
+
+  /** SimHash near-dup pairs at hamming distance ≤ maxHamming, bucketed
+    * by fingerprint bands so the self-join is an equi-join (the
+    * pigeonhole trick: distance ≤ k ⇒ some one of k+1 bands equal). */
+  def simhashDupes(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, id, text)
+    val bands = maxHamming + 1
+    val width = 62 / bands
+    val banded = fp.select(col(id), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * width) % (1L << width)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandkey")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandkey") === col("b.bandkey") &&
+        col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact char-n-gram Jaccard pairs via inverted-index join. */
+  def ngramJaccard(df: DataFrame, id: String, text: String,
+      n: Int = 16, threshold: Double = 0.7): DataFrame =
+    graft.ops.DedupQueries.ngramJaccardOn(df, id, text, n, threshold)
+
+  /** Approximate distinct count per key (HLL++, mergeable sketches). */
+  def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String, rsd: Double = 0.01): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  // ---------- similarity search ----------
+
+  /** Exact cosine top-k: for each row of `queries`, the k nearest rows
+    * of `corpus` (queries are broadcast; corpus never shuffles).
+    * Output: (query_id, neighbor_id, rank, cos). */
+  def knn(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int = 5): DataFrame = {
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__v"))
+      .withColumn("__nrm", sqrt(float_dot(col("__v"), col("__v"))))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__q"))
+      .withColumn("__qnrm", sqrt(float_dot(col("__q"), col("__q"))))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /** Embedding near-duplicate pairs at cosine ≥ threshold. */
+  def embedNearDup(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val e = df.select(col(id), col(vec).as("__v"))
+      .withColumn("__nrm", sqrt(float_dot(col("__v"), col("__v"))))
+    e.as("a").join(e.as("b"), col(s"a.$id") < col(s"b.$id"))
+      .withColumn("cos", round(
+        float_dot(col("a.__v"), col("b.__v")) / col("a.__nrm") / col("b.__nrm"), 12))
+      .filter(col("cos") >= threshold)
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
+  }
+
+  // ---------- sessionization / events ----------
+
+  /** Gap-based sessions per key (batch). Output: key, session_start,
+    * session_end (= last event + gap), n_events. */
+  def sessionize(df: DataFrame, key: String, ts: String, gap: String = "30 minutes"): DataFrame =
+    df.groupBy(session_window(col(ts), gap), col(key))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+}

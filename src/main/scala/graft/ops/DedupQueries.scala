@@ -36,7 +36,7 @@ object DedupQueries {
     * per-permutation lambdas, was re-evaluated ~128× per shingle —
     * minutes at sf0.1. Plain Scala inside mapPartitions computes each
     * hash exactly once. */
-  private[ops] def polyHashS(s: String): Long = {
+  private[graft] def polyHashS(s: String): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) { acc += (i + 1).toLong * s.charAt(i).toLong; i += 1 }
@@ -66,11 +66,10 @@ object DedupQueries {
     * ((2i+1)*h + i²+13) mod P with h = polyHashS(shingle). Shuffle-free
     * except the explicit repartition that spreads the CPU-bound kernel
     * across cores (the fixture is one parquet split). */
-  private def docSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private def signatures(df: DataFrame, id: String, text: String): DataFrame = {
     val enc = Encoders.row(sigSchema)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    df.select(col(id), col(text))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val sh = shinglesOf(r.getString(1))
@@ -98,9 +97,10 @@ object DedupQueries {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
   /** Near-duplicate pairs via MinHash → LSH banding → bucket join →
-    * exact-Jaccard verify at 0.8. Output: (doc_a, doc_b, jaccard). */
-  def qMinhashDupes(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docSignatures(spark, dir)
+    * exact-Jaccard verify. Output: (id_a, id_b, jaccard) — generalized
+    * entry used by [[graft.api.Graft.minhashDupes]]. */
+  def minhashDupesOn(df: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
+    val docs = signatures(df, id, text)
 
     // band rows: (doc_id, band, bandHash); bandHash folds the band's
     // signature slice so the join key is one long, not an array
@@ -122,9 +122,13 @@ object DedupQueries {
       .join(docs.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(docs.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
   }
+
+  def qMinhashDupes(spark: SparkSession, dir: String): DataFrame =
+    minhashDupesOn(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
 
   val minhashOracle: String =
     """WITH tok AS (
@@ -151,12 +155,11 @@ object DedupQueries {
   /** 62-bit SimHash fingerprint per document: bit b set iff the sum of
     * ±1 votes (token-hash bit b) is positive. Everything is small-int
     * arithmetic so the oracle reproduces it bit-for-bit. */
-  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhashOn(df: DataFrame, id: String, text: String): DataFrame = {
     val enc = Encoders.row(StructType(Seq(
-      StructField("doc_id", LongType), StructField("simhash", LongType))))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      StructField(id, LongType), StructField("simhash", LongType))))
+    df.select(col(id), col(text))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val hs = r.getString(1).split(" ").filter(_.nonEmpty).map(polyHashS)
@@ -176,6 +179,9 @@ object DedupQueries {
         }
       }(enc)
   }
+
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(Tables.documents(spark, dir), "doc_id", "text")
 
   val simhashOracle: String =
     """WITH tok AS (
@@ -212,26 +218,29 @@ object DedupQueries {
     * per-doc window sort costs more than the pairs it prunes. On a
     * zipfian real-world corpus the trade flips; the direct join is the
     * right default for this data. */
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardOn(df: DataFrame, id: String, text: String, n: Int, threshold: Double): DataFrame = {
     val gramsDyn = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - 15, lit(1))),
-      i => col("text").substr(i, lit(16))))
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), gramsDyn.as("g"))
+      sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))),
+      i => col(text).substr(i, lit(n))))
+    val docs = df.select(col(id).as("__id"), gramsDyn.as("g"))
       .withColumn("n", size(col("g")))
-    val posting = docs.select(col("doc_id"), col("n"), explode(col("g")).as("s"))
+    val posting = docs.select(col("__id"), col("n"), explode(col("g")).as("s"))
     posting.as("a").join(posting.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-        col("a.n").cast("double") >= col("b.n") * 0.7 &&
-        col("b.n").cast("double") >= col("a.n") * 0.7)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.s") === col("b.s") && col("a.__id") < col("b.__id") &&
+        col("a.n").cast("double") >= col("b.n") * threshold &&
+        col("b.n").cast("double") >= col("a.n") * threshold)
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("c"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .withColumn("jaccard",
         col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-      .filter(col("jaccard") >= 0.7)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(Tables.documents(spark, dir), "doc_id", "text", 16, 0.7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
 
   val ngramOracle: String =
     """WITH g AS (

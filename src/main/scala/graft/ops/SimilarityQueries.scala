@@ -44,19 +44,10 @@ object SimilarityQueries {
     * Ties/FP: rank on round(cos, 12) then vec_id so the result is
     * bit-stable across engines. */
   def qSimilarityKnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
-    val queries = withNorm(
-      Tables.embeddings(spark, dir).filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q")), "q", "qnrm")
-    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(
-        cosinePrenormed(col("q"), col("embedding"), col("qnrm"), col("nrm")), 12))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("cos"))
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.Graft.knn(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
   }
 
   val knnOracle: String =
@@ -82,17 +73,11 @@ object SimilarityQueries {
     * like 0.95 would be vacuously empty). Blocked self-join here (n² at
     * tiny scale); at 100 TB this runs through the IVF cells (near-dups
     * can only live in the same or adjacent cells). */
-  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(
+  def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.embedNearDup(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-      "embedding", "nrm")
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(
-        cosinePrenormed(col("a.embedding"), col("b.embedding"),
-          col("a.nrm"), col("b.nrm")), 12))
-      .filter(col("cos") >= 0.45)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
-  }
+      "vec_id", "embedding", 0.45)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("cos"))
 
   val neardupOracle: String =
     """SELECT vec_a, vec_b, cos FROM (

@@ -24,46 +24,22 @@ object TextQueries {
 
   /** Text normalization: strip non-alphanumerics, lowercase, length. */
   def qTextClean(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")).as("clean_text"))
-      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+    graft.api.Graft.cleanText(Tables.documents(spark, dir), "doc_id", "text")
 
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation marks — the classic
     * pre-tokenizer split). */
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        size(tokens).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("bpe_tokens"),
-        length(col("text")).cast("long").as("n_chars"))
+    graft.api.Graft.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length — the standard cheap filters a pretraining pipeline
     * runs before anything expensive. Pure per-row FP arithmetic
     * (deterministic, no reduction-order effects). */
-  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val nWords = size(tokens).cast("double")
-    val nStop = size(filter(tokens, t => t.isin(StopwordsEn: _*))).cast("double")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).cast("double")
-    val nChars = length(col("text")).cast("double")
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        nChars.as("n_chars"),
-        nWords.as("n_words"),
-        (nStop / nWords).as("stop_ratio"),
-        (nPunct / greatest(nChars, lit(1.0))).as("punct_ratio"),
-        ((nChars - nWords + 1.0) / nWords).as("avg_word_len"))
-      .withColumn("quality",
-        col("stop_ratio") * 0.4
-          + (lit(1.0) - col("punct_ratio")) * 0.3
-          + least(col("n_words") / 100.0, lit(1.0)) * 0.3)
-  }
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.qualityScore(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", StopwordsEn)
 
   /** Language ID via stopword-profile scoring (n-gram-heuristic family):
     * count stopword hits per language profile, argmax with a fixed

@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The public facade exercised on caller-shaped data (arbitrary column
+  * names, small inline frames) — proving the operators aren't welded to
+  * the test fixtures. */
+class GraftApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("minhashDupes finds planted near-duplicates on arbitrary columns") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for good measure today"
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " ok"), // near-dup of 10
+      (30L, "completely different content about spark streams and offsets and backpressure windows"),
+      (40L, "completely different content about spark streams and offsets and backpressure windows"), // exact dup of 30
+      (50L, "nothing in common with anything else at all whatsoever believe me truly")
+    ).toDF("k", "body")
+    val pairs = Graft.minhashDupes(docs, "k", "body", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 20L)), pairs)
+    assert(pairs.contains((30L, 40L)), pairs)
+    assert(!pairs.exists(p => p._1 == 50L || p._2 == 50L), pairs)
+  }
+
+  test("simhashDupes: identical docs at hamming 0; bucket join finds them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("id", "t")
+    val pairs = Graft.simhashDupes(docs, "id", "t", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L), pairs.toSeq)
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), pairs.toSeq)
+  }
+
+  test("dedupKeepFirst keeps exactly the min-order row per key") {
+    val df = Seq((1L, "a", 3L), (2L, "a", 1L), (3L, "b", 2L), (4L, "a", 2L))
+      .toDF("id", "key", "ord")
+    val out = Graft.dedupKeepFirst(df, Seq("key"), "ord")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(out === Map("a" -> 2L, "b" -> 3L))
+  }
+
+  test("knn on caller-named columns returns k ranked neighbors per query") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == i % 4) 1.0f else 0.01f * i))
+    }.toDF("row_id", "v")
+    val out = Graft.knn(vecs, "row_id", "v", vecs.filter($"row_id" < 2), "row_id", "v", k = 3)
+      .collect()
+    assert(out.length === 6)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // top neighbor shares the query's dominant dimension (same i%4 class)
+      val top = rows.minBy(_.getLong(2)).getLong(1)
+      assert(top % 4 === q % 4, s"query $q top neighbor $top")
+    }
+  }
+
+  test("langId generalizes to caller profiles with priority tiebreak") {
+    val df = Seq((1L, "der hund und die katze"), (2L, "the cat and the dog"), (3L, "xyzzy"))
+      .toDF("id", "txt")
+    val out = Graft.langId(df, "id", "txt",
+      Seq("en" -> Seq("the", "and"), "de" -> Seq("der", "die", "und")))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) === "de")
+    assert(out(2L) === "en")
+    assert(out(3L) === "en") // all-zero scores -> first profile wins
+  }
+
+  test("sessionize groups by gap on arbitrary key/ts columns") {
+    val df = Seq(
+      (7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:10:00"),
+      (7L, "2024-01-01 11:30:00"), (8L, "2024-01-01 10:05:00"))
+      .toDF("uid", "at").withColumn("at", col("at").cast("timestamp"))
+    val out = Graft.sessionize(df, "uid", "at", "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.count(_._1 == 7L) === 2) // two sessions for uid 7
+    assert(out.filter(_._1 == 7L).map(_._2).sorted.toSeq === Seq(1L, 2L))
+    assert(out.count(_._1 == 8L) === 1)
+  }
+}
