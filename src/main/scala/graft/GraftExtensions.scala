@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatVecDot
+
+/** Session-extension entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so pure-SQL users get the
+  * codegen'd kernels too.
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)
+  *     // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     .getOrCreate()
+  *   spark.sql("SELECT float_dot(a.embedding, b.embedding) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "float_dot(arrayA, arrayB) takes 2 arguments")
+        FloatVecDot(children.head, children(1))
+      }))
+  }
+}

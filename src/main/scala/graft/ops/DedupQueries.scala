@@ -222,7 +222,11 @@ object DedupQueries {
     val gramsDyn = array_distinct(transform(
       sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))),
       i => col(text).substr(i, lit(n))))
-    val docs = df.select(col(id).as("__id"), gramsDyn.as("g"))
+    val docs = df
+      // the fixture is one parquet split: spread gram expansion across
+      // cores before the CPU-heavy explode/join
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(id).as("__id"), gramsDyn.as("g"))
       .withColumn("n", size(col("g")))
     val posting = docs.select(col("__id"), col("n"), explode(col("g")).as("s"))
     posting.as("a").join(posting.as("b"),

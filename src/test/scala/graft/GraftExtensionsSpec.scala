@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native functions: a session built with
+  * GraftExtensions can call float_dot from plain SQL. (Own session —
+  * extensions bind at session construction.) */
+class GraftExtensionsSpec extends AnyFunSuite {
+  test("float_dot is callable from SQL via GraftExtensions") {
+    // extensions bind at construction: retire any shared session first
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      val r = spark.sql(
+        "SELECT float_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+          "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+        .collect().head.getDouble(0)
+      assert(r === 11.0)
+      val err = intercept[Exception](
+        spark.sql("SELECT float_dot(array(cast(1.0 as float)))").collect())
+      assert(err.getMessage.toLowerCase.contains("float_dot"))
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
