@@ -59,6 +59,22 @@ object Dis {
 
   def stream(options: Map[String, String]): String =
     options.getOrElse("stream", throw new IllegalArgumentException("option 'stream' is required"))
+
+  /** Subscribed streams: explicit `stream`, or every service stream
+    * matching `subscribePattern` (O16 SubscribePattern analog,
+    * dis/ConsumerStrategy.scala:132-171). Pattern resolution happens at
+    * planning time, so streams created later are picked up by the next
+    * trigger — same elasticity as partitions. */
+  def streamsFor(client: StreamClient, options: Map[String, String]): Seq[String] =
+    options.get("subscribepattern") match {
+      case Some(pattern) =>
+        val re = pattern.r
+        val matched = client.listStreams().filter(s => re.pattern.matcher(s).matches())
+        require(matched.nonEmpty || options.contains("allowemptysubscription"),
+          s"subscribePattern '$pattern' matched no streams")
+        matched
+      case None => Seq(stream(options))
+    }
   def groupId(options: Map[String, String]): String =
     options.getOrElse("groupid", options.getOrElse("groupId", "graft-default-group"))
 
@@ -88,7 +104,8 @@ class DisScanBuilder(options: Map[String, String]) extends ScanBuilder {
 
 class DisScan(options: Map[String, String]) extends Scan {
   override def readSchema(): StructType = Dis.schema
-  override def description(): String = s"DisScan(${Dis.stream(options)})"
+  override def description(): String =
+    s"DisScan(${options.getOrElse("stream", options.getOrElse("subscribepattern", "?"))})"
   override def toBatch: Batch = new DisBatch(options)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new DisMicroBatchStream(options)
@@ -100,7 +117,6 @@ class DisScan(options: Map[String, String]) extends Scan {
   * InputPartition per range (O7, dis/DISRDD.scala:83-87). */
 class DisBatch(options: Map[String, String]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val stream = Dis.stream(options)
     val client = StreamClient.forOptions(options)
     try {
       val ranges: Seq[OffsetRange] = options.get("offsetranges") match {
@@ -113,10 +129,11 @@ class DisBatch(options: Map[String, String]) extends Batch {
                 client.latestOffset(r.stream, r.partition)))
           }
         case None =>
+          val streams = Dis.streamsFor(client, options)
           val starting = DisMicroBatchStream.resolveOffsets(
-            client, stream, options.getOrElse("startingoffsets", "earliest"))
+            client, streams, options.getOrElse("startingoffsets", "earliest"))
           val ending = DisMicroBatchStream.resolveOffsets(
-            client, stream, options.getOrElse("endingoffsets", "latest"))
+            client, streams, options.getOrElse("endingoffsets", "latest"))
           starting.toSeq.sortBy(_._1).map { case ((s, p), from) =>
             OffsetRange(s, p, from, math.max(ending.getOrElse((s, p), from), from))
           }
@@ -165,11 +182,19 @@ object ExecutorLocator {
   * Structured Streaming's offset WAL (replaces O18). */
 class DisMicroBatchStream(options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
-  private val streamName = Dis.stream(options)
   private val client = StreamClient.forOptions(options)
+  private def streams: Seq[String] = Dis.streamsFor(client, options)
   private val maxPerTrigger = options.get("maxrecordspertrigger").map(_.toLong)
   private val maxRatePerPartition = options.get("maxratepertrigger")
     .orElse(options.get("maxrateperpartition")).map(_.toLong)
+  // backpressure (O6 analog): proportional controller on measured
+  // trigger throughput; budget = min(static, adaptive)
+  private val rateController: Option[RateController] =
+    if (options.get("backpressureenabled").exists(_.toBoolean))
+      Some(new RateController(
+        targetTriggerMs = options.get("targettriggerms").map(_.toLong).getOrElse(1000L),
+        initialRatePerSec = options.get("backpressureinitialrate").map(_.toDouble)))
+    else None
 
   // Trigger.AvailableNow: freeze the target offsets once, then let
   // rate-limited triggers advance toward them (the wrapper-free path
@@ -177,8 +202,8 @@ class DisMicroBatchStream(options: Map[String, String])
   @volatile private var availableNowTarget: Option[Map[(String, Int), Long]] = None
 
   private def fetchLatest(): Map[(String, Int), Long] =
-    client.partitionsFor(streamName)
-      .map(p => (streamName, p) -> client.latestOffset(streamName, p)).toMap
+    streams.flatMap(s => client.partitionsFor(s)
+      .map(p => (s, p) -> client.latestOffset(s, p))).toMap
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(fetchLatest())
@@ -190,7 +215,7 @@ class DisMicroBatchStream(options: Map[String, String])
 
   override def initialOffset(): Offset =
     DisSourceOffset(DisMicroBatchStream.resolveOffsets(
-      client, streamName, options.getOrElse("startingoffsets", "earliest")))
+      client, streams, options.getOrElse("startingoffsets", "earliest")))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -204,13 +229,22 @@ class DisMicroBatchStream(options: Map[String, String])
     val current = latest.map { case (tp, _) =>
       tp -> startMap.getOrElse(tp, client.earliestOffset(tp._1, tp._2))
     }
-    val budget = limit match {
+    val staticBudget = limit match {
       case rows: ReadMaxRows => Some(rows.maxRows())
       case _                 => maxPerTrigger
     }
+    val now = System.currentTimeMillis()
+    val adaptive = rateController.flatMap(_.nextBudget(now))
+    val budget = (staticBudget, adaptive) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b)             => a.orElse(b)
+    }
     val lags = current.map { case (tp, cur) => tp -> math.max(latest(tp) - cur, 0L) }
     val allocation = RateAllocator.allocate(lags, budget, maxRatePerPartition)
-    DisSourceOffset(RateAllocator.clamp(current, latest, allocation))
+    val end = RateAllocator.clamp(current, latest, allocation)
+    rateController.foreach(_.admitted(
+      end.map { case (tp, e) => e - current.getOrElse(tp, e) }.sum, now))
+    DisSourceOffset(end)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -249,21 +283,22 @@ object DisMicroBatchStream {
   /** Resolve a startingOffsets/endingOffsets option value:
     * "earliest" | "latest" | JSON with -1/-2 sentinels
     * (O2/O16 semantics, dis/ConsumerStrategy.scala:485-513). */
-  def resolveOffsets(client: StreamClient, stream: String, spec: String): Map[(String, Int), Long] = {
-    val parts = client.partitionsFor(stream)
-    spec.trim.toLowerCase(ju.Locale.ROOT) match {
-      case "earliest" => parts.map(p => (stream, p) -> client.earliestOffset(stream, p)).toMap
-      case "latest"   => parts.map(p => (stream, p) -> client.latestOffset(stream, p)).toMap
-      case _ =>
-        val given = Offsets.partitionOffsets(spec)
-        parts.map { p =>
-          val o = given.get((stream, p))
-            .map(Offsets.resolve(_, client.earliestOffset(stream, p), client.latestOffset(stream, p)))
-            .getOrElse(client.earliestOffset(stream, p))
-          (stream, p) -> o
-        }.toMap
-    }
-  }
+  def resolveOffsets(client: StreamClient, streams: Seq[String], spec: String): Map[(String, Int), Long] =
+    streams.flatMap { stream =>
+      val parts = client.partitionsFor(stream)
+      spec.trim.toLowerCase(ju.Locale.ROOT) match {
+        case "earliest" => parts.map(p => (stream, p) -> client.earliestOffset(stream, p))
+        case "latest"   => parts.map(p => (stream, p) -> client.latestOffset(stream, p))
+        case _ =>
+          val given = Offsets.partitionOffsets(spec)
+          parts.map { p =>
+            val o = given.get((stream, p))
+              .map(Offsets.resolve(_, client.earliestOffset(stream, p), client.latestOffset(stream, p)))
+              .getOrElse(client.earliestOffset(stream, p))
+            (stream, p) -> o
+          }
+      }
+    }.toMap
 }
 
 /** Streaming offset: JSON dialect `{"stream":{"0":23}}` — same as the

@@ -25,6 +25,9 @@ final case class StreamRecord(
   * surface the connector needs. Implementations must be cheap to
   * construct on executors from string options (no serialized state). */
 trait StreamClient extends AutoCloseable {
+  /** Names of all streams on the service (admin surface; backs
+    * SubscribePattern, dis/ConsumerStrategy.scala:132-171). */
+  def listStreams(): Seq[String]
   /** Readable partition ids of a stream (dis/DISUtils.scala:345-361). */
   def partitionsFor(stream: String): Seq[Int]
   /** First available offset (seekToBeginning analog). */
@@ -71,6 +74,15 @@ final class FileStreamClient(root: Path) extends StreamClient {
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
   private def streamDir(stream: String): Path = root.resolve(stream)
+
+  override def listStreams(): Seq[String] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val listing = Files.list(root)
+    try listing.toArray.toSeq.map(_.asInstanceOf[Path])
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
+    finally listing.close()
+  }
   private def partFile(stream: String, p: Int): Path = streamDir(stream).resolve(s"p$p.jsonl")
 
   override def partitionsFor(stream: String): Seq[Int] = {

@@ -123,6 +123,7 @@ class KernelSpec extends AnyFunSuite {
 
   private class FakeClient extends StreamClient {
     var closed = 0
+    override def listStreams(): Seq[String] = Seq("s")
     override def partitionsFor(stream: String): Seq[Int] = Seq(0)
     override def earliestOffset(stream: String, partition: Int): Long = 0L
     override def latestOffset(stream: String, partition: Int): Long = 0L
