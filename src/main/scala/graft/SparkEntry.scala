@@ -62,6 +62,8 @@ object SparkEntry {
     "q_similarity_knn"  -> SimilarityQueries.qSimilarityKnn,
     "q_embed_neardup"   -> SimilarityQueries.qEmbedNeardup,
     "q_similarity_ivf"  -> SimilarityQueries.qSimilarityIvf,
+    "q_agg_salted"      -> ((s, dir) => graft.api.Graft.saltedAgg(
+      graft.ops.Tables.events(s, dir), Seq("event_type"), "value", "event_id", 16)),
     "q_multimodal_meta" -> MultimodalQueries.qMultimodalMeta,
     "q_multimodal_features" -> MultimodalQueries.qMultimodalFeatures,
   )
@@ -228,6 +230,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramOracle,
     "q_similarity_knn" -> SimilarityQueries.knnOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
+    "q_agg_salted" ->
+      """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_multimodal_meta" -> MultimodalQueries.metaOracle,
     "q_multimodal_features" -> MultimodalQueries.featuresOracle,
 

@@ -169,6 +169,25 @@ object Graft {
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
   }
 
+  /** Skew-resistant aggregation: two-phase sum/count with an explicit
+    * salt derived from a high-cardinality column. A hot key's rows
+    * spread over `buckets` reducers in phase 1; phase 2 combines the
+    * per-salt partials (tiny: keys × buckets rows). The two-phase
+    * split changes double summation ORDER vs a direct sum, so the
+    * result is rounded to `roundTo` decimals (exact when the true sum
+    * has fewer decimals, as with currency). Output: keys...,
+    * sum_value, cnt. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltSource: String, buckets: Int = 16, roundTo: Int = 4): DataFrame = {
+    val partial = df
+      .withColumn("__salt", pmod(col(saltSource), lit(buckets.toLong)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(round(sum(col("__psum")), roundTo).as("sum_value"),
+        sum(col("__pcnt")).as("cnt"))
+  }
+
   // ---------- sessionization / events ----------
 
   /** Gap-based sessions per key (batch). Output: key, session_start,
