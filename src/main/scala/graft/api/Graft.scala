@@ -134,6 +134,13 @@ object Graft {
       n: Int = 16, threshold: Double = 0.7): DataFrame =
     graft.ops.DedupQueries.ngramJaccardOn(df, id, text, n, threshold)
 
+  /** Production-path 64-bit content fingerprint: Spark's built-in
+    * xxhash64 (codegen'd) — the fast exact-dedup key. (The SQL-oracle
+    * fingerprint lives in TextQueries; this is what you'd run at
+    * 100 TB.) */
+  def fingerprint64(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), xxhash64(col(text)).as("fp64"))
+
   /** Approximate distinct count per key (HLL++, mergeable sketches). */
   def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String, rsd: Double = 0.01): DataFrame =
     df.groupBy(keys.map(col): _*)

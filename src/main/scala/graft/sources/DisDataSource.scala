@@ -47,6 +47,15 @@ class DisTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object Dis {
+  /** Parse a numeric option with an error that names the option. */
+  def longOption(options: Map[String, String], key: String): Option[Long] =
+    options.get(key).map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"option '$key' must be a number, got '$v'")
+      }
+    }
+
   /** Fixed record schema, Kafka-source-compatible (SURVEY §1.1):
     * the reference's ConsumerRecord fields as columns. */
   val schema: StructType = StructType(Seq(
@@ -139,7 +148,21 @@ class DisBatch(options: Map[String, String]) extends Batch {
           }
       }
       val hosts = ExecutorLocator.sortedExecutors()
-      ranges.filter(_.count > 0L).map { r =>
+      // Range splitting: the reference never splits a partition's range
+      // (1 task per stream partition, dis/DISRDD.scala:83-87) — at
+      // 100 TB a single partition's backlog must fan out across tasks.
+      // maxRecordsPerPartition chunks each [from,until) range; chunks
+      // share the partition's preferred executor (consumer-cache
+      // affinity is per (group,stream,partition)).
+      val maxPerTask = Dis.longOption(options, "maxrecordsperpartition")
+      val split: OffsetRange => Seq[OffsetRange] = r => maxPerTask match {
+        case Some(m) if m > 0 && r.count > m =>
+          (r.fromOffset until r.untilOffset by m).map { from =>
+            OffsetRange(r.stream, r.partition, from, math.min(from + m, r.untilOffset))
+          }
+        case _ => Seq(r)
+      }
+      ranges.filter(_.count > 0L).flatMap(split).map { r =>
         DisInputPartition(r, options, ExecutorLocator.preferredFor(r.stream, r.partition, hosts))
           .asInstanceOf[InputPartition]
       }.toArray
@@ -184,9 +207,9 @@ class DisMicroBatchStream(options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   private val client = StreamClient.forOptions(options)
   private def streams: Seq[String] = Dis.streamsFor(client, options)
-  private val maxPerTrigger = options.get("maxrecordspertrigger").map(_.toLong)
-  private val maxRatePerPartition = options.get("maxratepertrigger")
-    .orElse(options.get("maxrateperpartition")).map(_.toLong)
+  private val maxPerTrigger = Dis.longOption(options, "maxrecordspertrigger")
+  private val maxRatePerPartition = Dis.longOption(options, "maxratepertrigger")
+    .orElse(Dis.longOption(options, "maxrateperpartition"))
   // backpressure (O6 analog): proportional controller on measured
   // trigger throughput; budget = min(static, adaptive)
   private val rateController: Option[RateController] =

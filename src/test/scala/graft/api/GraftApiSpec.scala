@@ -73,6 +73,18 @@ class GraftApiSpec extends SparkTestBase {
     assert(out(3L) === "en") // all-zero scores -> first profile wins
   }
 
+  test("fingerprint64: equal text equal hash, distinct text distinct hash") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other text")).toDF("id", "t")
+    val fps = Graft.fingerprint64(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("SparkEntry.entry returns rows (driver smoke contract)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("sessionize groups by gap on arbitrary key/ts columns") {
     val df = Seq(
       (7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:10:00"),

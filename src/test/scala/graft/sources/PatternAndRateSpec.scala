@@ -78,6 +78,22 @@ class PatternAndRateSpec extends SparkTestBase {
     assert(rc.nextBudget(100000L) === Some(7L)) // tiny rate floors at minRecords
   }
 
+  test("maxRecordsPerPartition splits a partition's range across tasks") {
+    val root = newRoot()
+    fill(root, "big", 2, 100)
+    val df = spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "big")
+      .option("maxRecordsPerPartition", "30")
+      .load()
+    // ceil(100/30)=4 chunks per partition × 2 partitions
+    assert(df.rdd.getNumPartitions === 8)
+    assert(df.count() === 200)
+    val offs = df.selectExpr("partition", "offset").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(offs(0) === (0L until 100L)) // chunks tile the range exactly
+    assert(offs(1) === (0L until 100L))
+  }
+
   test("end-to-end: backpressure-enabled stream still drains exactly once") {
     val root = newRoot()
     fill(root, "bp", 2, 30)
