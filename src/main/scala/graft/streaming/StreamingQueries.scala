@@ -89,6 +89,75 @@ object StreamingQueries {
 
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** One open session in keyed state (all times epoch micros — sub-ms
+    * precision survives the state round-trip, java.sql.Timestamp's
+    * getTime would truncate). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom-state sessionization on flatMapGroupsWithState with
+    * EventTimeTimeout — the hand-rolled equivalent of session_window,
+    * demonstrating arbitrary keyed state: multiple open sessions per
+    * user, out-of-order merges within the watermark, emission exactly
+    * when the watermark passes sessionEnd (= last event + gap).
+    * Output times are epoch micros; wrap with timestamp_micros for
+    * display. State is O(open sessions per user). */
+  def sessionizeWithState(
+      spark: SparkSession,
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv.months == 0, "session gap must not use month units")
+    val gapUs = iv.days * 86400000000L + iv.microseconds
+
+    def mergeInto(sessions: List[OpenSession], tsUs: Long, v: Double): List[OpenSession] = {
+      // sessions kept sorted by startUs; an event joins a session if it
+      // lands within gap of its span, else opens a new one; sessions
+      // that become adjacent merge (out-of-order bridging events)
+      val joined = OpenSession(tsUs, tsUs, 1L, v)
+      val merged = (joined :: sessions).sortBy(_.startUs)
+      merged.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case head :: tail if s.startUs < head.lastUs + gapUs =>
+            OpenSession(head.startUs, math.max(head.lastUs, s.lastUs),
+              head.n + s.n, head.sum + s.sum) :: tail
+          case _ => s :: acc
+        }
+      }.reverse
+    }
+
+    // the watermarked event-time column must flow INTO the stateful
+    // operator (projecting it away voids the watermark); the kernel
+    // reads the exact micros from ts_us and ignores the Timestamp
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("ts_us"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[OpenSession], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[List[OpenSession]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, _, tsUs, v) => sessions = mergeInto(sessions, tsUs, v) }
+          val watermarkUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = sessions.partition(_.lastUs + gapUs <= watermarkUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // wake up when the earliest open session could close
+            val wakeMs = (open.map(_.lastUs).min + gapUs) / 1000L + 1L
+            state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.sortBy(_.startUs).iterator.map(s =>
+            SessionOut(user, s.startUs, s.lastUs + gapUs, s.n, s.sum))
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (Update mode) — the
     * mapWithState-style surface the DStream API offered, rebuilt on

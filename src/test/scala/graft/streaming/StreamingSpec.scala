@@ -132,6 +132,32 @@ class StreamingSpec extends SparkTestBase {
       s"unexpected dedup cardinality ${ids.length}")
   }
 
+  test("custom-state sessionizer (EventTimeTimeout) matches batch session_window") {
+    val streamed = runToMemory(
+      StreamingQueries.sessionizeWithState(spark, streamEvents(150))
+        .toDF()
+        .select(col("user_id"), timestamp_micros(col("start_us")).as("s"),
+          timestamp_micros(col("end_us")).as("e"), col("n_events")),
+      "customsess", "append")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+    val batch = batchEvents
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"phantom sessions: ${(streamed -- batch).take(5)}")
+    val maxTs = batchEvents.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val finalized = batch.filter(_._3.getTime <= horizon.getTime)
+    assert(finalized.subsetOf(streamed), s"missing sessions: ${(finalized -- streamed).take(5)}")
+  }
+
   test("flatMapGroupsWithState running totals converge to batch totals") {
     val out = runToMemory(
       StreamingQueries.runningUserStats(spark, streamEvents(100)).toDF(), "stats", "update")
