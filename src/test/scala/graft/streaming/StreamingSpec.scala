@@ -175,6 +175,31 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("the reference's canonical demo: streaming word count over the connector") {
+    // ≙ demo DISSparkStreamingSubscribeExample.scala:46 —
+    // stream.map(_.value).flatMap(_.split(" ")).map((_,1L)).reduceByKey(_+_)
+    val wcRoot = Files.createTempDirectory("wc-")
+    val client = new FileStreamClient(wcRoot)
+    client.createStream("lines", 2)
+    val lines = Seq("the quick fox", "the lazy dog", "quick quick fox")
+    lines.zipWithIndex.foreach { case (l, i) =>
+      client.append("lines", i % 2, null, l.getBytes)
+    }
+    val counts = spark.readStream.format("dis")
+      .option("client.root", wcRoot.toString).option("stream", "lines")
+      .load()
+      .selectExpr("explode(split(cast(value as string), ' ')) AS word")
+      .groupBy("word").count()
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("wc-ck-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val result = spark.table("wc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(result === Map("the" -> 2L, "quick" -> 3L, "fox" -> 2L, "lazy" -> 1L, "dog" -> 1L))
+  }
+
   test("late rows beyond the watermark are dropped from windowed aggregation") {
     // two partitions: p0 carries the in-order bulk; p1 carries one very
     // late straggler (ts far before the bulk's max) appended last
