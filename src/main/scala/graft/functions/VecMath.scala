@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for float-vector dot products.
   *
@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * This is the "custom Expression beats UDF" path: stays inside
   * whole-stage codegen, no boxing, no closure dispatch.
   */
-case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
+  // array<double> inputs (e.g. SQL literals) are implicitly cast to
+  // array<float>; mismatched types fail analysis instead of silently
+  // misreading 8-byte slots as floats
+  override def inputTypes: Seq[ArrayType] = // covariant: AbstractDataType is sql-private
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -79,13 +79,14 @@ object Dis {
       case Some(pattern) =>
         val re = pattern.r
         val matched = client.listStreams().filter(s => re.pattern.matcher(s).matches())
-        require(matched.nonEmpty || options.contains("allowemptysubscription"),
+        require(matched.nonEmpty ||
+          options.get("allowemptysubscription").exists(_.toBoolean),
           s"subscribePattern '$pattern' matched no streams")
         matched
       case None => Seq(stream(options))
     }
   def groupId(options: Map[String, String]): String =
-    options.getOrElse("groupid", options.getOrElse("groupId", "graft-default-group"))
+    options.getOrElse("groupid", "graft-default-group") // keys pre-normalized to lower case
 
   /** Normalize option keys to lower case once (CaseInsensitiveStringMap
     * semantics preserved when options travel to executors as a plain Map). */
@@ -223,6 +224,9 @@ class DisMicroBatchStream(options: Map[String, String])
   // rate-limited triggers advance toward them (the wrapper-free path
   // Spark asks connectors to provide).
   @volatile private var availableNowTarget: Option[Map[(String, Int), Long]] = None
+  // last latest-offsets snapshot, reused by reportLatestOffset so each
+  // trigger scans partition metadata once, not twice
+  @volatile private var lastLatest: Map[(String, Int), Long] = null
 
   private def fetchLatest(): Map[(String, Int), Long] =
     streams.flatMap(s => client.partitionsFor(s)
@@ -231,7 +235,8 @@ class DisMicroBatchStream(options: Map[String, String])
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(fetchLatest())
 
-  override def reportLatestOffset(): Offset = DisSourceOffset(fetchLatest())
+  override def reportLatestOffset(): Offset =
+    DisSourceOffset(Option(lastLatest).getOrElse(fetchLatest()))
 
   override def getDefaultReadLimit: ReadLimit =
     maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
@@ -247,6 +252,7 @@ class DisMicroBatchStream(options: Map[String, String])
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = DisSourceOffset.from(start).offsets
     val latest = availableNowTarget.getOrElse(fetchLatest())
+    lastLatest = latest
     // partition elasticity: new partitions enter at their earliest offset
     // (dis/DirectDISInputDStream.scala:190-196); revoked ones drop out.
     val current = latest.map { case (tp, _) =>
@@ -376,6 +382,7 @@ class DisPartitionReader(partition: DisInputPartition) extends PartitionReader[I
       }
       return false
     }
+    if (current.offset >= range.untilOffset) return false // gap skipped past range end
     nextOffset = current.offset + 1
     true
   }

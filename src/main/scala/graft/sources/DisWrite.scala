@@ -91,6 +91,9 @@ class DisDataWriter(options: Map[String, String], schema: StructType, taskPartit
       row.getUTF8String(topicIdx).toString else defaultStream
     val key = bytes(row, keyIdx)
     val value = bytes(row, valueIdx)
+    require(value != null,
+      s"null in the 'value' column cannot be produced to stream '$stream' " +
+        "(keys may be null, values may not)")
     val n = nParts(stream)
     val partition =
       if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) row.getInt(partitionIdx)

@@ -12,7 +12,9 @@ import org.json4s.jackson.Serialization
   * the Kafka-compatible JSON dialects of dis/JsonUtils.scala:19-106.
   */
 final case class OffsetRange(stream: String, partition: Int, fromOffset: Long, untilOffset: Long) {
-  require(fromOffset <= untilOffset,
+  // sentinels (-1 latest / -2 earliest) are legal on either side until
+  // resolution; the ordering invariant only applies to resolved offsets
+  require(fromOffset < 0 || untilOffset < 0 || fromOffset <= untilOffset,
     s"Invalid range for $stream-$partition: from $fromOffset beyond until $untilOffset")
   def count: Long = untilOffset - fromOffset
   def isEmpty: Boolean = count == 0L

@@ -51,8 +51,10 @@ object RateAllocator {
     latest.map { case (tp, lat) =>
       val cur = current.getOrElse(tp, lat)
       allocation.get(tp) match {
-        case Some(n) => tp -> math.max(cur, math.min(cur + n, lat))
-        case None    => tp -> math.max(cur, lat)
+        // n can be Long.MaxValue (unbounded): compare against the
+        // remaining lag instead of computing cur + n, which overflows
+        case Some(n) if n < math.max(lat - cur, 0L) => tp -> math.max(cur, cur + n)
+        case _                                      => tp -> math.max(cur, lat)
       }
     }
 }
