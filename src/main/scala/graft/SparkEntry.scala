@@ -48,6 +48,8 @@ object SparkEntry {
     "q_topk"            -> CoreQueries.qTopk,
     "q_set_ops"         -> CoreQueries.qSetOps,
     "q_json_extract"    -> CoreQueries.qJsonExtract,
+    "q_rollup"          -> CoreQueries.qRollup,
+    "q_percentiles"     -> CoreQueries.qPercentiles,
     "q_text_clean"      -> TextQueries.qTextClean,
     "q_token_count"     -> TextQueries.qTokenCount,
     "q_quality_score"   -> TextQueries.qQualityScore,
@@ -173,6 +175,14 @@ object SparkEntry {
 
     "q_json_extract" ->
       "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+
+    "q_rollup" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(event_type)",
+
+    "q_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id,

@@ -210,6 +210,27 @@ object CoreQueries {
       .select(col("op"), col("user_id"))
   }
 
+  /** OLAP rollup: per-type counts plus the grand total in one pass —
+    * Catalyst expands grouping sets before the hash aggregate, so it
+    * stays a single shuffle. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Exact percentiles per key (sort-based `percentile`, linear
+    * interpolation — same definition as SQL quantile_cont). Exact
+    * because the driver gate demands reproducibility; the 100 TB
+    * variant is approx_percentile (mergeable GK sketches), same plan
+    * shape. */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+
   /** JSON payload extraction — the deserializer-pluggability analog
     * (dis/DISUtils.scala:379-380: value deserializer class option).
     * from_json with an explicit schema stays in codegen. */
