@@ -49,6 +49,7 @@ object SparkEntry {
     "q_set_ops"         -> CoreQueries.qSetOps,
     "q_json_extract"    -> CoreQueries.qJsonExtract,
     "q_rollup"          -> CoreQueries.qRollup,
+    "q_pivot"           -> CoreQueries.qPivot,
     "q_percentiles"     -> CoreQueries.qPercentiles,
     "q_text_clean"      -> TextQueries.qTextClean,
     "q_token_count"     -> TextQueries.qTokenCount,
@@ -178,6 +179,15 @@ object SparkEntry {
 
     "q_rollup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(event_type)",
+
+    "q_pivot" ->
+      """SELECT user_id % 4 AS cohort,
+        |count(*) FILTER (event_type = 'click') AS click,
+        |count(*) FILTER (event_type = 'error') AS error,
+        |count(*) FILTER (event_type = 'purchase') AS purchase,
+        |count(*) FILTER (event_type = 'signup') AS signup,
+        |count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,

@@ -231,6 +231,18 @@ object CoreQueries {
         expr("percentile(value, 0.9)").as("p90"),
         expr("percentile(value, 0.99)").as("p99"))
 
+  /** Pivot: user cohort × event type counts as a wide table. Pivot
+    * values are pinned explicitly (a dynamic pivot would add a
+    * distinct-values job); missing combos filled with 0 to match SQL
+    * FILTER semantics. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("cohort", pmod(col("user_id"), lit(4L)))
+      .groupBy(col("cohort"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
   /** JSON payload extraction — the deserializer-pluggability analog
     * (dis/DISUtils.scala:379-380: value deserializer class option).
     * from_json with an explicit schema stays in codegen. */
