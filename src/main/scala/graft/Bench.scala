@@ -37,20 +37,29 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // A failed query must be distinguishable from a fast one: its time is
+    // reported as -1 and its message lands in the "errors" map.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val sec = time {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failed = true
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
-      name -> sec
+      name -> (if (failed) -1.0 else sec)
     }
 
     val qs = (results :+ ("_warmup" -> warmup))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

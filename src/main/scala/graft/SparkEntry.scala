@@ -51,6 +51,7 @@ object SparkEntry {
     "q_rollup"          -> CoreQueries.qRollup,
     "q_pivot"           -> CoreQueries.qPivot,
     "q_percentiles"     -> CoreQueries.qPercentiles,
+    "q_percentiles_exact" -> CoreQueries.qPercentilesExact,
     "q_text_clean"      -> TextQueries.qTextClean,
     "q_token_count"     -> TextQueries.qTokenCount,
     "q_quality_score"   -> TextQueries.qQualityScore,
@@ -77,9 +78,11 @@ object SparkEntry {
   private val stopEn = "('the','a','an','and','of','to','in','is','on','for')"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (→ rows-only check):
-    * q_dedup_approx (HLL sketch impl differs across engines; accuracy
-    * asserted in ScalaTest vs exact counts instead). */
+    * the same parquet tables. Omitted (→ rows-only check): the
+    * approximate operators whose sketch impls differ across engines —
+    * q_dedup_approx (HLL), q_similarity_ivf (IVF), q_percentiles
+    * (approx_percentile); each has a ScalaTest accuracy bound vs its
+    * exact counterpart instead. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" -> s"SELECT $evCols FROM events",
 
@@ -189,7 +192,9 @@ object SparkEntry {
         |count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1""".stripMargin,
 
-    "q_percentiles" ->
+    // q_percentiles (approx_percentile) has no oracle: sketch impls
+    // differ across engines; ApproxOpsSpec bounds its error vs exact.
+    "q_percentiles_exact" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type""".stripMargin,

@@ -15,19 +15,41 @@ import graft.sources.FileStreamClient
   * scan-side decoding are all on the hook for exactness. */
 object ConnectorQueries {
 
-  def qDisRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = Files.createTempDirectory("dis-roundtrip-")
-    val parts = 8
-    new FileStreamClient(root).createStream("events", parts)
+  // The sink write runs once per (spark app, source dir) — re-planning,
+  // explain-then-execute and repeated driver calls reuse the same stream
+  // root instead of re-running the write job and leaking a new temp dir.
+  // The roots are removed on JVM exit.
+  private val writtenRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
+  sys.addShutdownHook {
+    writtenRoots.values().forEach { root =>
+      def rm(p: java.nio.file.Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val l = Files.list(p)
+          try l.forEach(rm) finally l.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(root)
+    }
+  }
 
-    Tables.events(spark, dir)
-      .select(
-        col("event_id").cast("string").as("key"),
-        col("event_type").as("value"),
-        pmod(col("user_id"), lit(parts)).cast("int").as("partition"))
-      .write.format("dis")
-      .option("client.root", root.toString).option("stream", "events")
-      .mode("append").save()
+  private val parts = 8
+
+  def qDisRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = writtenRoots.computeIfAbsent((spark.sparkContext.applicationId, dir), { _ =>
+      val r = Files.createTempDirectory("dis-roundtrip-")
+      new FileStreamClient(r).createStream("events", parts)
+      Tables.events(spark, dir)
+        .select(
+          col("event_id").cast("string").as("key"),
+          col("event_type").as("value"),
+          pmod(col("user_id"), lit(parts)).cast("int").as("partition"))
+        .write.format("dis")
+        .option("client.root", r.toString).option("stream", "events")
+        .mode("append").save()
+      r
+    })
 
     spark.read.format("dis")
       .option("client.root", root.toString).option("stream", "events")

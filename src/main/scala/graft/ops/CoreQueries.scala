@@ -155,15 +155,44 @@ object CoreQueries {
     * monotone in event_id, so arrival order is simulated with a
     * deterministic LCG permutation of event_id (identical integer
     * arithmetic in Spark and the SQL oracle). Returns the dropped rows.
-    * NOTE: the unpartitioned running max is a correctness oracle, not a
-    * scale pattern — the streaming path (graft.streaming) maintains the
-    * watermark distributed per-trigger. */
+    *
+    * Scale shape: the global running max is computed in two distributed
+    * passes instead of one all-rows-to-one-partition Window —
+    *  1. chunk the arrival axis into fixed ranges; per-chunk max(ts)
+    *     is a hash aggregate (map-side partial, one narrow shuffle);
+    *  2. the exclusive prefix max over the ≤64 chunk rows is computed
+    *     by exploding each chunk's max to every LATER chunk id and
+    *     hash-aggregating — O(chunks²) rows (constant), no global
+    *     window, no nested-loop join;
+    *  3. broadcast-join the prefix back and combine with the per-chunk
+    *     running max, which is partitioned by chunk.
+    * Every data-sized operation is partitioned; only chunk-count-sized
+    * (constant) data ever meets a single partition. */
   def qLateData(spark: SparkSession, dir: String): DataFrame = {
     val arrival = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-    val w = Window.orderBy(arrival, col("event_id"))
+    val chunkWidth = 33554432L // 2^25 → 64 chunks over the 2^31 arrival axis
+    val chunked = Tables.events(spark, dir)
+      .withColumn("__arr", arrival)
+      .withColumn("__chunk", (col("__arr") / chunkWidth).cast("long"))
+    // pass 1: per-chunk max event time (partial+final hash agg)
+    val chunkMax = chunked.groupBy(col("__chunk")).agg(max(col("ts")).as("__cmax"))
+    // pass 2: exclusive prefix max — each chunk's max contributes to all
+    // later chunks; 64×64/2 rows max, plain equi hash aggregate
+    val nChunks = (2147483648L / chunkWidth).toInt
+    val prefix = chunkMax
+      .select(explode(sequence(col("__chunk") + 1, lit(nChunks.toLong - 1))).as("__chunk"),
+        col("__cmax"))
+      .groupBy(col("__chunk")).agg(max(col("__cmax")).as("__pmax"))
+    // pass 3: within-chunk running max (partitioned window) ⊔ prefix;
+    // left join: the first chunk has no predecessors → null __pmax
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col("__arr"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(spark, dir)
-      .withColumn("max_ts_so_far", max(col("ts")).over(w))
+    chunked.join(broadcast(prefix), Seq("__chunk"), "left")
+      .withColumn("__inmax", max(col("ts")).over(wIn))
+      // greatest() skips nulls: first row of a chunk has no __inmax, the
+      // first chunk has no __pmax; both null (global first row) → null →
+      // the filter drops it, matching the empty-preceding-frame oracle
+      .withColumn("max_ts_so_far", greatest(col("__inmax"), col("__pmax")))
       .filter(col("ts") < col("max_ts_so_far") - expr("INTERVAL 10 MINUTES"))
       .select(col("event_id"), col("ts"), col("user_id"))
   }
@@ -218,12 +247,25 @@ object CoreQueries {
       .rollup(col("event_type"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Exact percentiles per key (sort-based `percentile`, linear
-    * interpolation — same definition as SQL quantile_cont). Exact
-    * because the driver gate demands reproducibility; the 100 TB
-    * variant is approx_percentile (mergeable GK sketches), same plan
-    * shape. */
+  /** Percentiles per key, default = approx_percentile: mergeable
+    * KLL-style sketches of bounded size, so a hot key at any cardinality
+    * costs O(sketch) executor memory instead of buffering every value.
+    * Approximate ⇒ no SQL oracle (sketch impls differ across engines);
+    * the driver rows-checks it and ApproxOpsSpec bounds its error
+    * against the exact form. */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(value, 0.99, 10000)").as("p99"))
+
+  /** Exact percentiles per key (sort-based `percentile`, linear
+    * interpolation — same definition as SQL quantile_cont). The
+    * oracle-gated reproducible form; it buffers per-group values, so it
+    * is the small-data/audit path — qPercentiles is the 100 TB default. */
+  def qPercentilesExact(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(

@@ -32,11 +32,16 @@ object MultimodalQueries {
 
   /** Deterministic multimodal table derived from `documents`: blob =
     * UTF-8 bytes of text (stand-in for image bytes), metadata struct
-    * typed like an image header. */
+    * typed like an image header.
+    *
+    * The text is normalized to printable ASCII before encoding: the
+    * Spark side computes byte-level stats while the DuckDB oracle works
+    * per character, and the two only agree when bytes == characters.
+    * (The real pipeline has no oracle and drops this normalization.) */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      encode(col("text"), "UTF-8").as("blob"),
+      encode(regexp_replace(col("text"), "[^ -~]", ""), "UTF-8").as("blob"),
       struct(
         when(pmod(col("doc_id"), lit(3)) === 0, "png")
           .when(pmod(col("doc_id"), lit(3)) === 1, "jpeg")
@@ -61,8 +66,8 @@ object MultimodalQueries {
       |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format,
       |  (n_chars % 640 + 1)::BIGINT AS width,
       |  (n_chars % 480 + 1)::BIGINT AS height,
-      |  octet_length(encode(text))::BIGINT AS blob_len,
-      |  ascii(substr(text, 1, 1))::BIGINT AS first_byte
+      |  octet_length(encode(regexp_replace(text, '[^ -~]', '', 'g')))::BIGINT AS blob_len,
+      |  ascii(substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 1))::BIGINT AS first_byte
       |FROM documents""".stripMargin
 
   private val featureSchema = StructType(Seq(
@@ -104,7 +109,8 @@ object MultimodalQueries {
 
   val featuresOracle: String =
     """WITH px AS (
-      |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS p
+      |  SELECT doc_id, list_transform(
+      |    string_split(regexp_replace(text, '[^ -~]', '', 'g'), ''), c -> ascii(c)) AS p
       |  FROM documents
       |)
       |SELECT doc_id, b.b::BIGINT AS bucket,

@@ -116,9 +116,13 @@ final class FileStreamClient(root: Path) extends StreamClient {
       }
     }
 
+  // Reads take the same per-path lock as writes: appendAll writes through
+  // a buffered writer that can flush mid-line, so an unlocked concurrent
+  // read could observe a torn trailing JSON fragment.
   override def fetch(stream: String, partition: Int, fromOffset: Long, maxRecords: Int): Seq[StreamRecord] = {
     val f = partFile(stream, partition)
     if (!Files.exists(f)) return Seq.empty
+    FileStreamClient.withLock(f) { _ =>
     val reader = new BufferedReader(new FileReader(f.toFile))
     try {
       var skipped = 0L
@@ -133,6 +137,7 @@ final class FileStreamClient(root: Path) extends StreamClient {
       }
       out.toSeq
     } finally reader.close()
+    }
   }
 
   override def append(stream: String, partition: Int, key: Array[Byte], value: Array[Byte]): Long = {
@@ -194,22 +199,29 @@ object FileStreamClient {
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)
 
+  private val b64e = java.util.Base64.getEncoder
+  private val b64d = java.util.Base64.getDecoder
+
+  // key/value are base64 in the JSONL records: the connector schema is
+  // BinaryType (bytes in, bytes out), and routing arbitrary bytes through
+  // new String(UTF_8) would corrupt non-UTF-8 payloads (invalid sequences
+  // become U+FFFD).
   private[sources] def recordJson(key: Array[Byte], value: Array[Byte], tsMs: Long): String = {
-    val k = if (key == null) JNull else JString(new String(key, StandardCharsets.UTF_8))
+    val k = if (key == null) JNull else JString(b64e.encodeToString(key))
     JsonMethods.compact(JsonMethods.render(JObject(
       "key" -> k,
-      "value" -> JString(new String(value, StandardCharsets.UTF_8)),
+      "value" -> JString(b64e.encodeToString(value)),
       "ts" -> JLong(tsMs))))
   }
 
   private[sources] def parseRecord(stream: String, partition: Int, offset: Long, line: String): StreamRecord = {
     val j = JsonMethods.parse(line)
     val key = j \ "key" match {
-      case JString(s) => s.getBytes(StandardCharsets.UTF_8)
+      case JString(s) => b64d.decode(s)
       case _          => null
     }
     val value = j \ "value" match {
-      case JString(s) => s.getBytes(StandardCharsets.UTF_8)
+      case JString(s) => b64d.decode(s)
       case _          => Array.emptyByteArray
     }
     val ts = j \ "ts" match {

@@ -24,6 +24,32 @@ class ApproxOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_percentiles: approx_percentile within ±2% RANK of the exact quantile per key") {
+    // The sketch guarantees rank error (≤ 1/accuracy), not value error —
+    // and approx_percentile returns a data value (nearest rank) while
+    // percentile() interpolates, so value-compare would fail on small
+    // groups even with a perfect sketch. Bound each approx value by the
+    // exact interpolated quantiles at q ± 0.02.
+    val approx = CoreQueries.qPercentiles(spark, dir)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val qs = Seq(0.5, 0.9, 0.99)
+    val boundsExprs = qs.flatMap { q =>
+      val lo = math.max(q - 0.02, 0.0); val hi = math.min(q + 0.02, 1.0)
+      Seq(expr(s"percentile(value, $lo)"), expr(s"percentile(value, $hi)"))
+    }
+    val bounds = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(boundsExprs.head, boundsExprs.tail: _*)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getDouble)).toMap
+    assert(approx.keySet === bounds.keySet)
+    approx.foreach { case (k, vals) =>
+      qs.indices.foreach { i =>
+        val (lo, hi) = (bounds(k)(2 * i), bounds(k)(2 * i + 1))
+        assert(vals(i) >= lo - 1e-9 && vals(i) <= hi + 1e-9,
+          s"$k q=${qs(i)}: approx ${vals(i)} outside exact rank window [$lo, $hi]")
+      }
+    }
+  }
+
   test("q_similarity_ivf: well-formed per-query top-k with sane recall vs exact") {
     val exact = SimilarityQueries.qSimilarityKnn(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
