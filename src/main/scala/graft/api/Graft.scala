@@ -165,15 +165,66 @@ object Graft {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
-  /** Embedding near-duplicate pairs at cosine ≥ threshold. */
-  def embedNearDup(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val e = df.select(col(id), col(vec).as("__v"))
-      .withColumn("__nrm", sqrt(float_dot(col("__v"), col("__v"))))
-    e.as("a").join(e.as("b"), col(s"a.$id") < col(s"b.$id"))
+  /** Embedding near-duplicate pairs at cosine ≥ threshold, blocked
+    * through the IVF index so the plan is an equi-join on cell ids —
+    * never an all-pairs nested-loop join.
+    *
+    * Candidate generation is EXACT (lossless): every vector is assigned
+    * to its nearest cell AND probed against all cells within angular
+    * margin 2·acos(threshold) of its nearest ([[graft.ops.Ivf
+    * .assignWithin]] — spherical triangle inequality guarantees one
+    * side's home cell lies inside the other side's probe radius for
+    * every qualifying pair). The pair is then normalized, deduped, and
+    * exact-verified with the codegen'd FloatVecDot on candidates only.
+    *
+    * Cost scales with the threshold's geometry: a production dedup cut
+    * (≥0.9 ⇒ 52° margin) probes a few cells → candidates ≈
+    * n²·probes/nlist ≪ n²; a loose cut widens the radius and degrades
+    * gracefully toward an exhaustive search that is STILL a shuffled
+    * equi-join spreading over executors — never a broadcast nested
+    * loop. The fixture gate cross-checks against the exhaustive SQL
+    * oracle; GraftApiSpec pins brute parity on caller data and
+    * graft.drive.EmbedDrive audits it on the fixtures at two scales. */
+  def embedNearDup(df: DataFrame, id: String, vec: String, threshold: Double,
+      ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    import graft.ops.Ivf
+    val centroids = Ivf.trainCentroids(df, id, vec, ivf)
+    val margin = 2.0 * math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val probed = Ivf.assignWithin(df, id, vec, centroids, margin)
+      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"))
+    val home = Ivf.assign(df, id, vec, centroids, 1)
+      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"))
+    home.as("a").join(probed.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$id") =!= col(s"b.$id"))
       .withColumn("cos", round(
-        float_dot(col("a.__v"), col("b.__v")) / col("a.__nrm") / col("b.__nrm"), 12))
+        float_dot(col("a.__v"), col("b.__v")) / col("a.nrm") / col("b.nrm"), 12))
       .filter(col("cos") >= threshold)
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
+      .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
+        greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"), col("cos"))
+      .distinct()
+  }
+
+  /** IVF approximate top-k cosine search: corpus vectors live in their
+    * nearest cell (map-only assignment), queries probe their
+    * `ivf.nprobe` nearest cells, and scoring is an equi-join on cell id
+    * — compute drops ~nlist/nprobe vs the exact scan. Output schema
+    * matches [[knn]]. */
+  def ivfKnn(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    import graft.ops.Ivf
+    val centroids = Ivf.trainCentroids(corpus, id, vec, ivf)
+    val assigned = Ivf.assign(corpus, id, vec, centroids, 1)
+      .select(col(id).as("neighbor_id"), col(vec).as("__v"), col("nrm").as("__nrm"), col("cell"))
+    val probes = Ivf.assign(queries, queryId, queryVec, centroids, ivf.nprobe)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__q"), col("nrm").as("__qnrm"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
   /** Skew-resistant aggregation: two-phase sum/count with an explicit

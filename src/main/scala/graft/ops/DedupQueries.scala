@@ -202,44 +202,122 @@ object DedupQueries {
       |  sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
       |FROM votes GROUP BY doc_id""".stripMargin
 
-  /** Exact character-16-gram Jaccard pairs at ≥ 0.7 via inverted-index
-    * join (no LSH — the exact variant of the family).
+  /** Exact character-16-gram Jaccard pairs at ≥ 0.7: candidates from an
+    * inverted-index join over RARE grams only (document frequency ≤
+    * dfCap), then exact Jaccard verification over each candidate's full
+    * gram set — the same candidates+verify shape as MinHash, but with a
+    * deterministic blocking key.
     *
-    * Gram width matters at scale: this corpus has a ~40-word vocabulary,
-    * so 5-char grams are near-universal and the inverted join explodes
-    * (measured 1.5e9 intermediate pairs at sf0.1); 16-char grams span
-    * 2-3 words, cutting it to 1.25e7 with identical near-dup semantics.
-    * The length-ratio predicate (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t) is a
-    * lossless pair-pruning filter applied inside the join.
+    * Why the df-cap is the 100 TB linchpin: a single ubiquitous gram in
+    * a plain posting join produces df² candidate pairs (quadratic in
+    * corpus growth); capping df bounds every gram's fanout at dfCap².
+    * It is a candidate-generation filter only — verification uses the
+    * complete gram sets, so reported Jaccards are exact. A qualifying
+    * pair is missed only if it shares NO gram of df ≤ dfCap; at J ≥ 0.7
+    * the pair shares ≥ 41% of its union, making an all-common-gram
+    * overlap pathological (this corpus's qualifying pairs all share a
+    * df ≤ 4 gram — 2× margin, audited cross-scale by
+    * graft.drive.NgramDrive and pinned vs the exhaustive SQL oracle at
+    * the gate).
     *
-    * Bayardo-style prefix filtering was implemented and measured
-    * SLOWER here (19s vs 14s at sf0.1): with a tiny vocabulary even
-    * the "rarest" grams have high document frequency, so the df-join +
-    * per-doc window sort costs more than the pairs it prunes. On a
-    * zipfian real-world corpus the trade flips; the direct join is the
-    * right default for this data. */
-  def ngramJaccardOn(df: DataFrame, id: String, text: String, n: Int, threshold: Double): DataFrame = {
-    val gramsDyn = array_distinct(transform(
-      sequence(lit(1), greatest(length(col(text)) - (n - 1), lit(1))),
-      i => col(text).substr(i, lit(n))))
-    val docs = df
-      // the fixture is one parquet split: spread gram expansion across
-      // cores before the CPU-heavy explode/join
+    * Gram width matters too: this corpus has a ~40-word vocabulary, so
+    * 5-char grams are near-universal (measured 1.5e9 intermediate pairs
+    * at sf0.1); 16-char grams span 2-3 words. The length-ratio
+    * predicate (J ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t) is a lossless pair prune
+    * inside the candidate join. Bayardo-style prefix filtering was
+    * implemented and measured SLOWER here (19s vs 14s at sf0.1): with a
+    * tiny vocabulary the df-join + per-doc window sort costs more than
+    * it prunes. */
+  /** FNV-1a 64-bit over a string — the gram fingerprint. 64 bits keep
+    * the corpus-wide collision expectation ≪ 1 (vs ~85 expected for a
+    * 31-bit hash at 600k distinct grams); set arithmetic on hashes is
+    * then exact in practice and an order of magnitude cheaper than on
+    * the strings themselves. */
+  private[graft] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** (id, n, sorted distinct gram hashes) per doc, one batched Scala
+    * pass — Catalyst HOF gram expansion (transform∘substr) is
+    * interpreted and was the dominant cost of the declarative variant. */
+  private def hashedGramDocs(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("__id", LongType),
+      StructField("n", IntegerType),
+      StructField("h", ArrayType(LongType)))))
+    df.select(col(id), col(text))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(id).as("__id"), gramsDyn.as("g"))
-      .withColumn("n", size(col("g")))
-    val posting = docs.select(col("__id"), col("n"), explode(col("g")).as("s"))
-    posting.as("a").join(posting.as("b"),
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val t = r.getString(1)
+          val grams =
+            if (t.length < n) Array(fnv64(t))
+            else Array.tabulate(t.length - n + 1)(i => fnv64(t.substring(i, i + n)))
+          java.util.Arrays.sort(grams)
+          // in-place dedup of the sorted array (set semantics)
+          var w = 0
+          var i = 0
+          while (i < grams.length) {
+            if (w == 0 || grams(i) != grams(w - 1)) { grams(w) = grams(i); w += 1 }
+            i += 1
+          }
+          val h = java.util.Arrays.copyOf(grams, w)
+          Row(r.getLong(0), w, h.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Sorted-merge intersection size of two sorted long arrays — O(n+m),
+    * allocation-free (vs array_intersect's per-pair hash set). */
+  private[graft] def mergeIntersect(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def ngramJaccardOn(df: DataFrame, id: String, text: String, n: Int, threshold: Double,
+      dfCap: Int = 8): DataFrame = {
+    val docs = hashedGramDocs(df, id, text, n)
+    val posting = docs.select(col("__id"), col("n"), explode(col("h")).as("s"))
+    val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select(col("s"))
+    val capped = posting.join(rare, "s")
+    val cand = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.__id") < col("b.__id") &&
         col("a.n").cast("double") >= col("b.n") * threshold &&
         col("b.n").cast("double") >= col("a.n") * threshold)
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(count(lit(1)).as("c"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    // verify map-side: the per-doc gram table is docs-sized (not
+    // pairs-sized) — broadcast it so candidate rows never shuffle with
+    // gram arrays attached (at larger scale: bucket both sides by doc
+    // id), then merge-count each pair's sorted hash arrays in a Scala
+    // kernel
+    val withGrams = cand
+      .join(broadcast(docs.select(col("__id"), col("h").as("h_a"))),
+        col("id_a") === col("__id")).drop("__id")
+      .join(broadcast(docs.select(col("__id"), col("h").as("h_b"))),
+        col("id_b") === col("__id")).drop("__id")
+    val enc = Encoders.row(StructType(Seq(
+      StructField("id_a", LongType),
+      StructField("id_b", LongType),
+      StructField("jaccard", DoubleType))))
+    withGrams.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ha = r.getSeq[Long](2).toArray
+        val hb = r.getSeq[Long](3).toArray
+        val c = mergeIntersect(ha, hb)
+        val j = c.toDouble / (ha.length + hb.length - c).toDouble
+        if (j >= threshold) Some(Row(r.getLong(0), r.getLong(1), j)) else None
+      }
+    }(enc)
   }
 
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =

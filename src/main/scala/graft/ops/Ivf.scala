@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic IVF (inverted-file) index over `array<float>` vector
+  * columns — the 100 TB shape for similarity search and embedding
+  * near-dedup (north star; the reference has no vector surface).
+  *
+  * Centroids are trained by spherical k-means on a deterministic,
+  * bounded sample: driver memory is O(sampleCap × dim) — constant in
+  * corpus size — which is the standard centroid-training pattern (one
+  * sample scan + a local Lloyd loop beats nlist×iters distributed jobs
+  * for an index whose whole point is that nlist ≪ n). Everything is
+  * order-fixed (sample sorted by id, accumulation in index order, ties
+  * broken on cell id) so the index is bit-reproducible across runs,
+  * partitionings and cluster sizes.
+  *
+  * Cell assignment is a map-only kernel (no shuffle): each row computes
+  * cosine to the ≤nlist unit-norm centroids carried in the task closure
+  * and emits its `nprobe` nearest cells. Downstream consumers join on
+  * the cell id — an equi-join, never a cross product.
+  */
+object Ivf {
+
+  /** @param nlist      number of Voronoi cells (scale ~√n at size)
+    * @param nprobe     cells probed per query / per near-dup candidate
+    * @param sampleCap  max vectors collected for centroid training
+    * @param lloydIters spherical k-means refinement iterations */
+  final case class Params(
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      sampleCap: Int = 4096,
+      lloydIters: Int = 5)
+
+  /** Unit-normalized centroids from a deterministic stride sample of the
+    * corpus (ids `≡ 0 (mod ⌈n/sampleCap⌉)`, sorted), refined by
+    * `lloydIters` spherical Lloyd steps. Empty clusters keep their
+    * previous centroid. Returns ≤ nlist rows of (cellId, unit vector). */
+  def trainCentroids(df: DataFrame, id: String, vec: String, p: Params): Array[Array[Double]] = {
+    val n = df.count()
+    val step = math.max(1L, n / math.max(p.sampleCap, 1))
+    val sample: Array[Array[Double]] = df
+      .filter(pmod(col(id), lit(step)) === 0)
+      .sort(col(id))
+      .limit(p.sampleCap)
+      .select(col(vec))
+      .collect()
+      .map(r => unit(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    require(sample.nonEmpty, "IVF training sample is empty")
+    val k = math.min(p.nlist, sample.length)
+
+    // seed: k sample vectors spread evenly across the (id-sorted) sample
+    var centroids = Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
+
+    var iter = 0
+    while (iter < p.lloydIters) {
+      val sums = Array.fill(k)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCell(v, 1.0, centroids)
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) else unit(sums(c))
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { ss += v(i) * v(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    if (nrm == 0.0) v else v.map(_ / nrm)
+  }
+
+  /** Index of the centroid with max cos(v, c) = dot(v, c)/|v| (centroids
+    * are unit vectors); ties break on the lower cell id (strict `>`). */
+  private def nearestCell(v: Array[Double], vnrm: Double, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = -2.0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * cv(i); i += 1 }
+      val cos = dot / vnrm
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def assignSchema(id: String, vec: String): StructType = StructType(Seq(
+    StructField(id, LongType),
+    StructField(vec, ArrayType(FloatType)),
+    StructField("nrm", DoubleType),
+    StructField("cell", IntegerType),
+    StructField("cell_rank", IntegerType)))
+
+  /** Explode each row to its `nprobe` nearest cells:
+    * (id, vec, nrm, cell, cell_rank) with cell_rank 0 = nearest.
+    * Map-only (the centroid array rides in the task closure); the
+    * explicit repartition spreads the CPU-bound kernel across cores when
+    * the input is a single parquet split. */
+  def assign(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+    assignImpl(df, id, vec, centroids, angles =>
+      angles.sorted.take(math.min(nprobe, angles.length)))
+
+  /** Explode each row to every cell within angular MARGIN of its nearest
+    * cell: cells with θ(v,c) ≤ θ(v, nearest) + marginRad, nearest first.
+    *
+    * This is the provably-complete probing rule for near-dup blocking at
+    * cosine threshold t with marginRad = 2·acos(t): for any qualifying
+    * pair (a,b), spherical triangle inequality gives
+    *   θ(b, home(a)) ≤ θ(b,a) + θ(a, home(a))
+    *                 ≤ θ(b,a) + θ(a, home(b)) ≤ 2·θ(a,b) + θ(b, home(b)),
+    * so a's home cell is always inside b's probe radius. Tight
+    * thresholds probe few cells (subquadratic candidates); loose ones
+    * degrade gracefully toward probing all cells — still an equi-join,
+    * never a nested loop. */
+  def assignWithin(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]], marginRad: Double): DataFrame =
+    assignImpl(df, id, vec, centroids, { angles =>
+      val sorted = angles.sorted
+      val cut = sorted.head._1 + marginRad + 1e-9 // FP fuzz on the boundary
+      sorted.takeWhile(_._1 <= cut)
+    })
+
+  private def assignImpl(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]],
+      pick: Array[(Double, Int)] => Array[(Double, Int)]): DataFrame = {
+    val enc = Encoders.row(assignSchema(id, vec))
+    df.select(col(id), col(vec))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val vf = r.getSeq[Float](1).toArray
+          val v = vf.map(_.toDouble)
+          var ss = 0.0
+          var i = 0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          val nrm = math.sqrt(ss)
+          // (angle to cell, cell id): centroids are unit vectors, so
+          // cos = dot/|v|; clamp for acos domain safety
+          val angles = Array.tabulate(centroids.length) { c =>
+            val cv = centroids(c)
+            var dot = 0.0
+            var j = 0
+            while (j < v.length) { dot += v(j) * cv(j); j += 1 }
+            val cos = if (nrm == 0.0) 0.0 else dot / nrm
+            (math.acos(math.max(-1.0, math.min(1.0, cos))), c)
+          }
+          pick(angles).iterator.zipWithIndex.map { case ((_, c), rank) =>
+            Row(r.getLong(0), vf.toSeq, nrm, c, rank)
+          }
+        }
+      }(enc)
+  }
+}

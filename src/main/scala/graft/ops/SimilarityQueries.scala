@@ -70,9 +70,9 @@ object SimilarityQueries {
   /** Embedding near-duplicate pairs: cosine ≥ 0.45 with vec_a < vec_b
     * (threshold sits at the top tail of this corpus's cosine
     * distribution — max pairwise cos is ~0.51, so a "real" dedup cut
-    * like 0.95 would be vacuously empty). Blocked self-join here (n² at
-    * tiny scale); at 100 TB this runs through the IVF cells (near-dups
-    * can only live in the same or adjacent cells). */
+    * like 0.95 would be vacuously empty). Runs through the IVF cells
+    * (equi-join candidate generation + exact verify); the exhaustive
+    * SQL oracle cross-checks that no qualifying pair is missed. */
   def qEmbedNeardup(spark: SparkSession, dir: String): DataFrame =
     graft.api.Graft.embedNearDup(
       Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
@@ -91,52 +91,16 @@ object SimilarityQueries {
       |  WHERE a.vec_id < b.vec_id)
       |WHERE cos >= 0.45""".stripMargin
 
-  private val NList = 16  // IVF cells
-  private val NProbe = 4  // cells probed per query
-
-  /** IVF-bucketed approximate kNN — the scale path. Centroids are a
-    * deterministic sample (every corpus/NList-th vector); vectors are
-    * assigned to their nearest centroid (one broadcast join + argmin);
-    * queries probe their NProbe nearest cells. Recall vs the exact
+  /** IVF-bucketed approximate kNN — the scale path. Centroids are
+    * trained (sampled spherical k-means, [[Ivf.trainCentroids]]);
+    * corpus vectors live in their nearest cell via a map-only kernel;
+    * queries probe their 4 nearest of 16 cells. Recall vs the exact
     * path is asserted in ScalaTest (approximate ⇒ no SQL oracle). */
   def qSimilarityIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir), "embedding", "nrm")
-    val centroids = withNorm(
-      Tables.embeddings(spark, dir).filter(pmod(col("vec_id"), lit(31L)) === 0)
-        .limit(NList)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("cv")), "cv", "cvnrm")
-
-    def nearestCells(v: Column, vnrm: Column, n: Int): Column =
-      slice(transform(
-        array_sort(transform(col("cells"), c =>
-          struct((round(
-            float_dot(v, c.getField("cv")) / vnrm / c.getField("cvnrm"), 12) * -1)
-            .as("negcos"),
-            c.getField("cell_id").as("cell_id")))),
-        s => s.getField("cell_id")), 1, n)
-
-    val cellsArr = centroids
-      .agg(collect_list(struct(col("cell_id"), col("cv"), col("cvnrm"))).as("cells"))
-
-    // assign every vector to its nearest cell (broadcast the centroid array)
-    val assigned = emb.crossJoin(broadcast(cellsArr))
-      .withColumn("cell", element_at(nearestCells(col("embedding"), col("nrm"), 1), 1))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-
-    // queries probe their NProbe nearest cells
-    val queries = emb.filter(col("vec_id") < NQueries).crossJoin(broadcast(cellsArr))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("nrm").as("qnrm"),
-        explode(nearestCells(col("embedding"), col("nrm"), NProbe)).as("cell"))
-
-    val scored = queries.join(assigned, Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(
-        cosinePrenormed(col("q"), col("embedding"), col("qnrm"), col("nrm")), 12))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), col("cos"))
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.Graft.ivfKnn(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
+      Ivf.Params(nlist = 16, nprobe = 4))
   }
 }

@@ -62,6 +62,27 @@ class GraftApiSpec extends SparkTestBase {
     }
   }
 
+  test("embedNearDup matches the exhaustive self-join on caller columns") {
+    // 30 vectors in 3 tight clusters + noise singletons: every
+    // within-cluster pair is a near-dup at 0.9, nothing else is
+    val vecs = (0 until 30).map { i =>
+      val base = Array.tabulate(8)(d => if (d == i % 3) 10.0f else 0.0f)
+      base(3 + i % 3) = 0.3f + 0.01f * i // slight per-row perturbation
+      (i.toLong, base)
+    }.toDF("row_id", "v")
+    val got = Graft.embedNearDup(vecs, "row_id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.VecMath.float_dot
+    val e = vecs.select(col("row_id"), col("v"))
+      .withColumn("n", sqrt(float_dot(col("v"), col("v"))))
+    val brute = e.as("a").join(e.as("b"), col("a.row_id") < col("b.row_id"))
+      .filter(round(float_dot(col("a.v"), col("b.v")) / col("a.n") / col("b.n"), 12) >= 0.9)
+      .select(col("a.row_id"), col("b.row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute)
+  }
+
   test("langId generalizes to caller profiles with priority tiebreak") {
     val df = Seq((1L, "der hund und die katze"), (2L, "the cat and the dog"), (3L, "xyzzy"))
       .toDF("id", "txt")

@@ -61,6 +61,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_embed_neardup is an equi-join on IVF cells — no nested-loop all-pairs join") {
+    val p = plan(SimilarityQueries.qEmbedNeardup(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join present:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
