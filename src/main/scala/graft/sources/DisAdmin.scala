@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.util.concurrent.Executors
+
+import scala.util.Try
+
+/** Operational surface over the connector, callable from driver code at
+  * any time — the engine's parity for the reference's
+  * `CanCommitOffsets` (commitAsync outside trigger progress,
+  * dis/DirectDISInputDStream.scala:330-343) and the O(1) offset-algebra
+  * count (dis/DISRDD.scala:89-105, countApprox :96-105 — exact here,
+  * because offset arithmetic needs no timeout/confidence).
+  *
+  * Everything works on the same options map the DataFrame API takes
+  * (`client.root`, `stream`, `groupId`, ...), so a migrated manual-
+  * commit job keeps its structure: read with `commitOnTrigger` off,
+  * then `DisAdmin.commitNow(opts, endOffsets)` wherever it used to call
+  * `commitAsync`.
+  */
+object DisAdmin {
+
+  private def withClient[T](options: Map[String, String])(body: StreamClient => T): T = {
+    val opts = Dis.normalize(options)
+    val client = StreamClient.forOptions(opts)
+    try body(client) finally client.close()
+  }
+
+  /** Synchronous commit of arbitrary per-partition offsets for the
+    * options' consumer group — reference `commitNow` semantics: takes
+    * effect immediately, independent of any running query's triggers. */
+  def commitNow(options: Map[String, String], offsets: Map[(String, Int), Long]): Unit =
+    withClient(options) { client =>
+      val group = Dis.groupId(Dis.normalize(options))
+      offsets.groupBy(_._1._1).foreach { case (stream, offs) =>
+        client.commit(stream, group, offs.map { case ((_, p), o) => p -> o })
+      }
+    }
+
+  /** JSON-dialect overload: `{"stream":{"0":23}}` — the same codec the
+    * streaming offsets use (O23). */
+  def commitNow(options: Map[String, String], offsetsJson: String): Unit =
+    commitNow(options, Offsets.partitionOffsets(offsetsJson))
+
+  private lazy val committer = Executors.newSingleThreadExecutor { r =>
+    val t = new Thread(r, "dis-commit-async")
+    t.setDaemon(true)
+    t
+  }
+
+  /** Fire-and-forget commit on a daemon thread (reference
+    * `commitAsync` + callback shape). Commits are serialized through
+    * one thread so they apply in submission order. */
+  def commitAsync(options: Map[String, String], offsets: Map[(String, Int), Long],
+      onComplete: Try[Unit] => Unit = _ => ()): Unit = {
+    committer.submit(new Runnable {
+      override def run(): Unit = onComplete(Try(commitNow(options, offsets)))
+    })
+    ()
+  }
+
+  /** Last committed offsets of the options' group for a stream. */
+  def committed(options: Map[String, String], stream: String): Map[Int, Long] =
+    withClient(options) { client =>
+      client.committed(stream, Dis.groupId(Dis.normalize(options)))
+    }
+
+  /** Exact record count from offset algebra — O(partitions), zero data
+    * reads. With an `offsetRanges` option the explicit (sentinel-
+    * resolved) ranges are counted; otherwise the full earliest→latest
+    * backlog of the subscribed streams. */
+  def count(options: Map[String, String]): Long = {
+    val opts = Dis.normalize(options)
+    withClient(opts) { client =>
+      opts.get("offsetranges") match {
+        case Some(json) =>
+          Offsets.partitionRanges(json).map { r =>
+            val earliest = client.earliestOffset(r.stream, r.partition)
+            val latest = client.latestOffset(r.stream, r.partition)
+            OffsetRange(r.stream, r.partition,
+              Offsets.resolve(r.fromOffset, earliest, latest),
+              Offsets.resolve(r.untilOffset, earliest, latest)).count
+          }.sum
+        case None =>
+          Dis.streamsFor(client, opts).flatMap { s =>
+            client.partitionsFor(s).map(p =>
+              client.latestOffset(s, p) - client.earliestOffset(s, p))
+          }.sum
+      }
+    }
+  }
+
+  /** Per-partition consumer lag (latest − committed) for a stream;
+    * partitions with no commit lag their full backlog from earliest. */
+  def lag(options: Map[String, String], stream: String): Map[Int, Long] = {
+    val opts = Dis.normalize(options)
+    withClient(opts) { client =>
+      val committed = client.committed(stream, Dis.groupId(opts))
+      client.partitionsFor(stream).map { p =>
+        val from = committed.getOrElse(p, client.earliestOffset(stream, p))
+        p -> math.max(client.latestOffset(stream, p) - from, 0L)
+      }.toMap
+    }
+  }
+}

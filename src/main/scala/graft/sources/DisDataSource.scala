@@ -66,6 +66,32 @@ object Dis {
     StructField("offset", LongType),
     StructField("timestamp", TimestampType)))
 
+  /** Reference-connector options this engine's client boundary cannot
+    * honor — payload serialization modes, payload encryption, and
+    * credential/config providers belong to the remote service SDK
+    * (dis/DISUtils.scala:324-334). Silently ignoring them would make a
+    * migrated job read garbage or skip encryption without warning, so
+    * they are rejected by name at table construction. */
+  val unsupportedOptions: Set[String] = Set(
+    "body.serialize.type",
+    "data.encrypt.enabled",
+    "data.password",
+    "config.provider.class",
+    "trusted.jks.enabled")
+
+  /** Throw a named error for any explicitly-unsupported option (keys
+    * pre-normalized to lower case). */
+  def rejectUnsupported(options: Map[String, String]): Unit = {
+    val bad = options.keySet.intersect(unsupportedOptions)
+    if (bad.nonEmpty) {
+      throw new IllegalArgumentException(
+        s"unsupported option(s) ${bad.toSeq.sorted.mkString("'", "', '", "'")}: " +
+          "payload serialization/encryption and config providers are not " +
+          "implemented by this connector; remove the option(s) instead of " +
+          "relying on them silently")
+    }
+  }
+
   def stream(options: Map[String, String]): String =
     options.getOrElse("stream", throw new IllegalArgumentException("option 'stream' is required"))
 
@@ -96,6 +122,7 @@ object Dis {
 
 class DisTable(options: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
   private val opts = Dis.normalize(options)
+  Dis.rejectUnsupported(opts)
   override def name(): String = s"dis:${opts.getOrElse("stream", "?")}"
   override def schema(): StructType = Dis.schema
   override def capabilities(): ju.Set[TableCapability] = ju.EnumSet.of(

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** State-store deployment knobs for the stateful streaming operators.
+  *
+  * The default HDFSBackedStateStoreProvider keeps every partition's
+  * state map on the executor HEAP — fine for small keyed state, but a
+  * 100 TB stream with millions of live keys (sessions, dedup horizons)
+  * needs state that spills off-heap and snapshots incrementally. That
+  * is RocksDB: state lives in native memory + local SST files, with
+  * changelog checkpointing writing only per-batch deltas to the
+  * checkpoint location instead of full snapshots.
+  *
+  * The provider is a session-level SQL conf read at query START, so set
+  * it before `writeStream.start()` (existing running queries keep their
+  * provider). All graft streaming operators are provider-agnostic;
+  * RocksDBStateSpec runs the dedup + custom-state sessionizer against
+  * RocksDB to pin that.
+  */
+object StateStores {
+
+  val RocksDBProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Switch subsequently-started streaming queries in this session to
+    * RocksDB state with changelog checkpointing. Returns the session
+    * for chaining. */
+  def useRocksDB(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
+    // per-batch deltas instead of full SST re-uploads at every commit
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark
+  }
+
+  /** Restore the Spark default (heap-backed) provider. */
+  def useDefault(spark: SparkSession): SparkSession = {
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark
+  }
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import graft.SparkTestBase
+
+/** DisAdmin (immediate commit / count / lag — reference CanCommitOffsets
+  * + O(1)-count parity) and the loud rejection of reference options the
+  * connector cannot honor. */
+class AdminAndOptionsSpec extends SparkTestBase {
+
+  private def freshRoot(parts: Int = 2, records: Int = 10): (String, FileStreamClient) = {
+    val root = Files.createTempDirectory("admin-").toString
+    val client = new FileStreamClient(java.nio.file.Paths.get(root))
+    client.createStream("s", parts)
+    (0 until records).foreach(i =>
+      client.append("s", i % parts, null, s"v$i".getBytes("UTF-8")))
+    (root, client)
+  }
+
+  private def opts(root: String, more: (String, String)*): Map[String, String] =
+    (Map("client.root" -> root, "stream" -> "s", "groupId" -> "g1") ++ more).toMap
+
+  test("commitNow applies immediately, outside any trigger, and is readable back") {
+    val (root, client) = freshRoot()
+    DisAdmin.commitNow(opts(root), Map(("s", 0) -> 3L, ("s", 1) -> 2L))
+    assert(DisAdmin.committed(opts(root), "s") === Map(0 -> 3L, 1 -> 2L))
+    assert(client.committed("s", "g1") === Map(0 -> 3L, 1 -> 2L))
+    // a later commit for one partition merges, not replaces
+    DisAdmin.commitNow(opts(root), """{"s":{"0":5}}""")
+    assert(DisAdmin.committed(opts(root), "s") === Map(0 -> 5L, 1 -> 2L))
+  }
+
+  test("commitAsync completes on the daemon thread and reports success") {
+    val (root, _) = freshRoot()
+    val latch = new CountDownLatch(1)
+    @volatile var ok = false
+    DisAdmin.commitAsync(opts(root), Map(("s", 1) -> 4L), { t =>
+      ok = t.isSuccess; latch.countDown()
+    })
+    assert(latch.await(10, TimeUnit.SECONDS), "commitAsync callback never fired")
+    assert(ok)
+    assert(DisAdmin.committed(opts(root), "s") === Map(1 -> 4L))
+  }
+
+  test("count is exact offset algebra: full backlog, explicit and sentinel ranges") {
+    val (root, _) = freshRoot(parts = 2, records = 10) // 5 records per partition
+    assert(DisAdmin.count(opts(root)) === 10L)
+    assert(DisAdmin.count(opts(root,
+      "offsetRanges" -> """{"s":{"0":[1,4],"1":[0,2]}}""")) === 5L)
+    // [earliest,-1] sentinel = everything in partition 0
+    assert(DisAdmin.count(opts(root,
+      "offsetRanges" -> """{"s":{"0":[-2,-1]}}""")) === 5L)
+  }
+
+  test("lag = latest - committed; uncommitted partitions lag the full backlog") {
+    val (root, _) = freshRoot(parts = 2, records = 10)
+    assert(DisAdmin.lag(opts(root), "s") === Map(0 -> 5L, 1 -> 5L))
+    DisAdmin.commitNow(opts(root), Map(("s", 0) -> 3L))
+    assert(DisAdmin.lag(opts(root), "s") === Map(0 -> 2L, 1 -> 5L))
+  }
+
+  test("unsupported reference options are rejected by name at table construction") {
+    val (root, _) = freshRoot()
+    Dis.unsupportedOptions.foreach { key =>
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format("dis")
+          .option("client.root", root).option("stream", "s")
+          .option(key, "anything")
+          .load()
+      }
+      assert(e.getMessage.contains(key), s"error does not name '$key': ${e.getMessage}")
+      assert(e.getMessage.contains("unsupported option"), e.getMessage)
+    }
+    // case-insensitive like every other connector option
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("dis")
+        .option("client.root", root).option("stream", "s")
+        .option("Body.Serialize.Type", "protobuf")
+        .load()
+    }
+    assert(e.getMessage.contains("body.serialize.type"), e.getMessage)
+  }
+
+  test("supported options still pass validation untouched") {
+    val (root, _) = freshRoot()
+    val df = spark.read.format("dis")
+      .option("client.root", root).option("stream", "s")
+      .option("maxRecordsPerPartition", "2")
+      .load()
+    assert(df.count() === 10L)
+  }
+}
