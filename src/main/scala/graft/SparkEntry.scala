@@ -48,6 +48,9 @@ object SparkEntry {
     "q_topk"            -> CoreQueries.qTopk,
     "q_set_ops"         -> CoreQueries.qSetOps,
     "q_json_extract"    -> CoreQueries.qJsonExtract,
+    "q_asof_join"       -> CoreQueries.qAsofJoin,
+    "q_stratified_sample" -> CoreQueries.qStratifiedSample,
+    "q_dup_clusters"    -> DedupQueries.qDupClusters,
     "q_rollup"          -> CoreQueries.qRollup,
     "q_pivot"           -> CoreQueries.qPivot,
     "q_percentiles"     -> CoreQueries.qPercentiles,
@@ -179,6 +182,28 @@ object SparkEntry {
 
     "q_json_extract" ->
       "SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events",
+
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id,
+        |  coalesce(purchase_id, -1)::BIGINT AS purchase_id,
+        |  coalesce(purchase_value, -1.0) AS purchase_value
+        |FROM (
+        |  SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |                       ORDER BY p.ts DESC, p.purchase_id DESC) AS rn
+        |  FROM c LEFT JOIN p ON c.user_id = p.user_id AND p.ts < c.ts)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE (event_id * 1103515245 + 12345) % 10000 <
+        |  CASE event_type WHEN 'click' THEN 5000 WHEN 'view' THEN 1000
+        |                  WHEN 'purchase' THEN 10000 ELSE 0 END""".stripMargin,
+
+    "q_dup_clusters" -> DedupQueries.dupClustersOracle,
 
     "q_rollup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(event_type)",

@@ -66,7 +66,7 @@ object Graft {
   def langId(df: DataFrame, id: String, text: String,
       profiles: Seq[(String, Seq[String])]): DataFrame = {
     val t = tokens(col(text))
-    val scored = profiles.foldLeft(df.select(col(id) +: df.columns.filter(_ != id).map(col): _*)) {
+    val scored = profiles.foldLeft(df.select((col(id) +: df.columns.filter(_ != id).map(col)).toIndexedSeq: _*)) {
       case (acc, (lang, words)) =>
         acc.withColumn(s"s_$lang", size(filter(t, w => w.isin(words: _*))).cast("long"))
     }
@@ -244,6 +244,129 @@ object Graft {
     partial.groupBy(keys.map(col): _*)
       .agg(round(sum(col("__psum")), roundTo).as("sum_value"),
         sum(col("__pcnt")).as("cnt"))
+  }
+
+  // ---------- joins / relational extensions ----------
+
+  /** As-of join: each left row picks the single most recent right row
+    * with the same key and `right.ts < left.ts` (strict; `<=` when
+    * strict=false). Ties on right ts break on the highest `tiebreak`
+    * value, so the result is deterministic. Unmatched left rows keep
+    * nulls in the right payload columns (left-join semantics).
+    *
+    * Scale shape: NOT a non-equi join (which Spark can only plan as a
+    * nested loop). Both sides are unioned and shuffled ONCE on the key;
+    * a per-key sort orders rows by (ts, side, tiebreak) and
+    * `last_value(ignoreNulls)` carries each right payload forward — the
+    * same single-shuffle cost as any groupBy on the key, independent of
+    * how many right rows precede each left row.
+    *
+    * `right` must expose the same `key` and `ts` column names; its
+    * remaining columns are the payload and must not collide with left
+    * column names (pre-rename on the caller side). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      tiebreak: String, strict: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = right.columns.filterNot(c => c == key || c == ts).toSeq
+    require(payload.nonEmpty, "asofJoin: right side has no payload columns")
+    require(payload.intersect(leftCols).isEmpty,
+      s"asofJoin: right payload ${payload.mkString(",")} collides with left columns")
+    require(right.columns.contains(tiebreak), "asofJoin: tiebreak must be a right column")
+
+    // side order at equal ts decides strictness: left-before-right
+    // excludes equal-ts right rows (strict <); right-before-left
+    // includes them (<=)
+    val leftSide = if (strict) 0 else 1
+    // the right payload travels as ONE struct so the carried value is
+    // atomic — per-column last_value could stitch together columns from
+    // different right rows when payload values are themselves null
+    val lPadded = left
+      .withColumn("__side", lit(leftSide))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__p", lit(null).cast(StructType(
+        payload.map(c => StructField(c, right.schema(c).dataType)))))
+    val rPadded = leftCols.filterNot(c => c == key || c == ts).foldLeft(
+      right
+        .withColumn("__side", lit(1 - leftSide))
+        .withColumn("__tie", col(tiebreak).cast("long"))
+        .withColumn("__p", struct(payload.map(col): _*)))((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val outCols = leftCols ++ Seq("__p", "__side", "__tie")
+    val unioned = lPadded.select(outCols.map(col): _*)
+      .unionByName(rPadded.select(outCols.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc, col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftSide)
+      .select(leftCols.map(col) ++ payload.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
+  // ---------- duplicate-cluster resolution ----------
+
+  /** Connected components over a near-duplicate pair list: every node
+    * reachable through pairs gets the component's minimum id as
+    * `cluster_id` — the step that turns pairwise dup detection
+    * (minhash/simhash/embedding) into keep-one-per-cluster dedup.
+    *
+    * Algorithm: distributed hash-min label propagation — each round
+    * every node takes the min label among itself and its neighbors
+    * (one shuffle per round over the undirected edge list), until a
+    * round changes nothing. Rounds ∝ component diameter; near-dup
+    * graphs are dense clusters of tiny diameter, so convergence is a
+    * handful of rounds (an adversarial million-node chain would favor
+    * the alternating large-star/small-star variant, same join shape).
+    * Each round's result is localCheckpoint'ed: iterative lineage
+    * otherwise grows exponentially in planning cost. */
+  def dupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence witness: one cheap aggregate per round
+    // instead of a join-and-count diff
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("id"), col("cluster_id"))
+        .unionAll(labels)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+    }
+    labels
+  }
+
+  // ---------- sampling ----------
+
+  /** Deterministic stratified sampling: keep a row iff
+    * LCG(hashCol) mod 10000 < rate(stratum)·10000. No RNG state —
+    * the decision is pure integer arithmetic on the row's own id, so
+    * the sample is reproducible across engines, runs, partitionings
+    * and retries (what `sample()`'s seeded-per-partition RNG is not),
+    * and any engine can verify it. Strata absent from `rates` are
+    * dropped (rate 0). */
+  def hashSample(df: DataFrame, stratumCol: String, hashCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    val bucket = pmod(col(hashCol) * lit(1103515245L) + lit(12345L), lit(10000L))
+    // integer thresholds (basis points): no FP boundary ambiguity
+    val rateExpr = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    df.filter(bucket < rateExpr)
   }
 
   // ---------- sessionization / events ----------

@@ -285,6 +285,33 @@ object CoreQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** As-of join: each click picks the user's most recent strictly-
+    * earlier purchase (ties on purchase ts break on the higher id);
+    * clicks without one keep −1 sentinels. Single shuffle on user_id
+    * via the union+window formulation ([[graft.api.Graft.asofJoin]]) —
+    * Spark would plan the naive `p.ts < c.ts` join as a nested loop. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    graft.api.Graft.asofJoin(clicks, purchases, "user_id", "ts", "purchase_id")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("purchase_value"), lit(-1.0)).as("purchase_value"))
+  }
+
+  /** Deterministic stratified sample of events: per-type keep rates
+    * decided by pure integer arithmetic on event_id
+    * ([[graft.api.Graft.hashSample]]) — reproducible across engines,
+    * partitionings and retries, unlike seeded-RNG sample(). */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.hashSample(Tables.events(spark, dir), "event_type", "event_id",
+      Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+
   /** JSON payload extraction — the deserializer-pluggability analog
     * (dis/DISUtils.scala:379-380: value deserializer class option).
     * from_json with an explicit schema stays in codegen. */

@@ -150,6 +150,31 @@ object DedupQueries {
       |GROUP BY a.doc_id, b.doc_id
       |HAVING count(*)::DOUBLE / (any_value(na.cnt) + any_value(nb.cnt) - count(*))::DOUBLE >= 0.8""".stripMargin
 
+  /** Duplicate-cluster resolution over the MinHash near-dup pairs:
+    * connected components, cluster_id = min doc id of the component —
+    * the step that turns pairwise detection into one-kept-per-cluster
+    * dedup ([[graft.api.Graft.dupClusters]]). */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.dupClusters(
+      minhashDupesOn(Tables.documents(spark, dir), "doc_id", "text", 0.8),
+      "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+
+  /** Reachability fixpoint via recursive CTE = the oracle for
+    * distributed hash-min label propagation. */
+  val dupClustersOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashOracle}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id""".stripMargin
+
   private val SimBits = 62
 
   /** 62-bit SimHash fingerprint per document: bit b set iff the sum of

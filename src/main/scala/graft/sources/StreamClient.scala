@@ -108,12 +108,7 @@ final class FileStreamClient(root: Path) extends StreamClient {
 
   override def latestOffset(stream: String, partition: Int): Long =
     FileStreamClient.withLock(partFile(stream, partition)) { f =>
-      if (!Files.exists(f)) 0L
-      else {
-        val reader = new BufferedReader(new FileReader(f.toFile))
-        try Iterator.continually(reader.readLine()).takeWhile(_ != null).size.toLong
-        finally reader.close()
-      }
+      FileStreamClient.index(f).lines
     }
 
   // Reads take the same per-path lock as writes: appendAll writes through
@@ -123,52 +118,57 @@ final class FileStreamClient(root: Path) extends StreamClient {
     val f = partFile(stream, partition)
     if (!Files.exists(f)) return Seq.empty
     FileStreamClient.withLock(f) { _ =>
-    val reader = new BufferedReader(new FileReader(f.toFile))
-    try {
-      var skipped = 0L
-      while (skipped < fromOffset && reader.readLine() != null) skipped += 1
-      val out = mutable.ArrayBuffer[StreamRecord]()
-      var offset = fromOffset
-      var line = if (out.size < maxRecords) reader.readLine() else null
-      while (line != null) {
-        out += FileStreamClient.parseRecord(stream, partition, offset, line)
-        offset += 1
-        line = if (out.size < maxRecords) reader.readLine() else null
-      }
-      out.toSeq
-    } finally reader.close()
+      // the line index turns the seek from O(fromOffset) line reads into
+      // one byte-seek to the nearest anchor + ≤AnchorEvery line skips
+      val idx = FileStreamClient.index(f)
+      if (fromOffset >= idx.lines) return Seq.empty
+      val anchorNo = math.min(fromOffset / FileStreamClient.AnchorEvery,
+        idx.anchors.length - 1L).toInt
+      val in = new java.io.FileInputStream(f.toFile)
+      try {
+        var toSkip = idx.anchors(anchorNo)
+        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        val reader = new BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        var skipped = anchorNo.toLong * FileStreamClient.AnchorEvery
+        while (skipped < fromOffset && reader.readLine() != null) skipped += 1
+        val out = mutable.ArrayBuffer[StreamRecord]()
+        var offset = fromOffset
+        var line = if (out.size < maxRecords) reader.readLine() else null
+        while (line != null) {
+          out += FileStreamClient.parseRecord(stream, partition, offset, line)
+          offset += 1
+          line = if (out.size < maxRecords) reader.readLine() else null
+        }
+        out.toSeq
+      } finally in.close()
     }
   }
 
-  override def append(stream: String, partition: Int, key: Array[Byte], value: Array[Byte]): Long = {
-    Files.createDirectories(streamDir(stream))
-    FileStreamClient.withLock(partFile(stream, partition)) { f =>
-      val offset = if (Files.exists(f)) latestOffsetUnlocked(f) else 0L
-      val w = new FileWriter(f.toFile, true)
-      try {
-        w.write(FileStreamClient.recordJson(key, value, System.currentTimeMillis()))
-        w.write('\n')
-      } finally w.close()
-      offset
-    }
-  }
+  override def append(stream: String, partition: Int, key: Array[Byte], value: Array[Byte]): Long =
+    appendAllReturningFirst(stream, partition,
+      Seq(key -> value))
 
   override def appendAll(stream: String, partition: Int, records: Seq[(Array[Byte], Array[Byte])]): Unit = {
     if (records.isEmpty) return
+    appendAllReturningFirst(stream, partition, records)
+    ()
+  }
+
+  private def appendAllReturningFirst(stream: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte])]): Long = {
     Files.createDirectories(streamDir(stream))
     FileStreamClient.withLock(partFile(stream, partition)) { f =>
+      val offset = FileStreamClient.index(f).lines
       val now = System.currentTimeMillis()
       val w = new java.io.BufferedWriter(new FileWriter(f.toFile, true))
       try records.foreach { case (k, v) =>
         w.write(FileStreamClient.recordJson(k, v, now)); w.write('\n')
       } finally w.close()
+      // the index refreshes incrementally from its last byte position on
+      // the next lookup — no bookkeeping needed here
+      offset
     }
-  }
-
-  private def latestOffsetUnlocked(f: Path): Long = {
-    val reader = new BufferedReader(new FileReader(f.toFile))
-    try Iterator.continually(reader.readLine()).takeWhile(_ != null).size.toLong
-    finally reader.close()
   }
 
   override def commit(stream: String, groupId: String, offsets: Map[Int, Long]): Unit = {
@@ -195,6 +195,62 @@ object FileStreamClient {
   private def withLock[T](path: Path)(body: Path => T): T = {
     val lock = locks.computeIfAbsent(path.toAbsolutePath.toString, _ => new Object)
     lock.synchronized(body(path))
+  }
+
+  /** Incremental line index per partition file: (bytes scanned, line
+    * count, byte anchor every AnchorEvery lines). A per-trigger
+    * `latestOffset` over many partitions re-reads only bytes appended
+    * since the last scan instead of every file from byte 0, and `fetch`
+    * byte-seeks to an anchor instead of line-skipping from the top.
+    * Must be called under the path's lock. Truncated/replaced files
+    * (size shrank) trigger a full rescan. */
+  private[sources] val AnchorEvery = 256L
+
+  private[sources] final class LineIndex {
+    var bytes = 0L
+    var lines = 0L
+    val anchorBuf = mutable.ArrayBuffer[Long](0L)
+    def anchors: mutable.ArrayBuffer[Long] = anchorBuf
+  }
+
+  private val indices = new java.util.concurrent.ConcurrentHashMap[String, LineIndex]()
+
+  private[sources] def index(f: Path): LineIndex = {
+    val key = f.toAbsolutePath.toString
+    var idx = indices.computeIfAbsent(key, _ => new LineIndex)
+    if (!Files.exists(f)) {
+      if (idx.bytes > 0) { idx = new LineIndex; indices.put(key, idx) }
+      return idx
+    }
+    val size = Files.size(f)
+    if (size < idx.bytes) { // truncated/replaced: rescan from scratch
+      idx = new LineIndex
+      indices.put(key, idx)
+    }
+    if (size > idx.bytes) {
+      val in = new java.io.FileInputStream(f.toFile)
+      try {
+        var toSkip = idx.bytes
+        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        val buf = new Array[Byte](64 * 1024)
+        var pos = idx.bytes
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) {
+            if (buf(i) == '\n') {
+              idx.lines += 1
+              if (idx.lines % AnchorEvery == 0) idx.anchorBuf += pos + i + 1
+            }
+            i += 1
+          }
+          pos += n
+          n = in.read(buf)
+        }
+        idx.bytes = pos
+      } finally in.close()
+    }
+    idx
   }
 
   private implicit val formats: Formats = Serialization.formats(NoTypeHints)

@@ -102,6 +102,49 @@ class GraftApiSpec extends SparkTestBase {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("asofJoin: strict/non-strict boundaries, tiebreak, and unmatched-null semantics") {
+    val quotes = Seq( // (qid, t, sym, px)
+      (1L, 10L, "A", 1.0), (2L, 20L, "A", 2.0), (3L, 20L, "A", 3.0), (4L, 50L, "B", 9.0))
+      .toDF("qid", "t", "sym", "px")
+      .select(col("sym").as("k"), col("t"), col("qid"), col("px"))
+    val trades = Seq((100L, 20L, "A"), (101L, 30L, "A"), (102L, 5L, "B"))
+      .toDF("tid", "t", "sym")
+      .select(col("tid"), col("t"), col("sym").as("k"))
+
+    // output layout: left cols (tid, t, k) then payload (qid, px)
+    val strict = Graft.asofJoin(trades, quotes, "k", "t", "qid")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_ => (r.getLong(3), r.getDouble(4)))).toMap
+    // trade@20/A strictly-before excludes both t=20 quotes -> quote t=10
+    assert(strict(100L) === Some((1L, 1.0)))
+    // trade@30/A: both t=20 quotes eligible, tiebreak picks qid 3
+    assert(strict(101L) === Some((3L, 3.0)))
+    // trade@5/B precedes every B quote -> null payload
+    assert(strict(102L) === None)
+
+    val loose = Graft.asofJoin(trades, quotes, "k", "t", "qid", strict = false)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_ => r.getLong(3))).toMap
+    // non-strict admits the equal-ts quotes at t=20
+    assert(loose(100L) === Some(3L))
+  }
+
+  test("dupClusters resolves a chain and a separate pair to min-id components") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("x", "y")
+    val out = Graft.dupClusters(pairs, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("hashSample is deterministic, stratified, and drops unlisted strata") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "s")
+    val rates = Map("a" -> 0.3)
+    val one = Graft.hashSample(df, "s", "id", rates).collect().map(_.getLong(0)).sorted
+    val two = Graft.hashSample(df, "s", "id", rates).collect().map(_.getLong(0)).sorted
+    assert(one.sameElements(two), "sample not reproducible")
+    assert(one.forall(_ % 2 == 0), "unlisted stratum leaked in")
+    assert(one.length > 100 && one.length < 200, s"rate 0.3 of 500 rows gave ${one.length}")
+  }
+
   test("SparkEntry.entry returns rows (driver smoke contract)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -213,4 +213,30 @@ class KernelSpec extends AnyFunSuite {
     val c = new PartitionConsumer("g", "s", 0, new FakeClient, pollTimeoutMs = 50L)
     assert(c.get(0) === null)
   }
+
+  test("line index: anchor-seek fetch across 256-line boundaries, incremental latest, truncation rescan") {
+    val root = java.nio.file.Files.createTempDirectory("lineindex-")
+    val client = new FileStreamClient(root)
+    client.createStream("s", 1)
+    (0 until 700).foreach(i => client.append("s", 0, null, s"v$i".getBytes("UTF-8")))
+    assert(client.latestOffset("s", 0) === 700L)
+    // fetch offsets straddling both anchor boundaries (256, 512)
+    for (from <- Seq(0L, 255L, 256L, 257L, 511L, 512L, 640L, 699L)) {
+      val got = client.fetch("s", 0, from, 3)
+      assert(got.map(_.offset) === (from until math.min(from + 3, 700L)),
+        s"fetch from $from")
+      assert(new String(got.head.value, "UTF-8") === s"v$from")
+    }
+    assert(client.fetch("s", 0, 700L, 5) === Seq.empty)
+    // appends after an index build are picked up incrementally
+    client.append("s", 0, null, "tail".getBytes("UTF-8"))
+    assert(client.latestOffset("s", 0) === 701L)
+    assert(new String(client.fetch("s", 0, 700L, 1).head.value, "UTF-8") === "tail")
+    // a replaced (shorter) file triggers a full rescan, not stale counts
+    val f = root.resolve("s").resolve("p0.jsonl")
+    val keep = java.nio.file.Files.readAllLines(f).subList(0, 10)
+    java.nio.file.Files.write(f, String.join("\n", keep).concat("\n").getBytes("UTF-8"))
+    assert(client.latestOffset("s", 0) === 10L)
+    assert(new String(client.fetch("s", 0, 9L, 1).head.value, "UTF-8") === "v9")
+  }
 }
