@@ -199,7 +199,7 @@ object SparkEntry {
 
     "q_stratified_sample" ->
       """SELECT event_id, event_type, user_id FROM events
-        |WHERE (event_id * 1103515245 + 12345) % 10000 <
+        |WHERE ((event_id % 2147483648) * 1103515245 + 12345) % 10000 <
         |  CASE event_type WHEN 'click' THEN 5000 WHEN 'view' THEN 1000
         |                  WHEN 'purchase' THEN 10000 ELSE 0 END""".stripMargin,
 

@@ -191,9 +191,10 @@ object Graft {
     val centroids = Ivf.trainCentroids(df, id, vec, ivf)
     val margin = 2.0 * math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val probed = Ivf.assignWithin(df, id, vec, centroids, margin)
-      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"))
-    val home = Ivf.assign(df, id, vec, centroids, 1)
-      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"))
+      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"), col("cell_rank"))
+    // the home cell is the rank-0 probe — reuse it instead of paying the
+    // full-corpus assignment kernel a second time
+    val home = probed.filter(col("cell_rank") === 0).drop("cell_rank")
     home.as("a").join(probed.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$id") =!= col(s"b.$id"))
       .withColumn("cos", round(
@@ -218,7 +219,10 @@ object Graft {
       .select(col(id).as("neighbor_id"), col(vec).as("__v"), col("nrm").as("__nrm"), col("cell"))
     val probes = Ivf.assign(queries, queryId, queryVec, centroids, ivf.nprobe)
       .select(col(queryId).as("query_id"), col(queryVec).as("__q"), col("nrm").as("__qnrm"), col("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    // no broadcast hint: Catalyst/AQE broadcasts a small query side on
+    // its own; a huge query set must shuffle-join on cell or it would
+    // blow the broadcast limit
+    val scored = assigned.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -279,16 +283,19 @@ object Graft {
     val leftSide = if (strict) 0 else 1
     // the right payload travels as ONE struct so the carried value is
     // atomic — per-column last_value could stitch together columns from
-    // different right rows when payload values are themselves null
+    // different right rows when payload values are themselves null.
+    // __tie keeps the tiebreak's own (orderable) type: casting to long
+    // would silently null out string ids and void determinism
+    val tieType = right.schema(tiebreak).dataType
     val lPadded = left
       .withColumn("__side", lit(leftSide))
-      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__p", lit(null).cast(StructType(
         payload.map(c => StructField(c, right.schema(c).dataType)))))
     val rPadded = leftCols.filterNot(c => c == key || c == ts).foldLeft(
       right
         .withColumn("__side", lit(1 - leftSide))
-        .withColumn("__tie", col(tiebreak).cast("long"))
+        .withColumn("__tie", col(tiebreak))
         .withColumn("__p", struct(payload.map(col): _*)))((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
@@ -332,9 +339,10 @@ object Graft {
     // decreasing convergence witness: one cheap aggregate per round
     // instead of a join-and-count diff
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      df.agg(coalesce(sum(col("cluster_id")), lit(0L))).collect()(0).getLong(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    // empty pair list: no nodes, nothing to propagate
+    var converged = edges.isEmpty
     while (!converged) {
       labels = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
@@ -361,7 +369,12 @@ object Graft {
   def hashSample(df: DataFrame, stratumCol: String, hashCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
-    val bucket = pmod(col(hashCol) * lit(1103515245L) + lit(12345L), lit(10000L))
+    // fold the id into 31 bits BEFORE the LCG multiply: 2^31·1103515245
+    // stays under 2^62, so the arithmetic never overflows Long (ANSI
+    // mode would fail the query; non-ANSI would wrap and diverge from
+    // the verifying engine)
+    val bucket = pmod(pmod(col(hashCol), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(10000L))
     // integer thresholds (basis points): no FP boundary ambiguity
     val rateExpr = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
       when(col(stratumCol) === s, lit(math.round(r * 10000))).otherwise(acc)

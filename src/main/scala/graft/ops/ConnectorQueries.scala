@@ -18,11 +18,16 @@ object ConnectorQueries {
   // The sink write runs once per (spark app, source dir) — re-planning,
   // explain-then-execute and repeated driver calls reuse the same stream
   // root instead of re-running the write job and leaking a new temp dir.
-  // The roots are removed on JVM exit.
+  // Roots are registered for JVM-exit cleanup BEFORE the write job runs,
+  // so a failed write cannot leak its directory; the write executes
+  // under a plain lock (not inside ConcurrentHashMap.computeIfAbsent,
+  // which would pin a bin lock for the duration of a Spark job).
   private val writtenRoots =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.nio.file.Path]()
+    scala.collection.mutable.Map[(String, String), java.nio.file.Path]()
+  private val rootsToClean =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
   sys.addShutdownHook {
-    writtenRoots.values().forEach { root =>
+    rootsToClean.forEach { root =>
       def rm(p: java.nio.file.Path): Unit = {
         if (Files.isDirectory(p)) {
           val l = Files.list(p)
@@ -37,19 +42,22 @@ object ConnectorQueries {
   private val parts = 8
 
   def qDisRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = writtenRoots.computeIfAbsent((spark.sparkContext.applicationId, dir), { _ =>
-      val r = Files.createTempDirectory("dis-roundtrip-")
-      new FileStreamClient(r).createStream("events", parts)
-      Tables.events(spark, dir)
-        .select(
-          col("event_id").cast("string").as("key"),
-          col("event_type").as("value"),
-          pmod(col("user_id"), lit(parts)).cast("int").as("partition"))
-        .write.format("dis")
-        .option("client.root", r.toString).option("stream", "events")
-        .mode("append").save()
-      r
-    })
+    val root = writtenRoots.synchronized {
+      writtenRoots.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+        val r = Files.createTempDirectory("dis-roundtrip-")
+        rootsToClean.add(r)
+        new FileStreamClient(r).createStream("events", parts)
+        Tables.events(spark, dir)
+          .select(
+            col("event_id").cast("string").as("key"),
+            col("event_type").as("value"),
+            pmod(col("user_id"), lit(parts)).cast("int").as("partition"))
+          .write.format("dis")
+          .option("client.root", r.toString).option("stream", "events")
+          .mode("append").save()
+        r
+      })
+    }
 
     spark.read.format("dis")
       .option("client.root", root.toString).option("stream", "events")

@@ -179,9 +179,15 @@ object CoreQueries {
     // pass 2: exclusive prefix max — each chunk's max contributes to all
     // later chunks; 64×64/2 rows max, plain equi hash aggregate
     val nChunks = (2147483648L / chunkWidth).toInt
+    // guard the exploded targets: sequence(start, stop) runs DESCENDING
+    // when start > stop, so the last chunk would otherwise emit
+    // [nChunks, nChunks-1] and contribute its own max to its own
+    // prefix — making the "exclusive" prefix inclusive for that chunk
     val prefix = chunkMax
-      .select(explode(sequence(col("__chunk") + 1, lit(nChunks.toLong - 1))).as("__chunk"),
+      .select(col("__chunk").as("__src"),
+        explode(sequence(col("__chunk") + 1, lit(nChunks.toLong - 1))).as("__chunk"),
         col("__cmax"))
+      .filter(col("__chunk") > col("__src"))
       .groupBy(col("__chunk")).agg(max(col("__cmax")).as("__pmax"))
     // pass 3: within-chunk running max (partitioned window) ⊔ prefix;
     // left join: the first chunk has no predecessors → null __pmax

@@ -71,7 +71,10 @@ object Dis {
     * credential/config providers belong to the remote service SDK
     * (dis/DISUtils.scala:324-334). Silently ignoring them would make a
     * migrated job read garbage or skip encryption without warning, so
-    * they are rejected by name at table construction. */
+    * they are rejected by name at table construction. Boolean feature
+    * flags explicitly set to their disabled default (false/0/no/off)
+    * are accepted: the connector's behavior already matches, and a
+    * migrated job should not fail over a no-op line. */
   val unsupportedOptions: Set[String] = Set(
     "body.serialize.type",
     "data.encrypt.enabled",
@@ -79,10 +82,17 @@ object Dis {
     "config.provider.class",
     "trusted.jks.enabled")
 
-  /** Throw a named error for any explicitly-unsupported option (keys
-    * pre-normalized to lower case). */
+  private val booleanFeatureFlags = Set("data.encrypt.enabled", "trusted.jks.enabled")
+  private val disabledValues = Set("false", "0", "no", "off")
+
+  /** Throw a named error for any explicitly-unsupported option that
+    * actually requests unimplemented behavior (keys pre-normalized to
+    * lower case). */
   def rejectUnsupported(options: Map[String, String]): Unit = {
-    val bad = options.keySet.intersect(unsupportedOptions)
+    val bad = options.keySet.intersect(unsupportedOptions).filter { k =>
+      !(booleanFeatureFlags.contains(k) &&
+        disabledValues.contains(options(k).trim.toLowerCase(ju.Locale.ROOT)))
+    }
     if (bad.nonEmpty) {
       throw new IllegalArgumentException(
         s"unsupported option(s) ${bad.toSeq.sorted.mkString("'", "', '", "'")}: " +

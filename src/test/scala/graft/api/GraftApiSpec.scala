@@ -134,6 +134,19 @@ class GraftApiSpec extends SparkTestBase {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters on an empty pair list returns empty, not an error") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Graft.dupClusters(empty, "x", "y").count() === 0L)
+  }
+
+  test("asofJoin keeps determinism for a non-numeric (string) tiebreak") {
+    val quotes = Seq(("u1", 20L, "A", 1.0), ("u2", 20L, "A", 2.0))
+      .toDF("qid", "t", "k", "px").select(col("k"), col("t"), col("qid"), col("px"))
+    val trades = Seq((100L, 30L, "A")).toDF("tid", "t", "k")
+    val out = Graft.asofJoin(trades, quotes, "k", "t", "qid").collect()
+    assert(out.head.getString(3) === "u2") // max string tiebreak wins
+  }
+
   test("hashSample is deterministic, stratified, and drops unlisted strata") {
     val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "s")

@@ -83,6 +83,23 @@ class AdminAndOptionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("body.serialize.type"), e.getMessage)
   }
 
+  test("boolean feature flags at their disabled default are accepted (no-op, not an error)") {
+    val (root, _) = freshRoot()
+    val df = spark.read.format("dis")
+      .option("client.root", root).option("stream", "s")
+      .option("data.encrypt.enabled", "false")
+      .option("trusted.jks.enabled", "no")
+      .load()
+    assert(df.count() === 10L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("dis")
+        .option("client.root", root).option("stream", "s")
+        .option("data.encrypt.enabled", "true")
+        .load()
+    }
+    assert(e.getMessage.contains("data.encrypt.enabled"), e.getMessage)
+  }
+
   test("supported options still pass validation untouched") {
     val (root, _) = freshRoot()
     val df = spark.read.format("dis")
