@@ -49,6 +49,8 @@ object SparkEntry {
     "q_set_ops"         -> CoreQueries.qSetOps,
     "q_json_extract"    -> CoreQueries.qJsonExtract,
     "q_asof_join"       -> CoreQueries.qAsofJoin,
+    "q_funnel"          -> CoreQueries.qFunnel,
+    "q_tfidf"           -> TextQueries.qTfidf,
     "q_stratified_sample" -> CoreQueries.qStratifiedSample,
     "q_dup_clusters"    -> DedupQueries.qDupClusters,
     "q_rollup"          -> CoreQueries.qRollup,
@@ -204,6 +206,27 @@ object SparkEntry {
         |                  WHEN 'purchase' THEN 10000 ELSE 0 END""".stripMargin,
 
     "q_dup_clusters" -> DedupQueries.dupClustersOracle,
+    "q_tfidf" -> TextQueries.tfidfOracle,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL '1 day' GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL '1 day' GROUP BY e.user_id
+        |)
+        |SELECT stage_reached, count(*) AS users FROM (
+        |  SELECT s1.user_id,
+        |    CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |         WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END::BIGINT AS stage_reached
+        |  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |          LEFT JOIN s3 ON s1.user_id = s3.user_id)
+        |GROUP BY stage_reached""".stripMargin,
 
     "q_rollup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY ROLLUP(event_type)",

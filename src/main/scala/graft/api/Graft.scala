@@ -146,6 +146,65 @@ object Graft {
     df.groupBy(keys.map(col): _*)
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
 
+  /** TF-IDF top terms per document: tf = term count in doc, idf =
+    * ln(N/df) over whitespace tokens, top `topK` terms per doc ranked
+    * by (rounded score desc, term asc). Plan: one explode + two hash
+    * aggregates + a broadcast of the df table's aggregate (terms-sized,
+    * not corpus-sized) + a per-doc window — every data-sized step is
+    * keyed and shuffles once. Scores round to 6 decimals: ln() differs
+    * in the last ulp across engines. */
+  def tfIdf(df: DataFrame, id: String, text: String, topK: Int = 3): DataFrame = {
+    val terms = df.select(col(id), explode(tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val n = df.select(col(id)).distinct().count()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Ordered funnel: for each entity, the earliest time each stage can
+    * be reached given all previous stages happened strictly earlier
+    * (first stage = min ts of its event type; stage k = min ts of its
+    * type strictly after stage k−1, and within `maxGap` of it when
+    * set — the conversion window). Returns one row per entity that
+    * entered the funnel: (entity, stage_reached = number of completed
+    * stages). Each stage is one filtered aggregate + an equi-join on
+    * the entity key — no window over event history, no self-join on
+    * time ranges. */
+  def funnel(df: DataFrame, entity: String, ts: String, typeCol: String,
+      stages: Seq[String], maxGap: Option[String] = None): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(entity)).agg(min(col(ts)).as("__t"))
+      .withColumn("__stage", lit(1L))
+    stages.drop(1).zipWithIndex.foldLeft(first) { case (acc, (stage, i)) =>
+      // only entities that completed every previous stage may advance —
+      // a stage-k dropout must not "skip ahead" by matching stage k+1
+      // against its stage-(k−1) time
+      val eligible = acc.filter(col("__stage") === (i + 1).toLong)
+        .select(col(entity), col("__t").as("__prev"))
+      val inWindow = maxGap match {
+        case Some(g) => col(ts) > col("__prev") &&
+          col(ts) <= col("__prev") + expr(s"INTERVAL '$g'")
+        case None => col(ts) > col("__prev")
+      }
+      val nextT = df.filter(col(typeCol) === stage)
+        .join(eligible, entity)
+        .filter(inWindow)
+        .groupBy(col(entity)).agg(min(col(ts)).as("__tnext"))
+      acc.join(nextT, Seq(entity), "left")
+        .withColumn("__stage",
+          when(col("__tnext").isNotNull, col("__stage") + 1L).otherwise(col("__stage")))
+        .withColumn("__t", coalesce(col("__tnext"), col("__t")))
+        .drop("__tnext")
+    }.select(col(entity), col("__stage").as("stage_reached"))
+  }
+
   // ---------- similarity search ----------
 
   /** Exact cosine top-k: for each row of `queries`, the k nearest rows

@@ -318,6 +318,16 @@ object CoreQueries {
       Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
       .select(col("event_id"), col("event_type"), col("user_id"))
 
+  /** Ordered signup→click→purchase funnel per user, reported as users
+    * per deepest stage reached ([[graft.api.Graft.funnel]]): each stage
+    * is a filtered min-ts aggregate chained through equi-joins — no
+    * window over per-user event history. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.funnel(Tables.events(spark, dir), "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"), maxGap = Some("1 day"))
+      .groupBy(col("stage_reached"))
+      .agg(count(lit(1)).as("users"))
+
   /** JSON payload extraction — the deserializer-pluggability analog
     * (dis/DISUtils.scala:379-380: value deserializer class option).
     * from_json with an explicit schema stays in codegen. */

@@ -61,6 +61,29 @@ object TextQueries {
         col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
   }
 
+  /** TF-IDF top-3 terms per document over whitespace tokens — the
+    * relevance/keyword-extraction member of the text family
+    * ([[graft.api.Graft.tfIdf]]). */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.tfIdf(Tables.documents(spark, dir), "doc_id", "text", 3)
+
+  val tfidfOracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+      |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) DESC, tf.term ASC)::BIGINT AS rank
+      |  FROM tf JOIN dfreq USING (term), n)
+      |WHERE rank <= 3""".stripMargin
+
   /** Document fingerprint: position-weighted character hash
     * (rolling-hash family), oracle-checkable in plain SQL. The
     * high-throughput variant for production dedup is xxhash64(text)

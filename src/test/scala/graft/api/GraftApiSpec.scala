@@ -139,6 +139,24 @@ class GraftApiSpec extends SparkTestBase {
     assert(Graft.dupClusters(empty, "x", "y").count() === 0L)
   }
 
+  test("funnel: dropouts cannot skip ahead; conversion window gates stages") {
+    def t(s: String) = s"2024-01-01 $s:00"
+    val ev = Seq(
+      // u1: full a->b->c in order
+      (1L, t("10:00"), "a"), (1L, t("10:05"), "b"), (1L, t("10:10"), "c"),
+      // u2: c BEFORE b-time: a at 10:00, c at 10:02, b at 10:05 -> c must recur after b; it doesn't -> stage 2
+      (2L, t("10:00"), "a"), (2L, t("10:02"), "c"), (2L, t("10:05"), "b"),
+      // u3: no b at all, but has c after a -> must NOT reach stage 3 (skip-ahead guard) -> stage 1
+      (3L, t("10:00"), "a"), (3L, t("10:09"), "c"),
+      // u4: b arrives past the 30-min window -> stage 1
+      (4L, t("10:00"), "a"), (4L, t("10:45"), "b"))
+      .toDF("uid", "at", "kind").withColumn("at", col("at").cast("timestamp"))
+    val out = Graft.funnel(ev, "uid", "at", "kind", Seq("a", "b", "c"),
+      maxGap = Some("30 minutes"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("asofJoin keeps determinism for a non-numeric (string) tiebreak") {
     val quotes = Seq(("u1", 20L, "A", 1.0), ("u2", 20L, "A", 2.0))
       .toDF("qid", "t", "k", "px").select(col("k"), col("t"), col("qid"), col("px"))
