@@ -100,6 +100,35 @@ class AdminAndOptionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("data.encrypt.enabled"), e.getMessage)
   }
 
+  test("manual-commit migration pattern: foreachBatch + commitNow tracks progress") {
+    // the reference demo's canonical loop — foreachRDD { offsetRanges;
+    // commitAsync } — rebuilt as foreachBatch committing each batch's
+    // max offset + 1 per partition, with commitOnTrigger OFF
+    import org.apache.spark.sql.functions._
+    val (root, _) = freshRoot(parts = 2, records = 30)
+    val o = opts(root)
+    val q = spark.readStream.format("dis")
+      .option("client.root", root).option("stream", "s")
+      .option("maxRecordsPerTrigger", "10")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ends = batch.groupBy(col("partition"))
+          .agg(max(col("offset")).as("o")).collect()
+          .map(r => ("s", r.getInt(0)) -> (r.getLong(1) + 1L)).toMap
+        if (ends.nonEmpty) DisAdmin.commitNow(o, ends)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ck-manualcommit-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // after draining, the group's committed offsets equal the log end
+    assert(DisAdmin.committed(o, "s") === Map(0 -> 15L, 1 -> 15L))
+    assert(DisAdmin.lag(o, "s") === Map(0 -> 0L, 1 -> 0L))
+  }
+
   test("supported options still pass validation untouched") {
     val (root, _) = freshRoot()
     val df = spark.read.format("dis")

@@ -200,6 +200,44 @@ class StreamingSpec extends SparkTestBase {
     assert(result === Map("the" -> 2L, "quick" -> 3L, "fox" -> 2L, "lazy" -> 1L, "dog" -> 1L))
   }
 
+  test("stream-stream interval join: clicks matched to purchases within 1 hour") {
+    // two watermarked streams from the same feed joined on user with a
+    // time-interval predicate — the stateful two-sided join the DStream
+    // API never had; results must equal the batch interval join
+    val ev = streamEvents(500)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+    val streamed = runToMemory(joined, "ssjoin", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val b = batchEvents
+    val bc = b.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val bp = b.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+    val batch = bc.join(bp,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(batch.nonEmpty)
+    assert(streamed === batch,
+      s"missing=${(batch -- streamed).take(5)} phantom=${(streamed -- batch).take(5)}")
+  }
+
   test("late rows beyond the watermark are dropped from windowed aggregation") {
     // two partitions: p0 carries the in-order bulk; p1 carries one very
     // late straggler (ts far before the bulk's max) appended last
