@@ -200,8 +200,10 @@ class DisBatch(options: Map[String, String]) extends Batch {
           }
         case _ => Seq(r)
       }
+      val fixed = ExecutorLocator.fixedHosts(options)
       ranges.filter(_.count > 0L).flatMap(split).map { r =>
-        DisInputPartition(r, options, ExecutorLocator.preferredFor(r.stream, r.partition, hosts))
+        DisInputPartition(r, options,
+          ExecutorLocator.preferredFor(r.stream, r.partition, hosts, fixed))
           .asInstanceOf[InputPartition]
       }.toArray
     } finally client.close()
@@ -218,10 +220,16 @@ final case class DisInputPartition(
   override def preferredLocations(): Array[String] = preferred
 }
 
-/** Deterministic executor choice per partition so the executor-side
-  * consumer cache keeps hitting: sort executors, index =
-  * floorMod(hash(stream, partition), n) — same trick as
-  * dis/DISRDD.scala:162-180. */
+/** Location strategies (reference dis/LocationStrategy.scala:36-84):
+  * PreferConsistent (default) — deterministic executor choice per
+  * partition so the executor-side consumer cache keeps hitting: sort
+  * executors, index = floorMod(hash(stream, partition), n), same trick
+  * as dis/DISRDD.scala:162-180. PreferFixed — explicit per-partition
+  * hosts from the `preferFixed` JSON option, falling back to
+  * consistent for unmapped partitions (reference fixed-map fallback,
+  * dis/LocationStrategy.scala:69-74). PreferBrokers has no analog: the
+  * stream service does not run on Spark hosts (the reference itself
+  * rejects it for RDDs, dis/DISUtils.scala:63-72). */
 object ExecutorLocator {
   def sortedExecutors(): Array[String] =
     SparkSession.getActiveSession.map(_.sparkContext) match {
@@ -230,9 +238,18 @@ object ExecutorLocator {
       case _ => Array.empty // local mode / no session: no preference
     }
 
-  def preferredFor(stream: String, partition: Int, hosts: Array[String]): Array[String] =
-    if (hosts.isEmpty) Array.empty
-    else Array(hosts(java.lang.Math.floorMod((stream, partition).hashCode(), hosts.length)))
+  /** The per-partition fixed-host map from `preferFixed`, if set. */
+  def fixedHosts(options: Map[String, String]): Map[(String, Int), String] =
+    options.get("preferfixed").map(Offsets.partitionHosts).getOrElse(Map.empty)
+
+  def preferredFor(stream: String, partition: Int, hosts: Array[String],
+      fixed: Map[(String, Int), String] = Map.empty): Array[String] =
+    fixed.get((stream, partition)) match {
+      case Some(host) => Array(host)
+      case None if hosts.isEmpty => Array.empty
+      case None =>
+        Array(hosts(java.lang.Math.floorMod((stream, partition).hashCode(), hosts.length)))
+    }
 }
 
 /** Streaming micro-batch source — the DirectDISInputDStream analog.
@@ -317,11 +334,12 @@ class DisMicroBatchStream(options: Map[String, String])
     val startMap = DisSourceOffset.from(start).offsets
     val endMap = DisSourceOffset.from(end).offsets
     val hosts = ExecutorLocator.sortedExecutors()
+    val fixed = ExecutorLocator.fixedHosts(options)
     endMap.toSeq.sortBy(_._1).flatMap { case ((s, p), until) =>
       val from = startMap.getOrElse((s, p), client.earliestOffset(s, p))
       if (until > from) {
         Some(DisInputPartition(OffsetRange(s, p, from, until), options,
-          ExecutorLocator.preferredFor(s, p, hosts)).asInstanceOf[InputPartition])
+          ExecutorLocator.preferredFor(s, p, hosts, fixed)).asInstanceOf[InputPartition])
       } else None
     }.toArray
   }

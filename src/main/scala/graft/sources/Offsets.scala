@@ -85,6 +85,21 @@ object Offsets {
           s"""Expected e.g. {"streamA":{"0":[100,200],"1":[-2,-1]}}, got $json""")
     }
 
+  /** `{"stream":{"0":"host-a"}}` → per-(stream,partition) preferred
+    * hosts — the PreferFixed location dialect
+    * (dis/LocationStrategy.scala:59-74). */
+  def partitionHosts(json: String): Map[(String, Int), String] =
+    try {
+      Serialization.read[Map[String, Map[String, String]]](json).flatMap {
+        case (stream, parts) =>
+          parts.map { case (part, host) => (stream, part.toInt) -> host }
+      }
+    } catch {
+      case _: Throwable =>
+        throw new IllegalArgumentException(
+          s"""Expected e.g. {"streamA":{"0":"host-a","1":"host-b"}}, got $json""")
+    }
+
   /** Resolve -1/-2 sentinels against actual earliest/latest offsets. */
   def resolve(offset: Long, earliest: => Long, latest: => Long): Long = offset match {
     case Latest   => latest

@@ -129,6 +129,26 @@ class AdminAndOptionsSpec extends SparkTestBase {
     assert(DisAdmin.lag(o, "s") === Map(0 -> 0L, 1 -> 0L))
   }
 
+  test("PreferFixed location strategy: fixed hosts win, others fall back to consistent") {
+    val fixed = Offsets.partitionHosts("""{"s":{"0":"host-a","1":"host-b"}}""")
+    val hosts = Array("e1", "e2", "e3")
+    assert(ExecutorLocator.preferredFor("s", 0, hosts, fixed).toSeq === Seq("host-a"))
+    assert(ExecutorLocator.preferredFor("s", 1, hosts, fixed).toSeq === Seq("host-b"))
+    // unmapped partition: consistent-hash pick from the executor list
+    val fallback = ExecutorLocator.preferredFor("s", 2, hosts, fixed)
+    assert(fallback.length === 1 && hosts.contains(fallback.head))
+    // deterministic across calls
+    assert(fallback.toSeq === ExecutorLocator.preferredFor("s", 2, hosts, fixed).toSeq)
+    // end-to-end: the option flows into batch planning without error
+    val (root, _) = freshRoot()
+    val df = spark.read.format("dis")
+      .option("client.root", root).option("stream", "s")
+      .option("preferFixed", """{"s":{"0":"host-a"}}""")
+      .load()
+    assert(df.count() === 10L)
+    intercept[IllegalArgumentException](Offsets.partitionHosts("not json"))
+  }
+
   test("supported options still pass validation untouched") {
     val (root, _) = freshRoot()
     val df = spark.read.format("dis")
