@@ -51,6 +51,7 @@ object SparkEntry {
     "q_asof_join"       -> CoreQueries.qAsofJoin,
     "q_funnel"          -> CoreQueries.qFunnel,
     "q_tfidf"           -> TextQueries.qTfidf,
+    "q_pack_sequences"  -> TextQueries.qPackSequences,
     "q_stratified_sample" -> CoreQueries.qStratifiedSample,
     "q_dup_clusters"    -> DedupQueries.qDupClusters,
     "q_rollup"          -> CoreQueries.qRollup,
@@ -207,6 +208,7 @@ object SparkEntry {
 
     "q_dup_clusters" -> DedupQueries.dupClustersOracle,
     "q_tfidf" -> TextQueries.tfidfOracle,
+    "q_pack_sequences" -> TextQueries.packOracle,
 
     "q_funnel" ->
       """WITH s1 AS (

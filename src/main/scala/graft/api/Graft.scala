@@ -441,6 +441,54 @@ object Graft {
     df.filter(bucket < rateExpr)
   }
 
+  // ---------- sequence packing (training-data prep) ----------
+
+  /** Concat-and-chunk sequence packing — the standard pretraining data
+    * layout: documents are laid end-to-end in `id` order and the token
+    * stream is cut into fixed `budget`-token sequences. Returns, per
+    * document: its exclusive running token offset (`stream_off`), the
+    * sequence it starts in (`seq_id`), its offset inside that sequence
+    * (`seq_off`), and how many sequences it spans (`n_seqs` — a doc
+    * crossing a boundary is split across sequences, exactly like the
+    * GPT-style pack-then-chunk pipeline).
+    *
+    * The global prefix sum is computed in the same distributed two-pass
+    * shape as the engine's running-max: per-chunk sums (hash agg over
+    * an id-range chunk key), an exploded constant-size prefix, and a
+    * within-chunk window — no global single-partition window at any
+    * data-sized step. `id` must be non-negative; chunking divides the
+    * observed id range into ≤64 ranges, so ids need not be dense. */
+  def packSequences(df: DataFrame, id: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val maxId = df.agg(max(col(id))).collect()(0).getLong(0)
+    val chunkWidth = math.max(maxId / 64L, 1L)
+    val nChunks = maxId / chunkWidth + 1L
+    // `div`, not `/`: Divide on bigint returns DOUBLE, which silently
+    // loses exactness past 2^53
+    val chunked = df.select(col(id), col(tokensCol))
+      .withColumn("__chunk", expr(s"`$id` div $chunkWidth"))
+    val chunkSum = chunked.groupBy(col("__chunk"))
+      .agg(sum(col(tokensCol)).as("__csum"))
+    val prefix = chunkSum
+      .select(col("__chunk").as("__src"),
+        explode(sequence(col("__chunk") + 1, lit(nChunks - 1))).as("__chunk"),
+        col("__csum"))
+      .filter(col("__chunk") > col("__src"))
+      .groupBy(col("__chunk")).agg(sum(col("__csum")).as("__psum"))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunked.join(broadcast(prefix), Seq("__chunk"), "left")
+      .withColumn("__insum", coalesce(sum(col(tokensCol)).over(wIn), lit(0L)))
+      .withColumn("stream_off", coalesce(col("__psum"), lit(0L)) + col("__insum"))
+      .withColumn("seq_id", expr(s"stream_off div $budget"))
+      .withColumn("seq_off", pmod(col("stream_off"), lit(budget)))
+      .withColumn("n_seqs",
+        expr(s"(seq_off + `$tokensCol` - 1) div $budget") + 1L)
+      .select(col(id), col(tokensCol), col("stream_off"), col("seq_id"),
+        col("seq_off"), col("n_seqs"))
+  }
+
   // ---------- sessionization / events ----------
 
   /** Gap-based sessions per key (batch). Output: key, session_start,

@@ -84,6 +84,31 @@ object TextQueries {
       |  FROM tf JOIN dfreq USING (term), n)
       |WHERE rank <= 3""".stripMargin
 
+  /** Concat-and-chunk sequence packing of the corpus into 1024-token
+    * training sequences ([[graft.api.Graft.packSequences]]): global
+    * token offsets via the distributed two-pass prefix sum. */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.packSequences(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", 1024L)
+
+  val packOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS stream_off
+      |  FROM t)
+      |SELECT doc_id, n_tokens, stream_off,
+      |  (stream_off // 1024)::BIGINT AS seq_id,
+      |  (stream_off % 1024)::BIGINT AS seq_off,
+      |  ((stream_off % 1024 + n_tokens - 1) // 1024 + 1)::BIGINT AS n_seqs
+      |FROM o""".stripMargin
+
   /** Document fingerprint: position-weighted character hash
     * (rolling-hash family), oracle-checkable in plain SQL. The
     * high-throughput variant for production dedup is xxhash64(text)

@@ -157,6 +157,17 @@ class GraftApiSpec extends SparkTestBase {
     assert(out === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("packSequences: boundary-straddling docs, non-dense ids, exact offsets") {
+    // budget 10; docs laid out in id order with a gap in ids
+    val docs = Seq((0L, 4L), (1L, 8L), (5L, 3L), (100L, 25L)).toDF("id", "toks")
+    val out = Graft.packSequences(docs, "id", "toks", 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) === ((0L, 0L, 0L, 1L)))   // fits in seq 0
+    assert(out(1L) === ((4L, 0L, 4L, 2L)))   // 4..11 straddles seq 0/1
+    assert(out(5L) === ((12L, 1L, 2L, 1L)))  // fits in seq 1
+    assert(out(100L) === ((15L, 1L, 5L, 3L))) // 15..39 spans seqs 1,2,3
+  }
+
   test("asofJoin keeps determinism for a non-numeric (string) tiebreak") {
     val quotes = Seq(("u1", 20L, "A", 1.0), ("u2", 20L, "A", 2.0))
       .toDF("qid", "t", "k", "px").select(col("k"), col("t"), col("qid"), col("px"))
