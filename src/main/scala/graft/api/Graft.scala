@@ -156,10 +156,14 @@ object Graft {
   def tfIdf(df: DataFrame, id: String, text: String, topK: Int = 3): DataFrame = {
     val terms = df.select(col(id), explode(tokens(col(text))).as("term"))
     val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val n = df.select(col(id)).distinct().count()
+    // N rides in the plan as a broadcast 1-row aggregate: construction
+    // stays lazy (no corpus scan just to build the DataFrame)
+    val nDf = df.select(countDistinct(col(id)).as("__n"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .drop("__n")
     val w = Window.partitionBy(col(id)).orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
@@ -456,18 +460,24 @@ object Graft {
     * shape as the engine's running-max: per-chunk sums (hash agg over
     * an id-range chunk key), an exploded constant-size prefix, and a
     * within-chunk window — no global single-partition window at any
-    * data-sized step. `id` must be non-negative; chunking divides the
-    * observed id range into ≤64 ranges, so ids need not be dense. */
+    * data-sized step. Chunk boundaries come from an approximate
+    * quantile sketch of `id` (one bounded driver action), so chunks
+    * stay row-balanced under ANY id distribution — uniform-width
+    * chunking would collapse a skewed id space into one chunk. The
+    * boundaries only decide chunking, never values: the prefix sum is
+    * exact and deterministic regardless of the sketch. `id` must be
+    * non-negative and UNIQUE (ids define the pack order; duplicate ids
+    * would make the within-chunk order, and thus offsets, ambiguous). */
   def packSequences(df: DataFrame, id: String, tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val maxId = df.agg(max(col(id))).collect()(0).getLong(0)
-    val chunkWidth = math.max(maxId / 64L, 1L)
-    val nChunks = maxId / chunkWidth + 1L
-    // `div`, not `/`: Divide on bigint returns DOUBLE, which silently
-    // loses exactness past 2^53
+    val boundaries = df.stat.approxQuantile(id,
+      (1 until 64).map(_ / 64.0).toArray, 0.01).distinct
+    val nChunks = boundaries.length + 1L
+    val chunkCol = boundaries.foldLeft(lit(0L))((acc, b) =>
+      acc + (col(id) > b).cast("long"))
     val chunked = df.select(col(id), col(tokensCol))
-      .withColumn("__chunk", expr(s"`$id` div $chunkWidth"))
+      .withColumn("__chunk", chunkCol)
     val chunkSum = chunked.groupBy(col("__chunk"))
       .agg(sum(col(tokensCol)).as("__csum"))
     val prefix = chunkSum

@@ -90,7 +90,7 @@ object TextQueries {
   def qPackSequences(spark: SparkSession, dir: String): DataFrame =
     graft.api.Graft.packSequences(
       Tables.documents(spark, dir).select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens")),
+        size(tokens).cast("long").as("n_tokens")),
       "doc_id", "n_tokens", 1024L)
 
   val packOracle: String =

@@ -168,6 +168,19 @@ class GraftApiSpec extends SparkTestBase {
     assert(out(100L) === ((15L, 1L, 5L, 3L))) // 15..39 spans seqs 1,2,3
   }
 
+  test("packSequences: empty input and skewed id spaces behave") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "toks")
+    assert(Graft.packSequences(empty, "id", "toks", 10L).count() === 0L)
+    // adversarial id space: dense low ids + one huge outlier must not
+    // change offsets (quantile chunking is row-balanced, not id-width)
+    val skewed = ((0L until 100L).map(i => (i, 5L)) :+ (1000000000000L, 7L)).toDF("id", "toks")
+    val out = Graft.packSequences(skewed, "id", "toks", 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(0L) === 0L)
+    assert(out(99L) === 99L * 5L)
+    assert(out(1000000000000L) === 500L)
+  }
+
   test("asofJoin keeps determinism for a non-numeric (string) tiebreak") {
     val quotes = Seq(("u1", 20L, "A", 1.0), ("u2", 20L, "A", 2.0))
       .toDF("qid", "t", "k", "px").select(col("k"), col("t"), col("qid"), col("px"))

@@ -67,6 +67,42 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian product present:\n$p")
   }
 
+  test("q_asof_join plans as union+window — no inequality join, no global window") {
+    val df = CoreQueries.qAsofJoin(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"inequality join present:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = windowsOf(df)
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in plan:\n$p"))
+  }
+
+  private def windowsOf(df: DataFrame) = {
+    val root = df.queryExecution.executedPlan match {
+      // AQE wraps the physical plan; collect inside it
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+  }
+
+  test("q_pack_sequences has no data-sized unpartitioned window") {
+    val df = TextQueries.qPackSequences(spark, dir)
+    val windows = windowsOf(df)
+    assert(windows.nonEmpty, s"expected a WindowExec:\n${plan(df)}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in plan:\n${plan(df)}"))
+  }
+
+  test("q_late_data windows are all partitioned (two-pass running max holds)") {
+    val df = CoreQueries.qLateData(spark, dir)
+    val windows = windowsOf(df)
+    assert(windows.nonEmpty, s"expected a WindowExec:\n${plan(df)}")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in plan:\n${plan(df)}"))
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
