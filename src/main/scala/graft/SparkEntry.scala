@@ -52,6 +52,7 @@ object SparkEntry {
     "q_funnel"          -> CoreQueries.qFunnel,
     "q_tfidf"           -> TextQueries.qTfidf,
     "q_pack_sequences"  -> TextQueries.qPackSequences,
+    "q_bm25"            -> TextQueries.qBm25,
     "q_stratified_sample" -> CoreQueries.qStratifiedSample,
     "q_dup_clusters"    -> DedupQueries.qDupClusters,
     "q_rollup"          -> CoreQueries.qRollup,
@@ -209,6 +210,7 @@ object SparkEntry {
     "q_dup_clusters" -> DedupQueries.dupClustersOracle,
     "q_tfidf" -> TextQueries.tfidfOracle,
     "q_pack_sequences" -> TextQueries.packOracle,
+    "q_bm25" -> TextQueries.bm25Oracle,
 
     "q_funnel" ->
       """WITH s1 AS (

@@ -171,6 +171,32 @@ object Graft {
         col("rank").cast("long").as("rank"))
   }
 
+  /** BM25 top terms per document (Robertson idf, Lucene +1 form):
+    * score = ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)). Same plan shape as [[tfIdf]] plus the
+    * per-doc length dl (one aggregate) and the corpus scalars N/avgdl
+    * riding as a broadcast 1-row aggregate. dl sums are over longs
+    * (order-exact); only the final score is FP, rounded to 6. */
+  def bm25(df: DataFrame, id: String, text: String, topK: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = df.select(col(id), explode(tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
+    val scored = tf.join(dfreq, "term").join(dl, id).crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) +
+        (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("bm25", round(
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))), 6))
+    val w = Window.partitionBy(col(id)).orderBy(col("bm25").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(id), col("term"), col("tf"), col("df"), col("dl").cast("long").as("dl"),
+        col("bm25"), col("rank").cast("long").as("rank"))
+  }
+
   /** Ordered funnel: for each entity, the earliest time each stage can
     * be reached given all previous stages happened strictly earlier
     * (first stage = min ts of its event type; stage k = min ts of its

@@ -84,6 +84,39 @@ object TextQueries {
       |  FROM tf JOIN dfreq USING (term), n)
       |WHERE rank <= 3""".stripMargin
 
+  /** BM25 top-3 terms per document — length-normalized relevance
+    * ([[graft.api.Graft.bm25]], k1=1.2, b=0.75). */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.bm25(Tables.documents(spark, dir), "doc_id", "text", 3)
+
+  val bm25Oracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), corpus AS (
+      |  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
+      |)
+      |SELECT doc_id, term, tf, df, dl, bm25, rank FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, dl.dl::BIGINT AS dl,
+      |    round(
+      |      ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)), 6) AS bm25,
+      |    row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      round(
+      |        ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |          * (tf.tf * 2.2)
+      |          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)), 6) DESC,
+      |      tf.term ASC)::BIGINT AS rank
+      |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, corpus)
+      |WHERE rank <= 3""".stripMargin
+
   /** Concat-and-chunk sequence packing of the corpus into 1024-token
     * training sequences ([[graft.api.Graft.packSequences]]): global
     * token offsets via the distributed two-pass prefix sum. */
