@@ -407,13 +407,17 @@ object Graft {
     * `cluster_id` — the step that turns pairwise dup detection
     * (minhash/simhash/embedding) into keep-one-per-cluster dedup.
     *
-    * Algorithm: distributed hash-min label propagation — each round
-    * every node takes the min label among itself and its neighbors
-    * (one shuffle per round over the undirected edge list), until a
-    * round changes nothing. Rounds ∝ component diameter; near-dup
-    * graphs are dense clusters of tiny diameter, so convergence is a
-    * handful of rounds (an adversarial million-node chain would favor
-    * the alternating large-star/small-star variant, same join shape).
+    * Algorithm: distributed hash-min label propagation with pointer
+    * jumping — each round every node takes the min label among itself
+    * and its neighbors (one shuffle over the undirected edge list),
+    * then labels are composed through themselves (label ← label of
+    * label), which doubles the propagation distance per round. Rounds
+    * are O(log diameter), so even an adversarial million-node chain
+    * converges in ~20 rounds instead of a million. Both steps only
+    * ever move a node's label to a smaller id within its own component
+    * (neighbors share a component; composing through a component
+    * member stays inside it), so correctness is unchanged — pinned
+    * against a local union-find on random graphs in GraftApiSpec.
     * Each round's result is localCheckpoint'ed: iterative lineage
     * otherwise grows exponentially in planning cost. */
   def dupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame = {
@@ -433,11 +437,18 @@ object Graft {
     // empty pair list: no nodes, nothing to propagate
     var converged = edges.isEmpty
     while (!converged) {
-      labels = edges
+      val propagated = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("cluster_id"))
         .unionAll(labels)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // pointer jumping: follow each label to ITS label (left join —
+      // a label that is already a root labels itself)
+      labels = propagated
+        .join(propagated.select(col("id").as("__lid"), col("cluster_id").as("__lparent")),
+          col("cluster_id") === col("__lid"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__lparent"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
       val s = labelSum(labels)
       converged = s == prevSum

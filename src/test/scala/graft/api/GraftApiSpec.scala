@@ -134,6 +134,36 @@ class GraftApiSpec extends SparkTestBase {
     assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters matches a union-find reference on random graphs (incl. long chains)") {
+    val rnd = new scala.util.Random(42)
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val cases = Seq(
+      // long chain: adversarial diameter for naive propagation
+      (0L until 60L).sliding(2).map(s => (s(1), s(0))).toSeq,
+      // random sparse graph
+      Seq.fill(80)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong)).filter(p => p._1 != p._2),
+      // two dense blobs
+      (for (i <- 0 until 10; j <- i + 1 until 10) yield (i.toLong, j.toLong)) ++
+        (for (i <- 50 until 58; j <- i + 1 until 58) yield (i.toLong, j.toLong)))
+    cases.foreach { pairs =>
+      val expected = unionFind(pairs)
+      val got = Graft.dupClusters(pairs.toDF("x", "y"), "x", "y")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"mismatch for ${pairs.take(5)}...")
+    }
+  }
+
   test("dupClusters on an empty pair list returns empty, not an error") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     assert(Graft.dupClusters(empty, "x", "y").count() === 0L)
