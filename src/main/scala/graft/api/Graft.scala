@@ -181,7 +181,9 @@ object Graft {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = df.select(col(id), explode(tokens(col(text))).as("term"))
     val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col(id)).agg(count(lit(1)).as("dl"))
+    // dl = Σ tf per doc: derived from the tf aggregate instead of a
+    // second full explode over the corpus
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
     val scored = tf.join(dfreq, "term").join(dl, id).crossJoin(broadcast(corpus))
