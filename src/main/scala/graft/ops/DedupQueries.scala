@@ -320,15 +320,15 @@ object DedupQueries {
         col("b.n").cast("double") >= col("a.n") * threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    // verify map-side: the per-doc gram table is docs-sized (not
-    // pairs-sized) — broadcast it so candidate rows never shuffle with
-    // gram arrays attached (at larger scale: bucket both sides by doc
-    // id), then merge-count each pair's sorted hash arrays in a Scala
-    // kernel
+    // verify: attach each side's sorted gram hashes via equi-joins on
+    // doc id. The gram table is docs-sized, so no broadcast hint — the
+    // joins shuffle on doc id at scale, and AQE still picks broadcast
+    // when the table is genuinely small. The pair's arrays are then
+    // merge-counted in a Scala kernel.
     val withGrams = cand
-      .join(broadcast(docs.select(col("__id"), col("h").as("h_a"))),
+      .join(docs.select(col("__id"), col("h").as("h_a")),
         col("id_a") === col("__id")).drop("__id")
-      .join(broadcast(docs.select(col("__id"), col("h").as("h_b"))),
+      .join(docs.select(col("__id"), col("h").as("h_b")),
         col("id_b") === col("__id")).drop("__id")
     val enc = Encoders.row(StructType(Seq(
       StructField("id_a", LongType),

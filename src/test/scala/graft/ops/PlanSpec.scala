@@ -103,6 +103,18 @@ class PlanSpec extends SparkTestBase {
       s"unpartitioned window in plan:\n${plan(df)}"))
   }
 
+  test("q_ngram_jaccard verify joins carry no mandatory broadcast hint (gram table shuffles at scale)") {
+    val df = DedupQueries.qNgramJaccard(spark, dir)
+    val hints = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    assert(hints.nonEmpty, "expected joins in the ngram plan")
+    hints.foreach { h =>
+      assert(h.leftHint.forall(_.strategy.isEmpty) && h.rightHint.forall(_.strategy.isEmpty),
+        s"mandatory broadcast hint in ngram plan: $h")
+    }
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
