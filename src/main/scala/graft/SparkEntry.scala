@@ -64,6 +64,8 @@ object SparkEntry {
     "q_quality_score"   -> TextQueries.qQualityScore,
     "q_lang_id"         -> TextQueries.qLangId,
     "q_fingerprint"     -> TextQueries.qFingerprint,
+    "q_fingerprint64"   -> ((s, dir) => graft.api.Graft.fingerprint64(
+      graft.ops.Tables.documents(s, dir), "doc_id", "text")),
     "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
@@ -89,7 +91,10 @@ object SparkEntry {
     * approximate operators whose sketch impls differ across engines —
     * q_dedup_approx (HLL), q_similarity_ivf (IVF), q_percentiles
     * (approx_percentile); each has a ScalaTest accuracy bound vs its
-    * exact counterpart instead. */
+    * exact counterpart instead. Also omitted: q_fingerprint64 — the
+    * production xxhash64 path (DuckDB has no xxhash64); its ScalaTest
+    * pins collision-freedom vs exact text on the fixtures, and
+    * q_fingerprint pins exact cross-engine hash semantics. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" -> s"SELECT $evCols FROM events",
 

@@ -510,11 +510,17 @@ object Graft {
   def packSequences(df: DataFrame, id: String, tokensCol: String,
       budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // chunk count scales with the cluster (graft.ops.Chunking) so the
+    // within-chunk window isn't capped at constant parallelism; the
+    // sketch's relative error shrinks with the quantile step so
+    // adjacent boundaries don't collapse
+    val n = graft.ops.Chunking.chunkCount(df.sparkSession)
     val boundaries = df.stat.approxQuantile(id,
-      (1 until 64).map(_ / 64.0).toArray, 0.01).distinct
+      (1 until n).map(_ / n.toDouble).toArray, math.min(0.01, 0.25 / n)).distinct.sorted
     val nChunks = boundaries.length + 1L
-    val chunkCol = boundaries.foldLeft(lit(0L))((acc, b) =>
-      acc + (col(id) > b).cast("long"))
+    // O(log n) codegen'd binary search — a fold of n comparisons would
+    // grow the expression tree with the cluster size
+    val chunkCol = graft.functions.SortedBucket.sorted_bucket(col(id), boundaries)
     val chunked = df.select(col(id), col(tokensCol))
       .withColumn("__chunk", chunkCol)
     val chunkSum = chunked.groupBy(col("__chunk"))

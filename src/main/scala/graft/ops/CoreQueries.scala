@@ -170,15 +170,21 @@ object CoreQueries {
     * (constant) data ever meets a single partition. */
   def qLateData(spark: SparkSession, dir: String): DataFrame = {
     val arrival = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-    val chunkWidth = 33554432L // 2^25 → 64 chunks over the 2^31 arrival axis
+    // chunk count scales with the cluster (4× parallelism) so the
+    // within-chunk window's parallelism isn't capped at a constant when
+    // the data grows 1000×; pow2 so chunkWidth divides the 2^31 axis
+    // exactly. The 4096 cap bounds the O(chunks²) exploded prefix at
+    // ~8.4M constant-size rows (still one cheap hash agg) — past that,
+    // add a second prefix level instead of more chunks.
+    val nChunks = Chunking.chunkCount(spark)
+    val chunkWidth = 2147483648L / nChunks
     val chunked = Tables.events(spark, dir)
       .withColumn("__arr", arrival)
       .withColumn("__chunk", (col("__arr") / chunkWidth).cast("long"))
     // pass 1: per-chunk max event time (partial+final hash agg)
     val chunkMax = chunked.groupBy(col("__chunk")).agg(max(col("ts")).as("__cmax"))
     // pass 2: exclusive prefix max — each chunk's max contributes to all
-    // later chunks; 64×64/2 rows max, plain equi hash aggregate
-    val nChunks = (2147483648L / chunkWidth).toInt
+    // later chunks; nChunks²/2 rows max, plain equi hash aggregate
     // guard the exploded targets: sequence(start, stop) runs DESCENDING
     // when start > stop, so the last chunk would otherwise emit
     // [nChunks, nChunks-1] and contribute its own max to its own

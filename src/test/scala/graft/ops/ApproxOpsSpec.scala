@@ -73,4 +73,20 @@ class ApproxOpsSpec extends SparkTestBase {
     // the query's nearest cells when the cells are real Voronoi regions
     assert(recall >= 0.6, s"IVF recall $recall too low for trained centroids")
   }
+
+  test("q_fingerprint64: xxhash64 production path is collision-free on the fixtures " +
+      "and partitions identically to exact text equality") {
+    val docs = Tables.documents(spark, dir)
+    val fp = graft.api.Graft.fingerprint64(docs, "doc_id", "text")
+    assert(fp.columns.toSeq === Seq("doc_id", "fp64"))
+    assert(fp.count() === docs.count())
+    // same text ⇒ same fp (hash is a function) and, on the fixtures,
+    // same fp ⇒ same text (no collisions): distinct counts must agree
+    // and (text, fp) pairs must be 1:1
+    val nText = docs.select("text").distinct().count()
+    val nFp = fp.select("fp64").distinct().count()
+    assert(nFp === nText, s"xxhash64 collided: $nFp fingerprints for $nText texts")
+    val pairs = docs.join(fp, "doc_id").select("text", "fp64").distinct().count()
+    assert(pairs === nText, "fp64 is not a pure function of text")
+  }
 }
