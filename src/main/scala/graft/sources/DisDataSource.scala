@@ -105,21 +105,59 @@ object Dis {
   def stream(options: Map[String, String]): String =
     options.getOrElse("stream", throw new IllegalArgumentException("option 'stream' is required"))
 
-  /** Subscribed streams: explicit `stream`, or every service stream
+  /** Explicit partition assignment from the `assign` option
+    * (`{"stream":[0,2]}`) — the Assign consumer strategy (reference
+    * dis/ConsumerStrategy.scala:186-213): consume exactly these
+    * partitions of exactly these streams, batch AND streaming. Mutually
+    * exclusive with `stream`/`subscribePattern`, same as Kafka's
+    * exactly-one-of rule — a job setting both has two conflicting
+    * sources of truth, so it fails loudly instead of guessing. */
+  def assignment(options: Map[String, String]): Option[Map[String, Seq[Int]]] =
+    options.get("assign").map { json =>
+      require(!options.contains("subscribepattern") && !options.contains("stream"),
+        "options 'assign' and 'stream'/'subscribePattern' are mutually " +
+          "exclusive: pass exactly one subscription mode")
+      Offsets.streamPartitions(json)
+    }
+
+  /** Readable partitions of `stream` under the active subscription
+    * mode: the assigned subset when `assign` is set (validated against
+    * the service so a typo'd partition fails loudly instead of reading
+    * nothing forever), otherwise everything the service reports —
+    * which keeps per-trigger partition elasticity. An assigned subset
+    * is intentionally NOT elastic: the contract is "exactly these". */
+  def partitionsFor(client: StreamClient, stream: String, options: Map[String, String]): Seq[Int] =
+    assignment(options) match {
+      case Some(assigned) =>
+        val want = assigned.getOrElse(stream, Seq.empty)
+        val have = client.partitionsFor(stream).toSet
+        val missing = want.filterNot(have)
+        require(missing.isEmpty,
+          s"assigned partition(s) ${missing.mkString(",")} do not exist in stream '$stream' " +
+            s"(existing: ${have.toSeq.sorted.mkString(",")})")
+        want
+      case None => client.partitionsFor(stream)
+    }
+
+  /** Subscribed streams: explicit `stream`, every service stream
     * matching `subscribePattern` (O16 SubscribePattern analog,
-    * dis/ConsumerStrategy.scala:132-171). Pattern resolution happens at
-    * planning time, so streams created later are picked up by the next
-    * trigger — same elasticity as partitions. */
+    * dis/ConsumerStrategy.scala:132-171), or the keys of an explicit
+    * `assign` map. Pattern resolution happens at planning time, so
+    * streams created later are picked up by the next trigger — same
+    * elasticity as partitions. */
   def streamsFor(client: StreamClient, options: Map[String, String]): Seq[String] =
-    options.get("subscribepattern") match {
-      case Some(pattern) =>
-        val re = pattern.r
-        val matched = client.listStreams().filter(s => re.pattern.matcher(s).matches())
-        require(matched.nonEmpty ||
-          options.get("allowemptysubscription").exists(_.toBoolean),
-          s"subscribePattern '$pattern' matched no streams")
-        matched
-      case None => Seq(stream(options))
+    assignment(options) match {
+      case Some(assigned) => assigned.keys.toSeq.sorted
+      case None => options.get("subscribepattern") match {
+        case Some(pattern) =>
+          val re = pattern.r
+          val matched = client.listStreams().filter(s => re.pattern.matcher(s).matches())
+          require(matched.nonEmpty ||
+            options.get("allowemptysubscription").exists(_.toBoolean),
+            s"subscribePattern '$pattern' matched no streams")
+          matched
+        case None => Seq(stream(options))
+      }
     }
   def groupId(options: Map[String, String]): String =
     options.getOrElse("groupid", "graft-default-group") // keys pre-normalized to lower case
@@ -133,7 +171,8 @@ object Dis {
 class DisTable(options: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
   private val opts = Dis.normalize(options)
   Dis.rejectUnsupported(opts)
-  override def name(): String = s"dis:${opts.getOrElse("stream", "?")}"
+  override def name(): String =
+    s"dis:${opts.getOrElse("stream", opts.getOrElse("subscribepattern", opts.getOrElse("assign", "?")))}"
   override def schema(): StructType = Dis.schema
   override def capabilities(): ju.Set[TableCapability] = ju.EnumSet.of(
     TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -178,9 +217,9 @@ class DisBatch(options: Map[String, String]) extends Batch {
         case None =>
           val streams = Dis.streamsFor(client, options)
           val starting = DisMicroBatchStream.resolveOffsets(
-            client, streams, options.getOrElse("startingoffsets", "earliest"))
+            client, streams, options.getOrElse("startingoffsets", "earliest"), options)
           val ending = DisMicroBatchStream.resolveOffsets(
-            client, streams, options.getOrElse("endingoffsets", "latest"))
+            client, streams, options.getOrElse("endingoffsets", "latest"), options)
           starting.toSeq.sortBy(_._1).map { case ((s, p), from) =>
             OffsetRange(s, p, from, math.max(ending.getOrElse((s, p), from), from))
           }
@@ -265,6 +304,15 @@ class DisMicroBatchStream(options: Map[String, String])
   private val maxPerTrigger = Dis.longOption(options, "maxrecordspertrigger")
   private val maxRatePerPartition = Dis.longOption(options, "maxratepertrigger")
     .orElse(Dis.longOption(options, "maxrateperpartition"))
+  // per-partition cap overrides (PerPartitionConfig analog,
+  // dis/PerPartitionConfig.scala:30-46): `{"stream":{"0":100}}` caps
+  // partition 0 at 100 records/trigger while others keep the uniform cap
+  private val ratePerPartitionOverrides: Map[(String, Int), Long] =
+    options.get("maxrateperpartitionoverrides")
+      .map(Offsets.partitionOffsets).getOrElse(Map.empty)
+  ratePerPartitionOverrides.foreach { case ((s, p), cap) =>
+    require(cap > 0, s"maxRatePerPartitionOverrides: cap for $s-$p must be positive, got $cap")
+  }
   // backpressure (O6 analog): proportional controller on measured
   // trigger throughput; budget = min(static, adaptive)
   private val rateController: Option[RateController] =
@@ -283,7 +331,7 @@ class DisMicroBatchStream(options: Map[String, String])
   @volatile private var lastLatest: Map[(String, Int), Long] = null
 
   private def fetchLatest(): Map[(String, Int), Long] =
-    streams.flatMap(s => client.partitionsFor(s)
+    streams.flatMap(s => Dis.partitionsFor(client, s, options)
       .map(p => (s, p) -> client.latestOffset(s, p))).toMap
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -297,7 +345,7 @@ class DisMicroBatchStream(options: Map[String, String])
 
   override def initialOffset(): Offset =
     DisSourceOffset(DisMicroBatchStream.resolveOffsets(
-      client, streams, options.getOrElse("startingoffsets", "earliest")))
+      client, streams, options.getOrElse("startingoffsets", "earliest"), options))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -323,7 +371,8 @@ class DisMicroBatchStream(options: Map[String, String])
       case (a, b)             => a.orElse(b)
     }
     val lags = current.map { case (tp, cur) => tp -> math.max(latest(tp) - cur, 0L) }
-    val allocation = RateAllocator.allocate(lags, budget, maxRatePerPartition)
+    val allocation = RateAllocator.allocate(lags, budget, maxRatePerPartition,
+      ratePerPartitionOverrides)
     val end = RateAllocator.clamp(current, latest, allocation)
     rateController.foreach(_.admitted(
       end.map { case (tp, e) => e - current.getOrElse(tp, e) }.sum, now))
@@ -366,10 +415,12 @@ class DisMicroBatchStream(options: Map[String, String])
 object DisMicroBatchStream {
   /** Resolve a startingOffsets/endingOffsets option value:
     * "earliest" | "latest" | JSON with -1/-2 sentinels
-    * (O2/O16 semantics, dis/ConsumerStrategy.scala:485-513). */
-  def resolveOffsets(client: StreamClient, streams: Seq[String], spec: String): Map[(String, Int), Long] =
+    * (O2/O16 semantics, dis/ConsumerStrategy.scala:485-513). Partition
+    * scope honors an `assign` subset in `options`. */
+  def resolveOffsets(client: StreamClient, streams: Seq[String], spec: String,
+      options: Map[String, String] = Map.empty): Map[(String, Int), Long] =
     streams.flatMap { stream =>
-      val parts = client.partitionsFor(stream)
+      val parts = Dis.partitionsFor(client, stream, options)
       spec.trim.toLowerCase(ju.Locale.ROOT) match {
         case "earliest" => parts.map(p => (stream, p) -> client.earliestOffset(stream, p))
         case "latest"   => parts.map(p => (stream, p) -> client.latestOffset(stream, p))

@@ -85,6 +85,20 @@ object Offsets {
           s"""Expected e.g. {"streamA":{"0":[100,200],"1":[-2,-1]}}, got $json""")
     }
 
+  /** `{"stream":[0,2]}` → explicit partition assignment per stream —
+    * the Assign consumer-strategy dialect (reference
+    * dis/ConsumerStrategy.scala:186-213; Kafka source `assign`). */
+  def streamPartitions(json: String): Map[String, Seq[Int]] =
+    try {
+      val parsed = Serialization.read[Map[String, Seq[Int]]](json)
+      require(parsed.nonEmpty && parsed.forall(_._2.nonEmpty))
+      parsed.view.mapValues(_.distinct.sorted).toMap
+    } catch {
+      case _: Throwable =>
+        throw new IllegalArgumentException(
+          s"""Expected e.g. {"streamA":[0,2],"streamB":[1]} with at least one partition per stream, got $json""")
+    }
+
   /** `{"stream":{"0":"host-a"}}` → per-(stream,partition) preferred
     * hosts — the PreferFixed location dialect
     * (dis/LocationStrategy.scala:59-74). */

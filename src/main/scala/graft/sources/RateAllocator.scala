@@ -20,11 +20,17 @@ object RateAllocator {
     * @param lags              current lag (latest - committed) per partition
     * @param totalLimit        global per-trigger budget (e.g. maxRecordsPerTrigger)
     * @param perPartitionLimit static cap per partition (maxRatePerPartition × trigger)
+    * @param partitionOverrides per-(stream,partition) cap taking precedence
+    *   over the uniform cap — the PerPartitionConfig extension point
+    *   (dis/PerPartitionConfig.scala:30-46, an overridable
+    *   maxRatePerPartition(partition)); here a data-driven map so the
+    *   policy travels to any cluster as plain options
     */
   def allocate(
       lags: Map[(String, Int), Long],
       totalLimit: Option[Long],
-      perPartitionLimit: Option[Long]): Map[(String, Int), Long] = {
+      perPartitionLimit: Option[Long],
+      partitionOverrides: Map[(String, Int), Long] = Map.empty): Map[(String, Int), Long] = {
     val totalLag = math.max(lags.values.sum, 0L)
     lags.map { case (tp, lag) =>
       val proportional: Long = totalLimit match {
@@ -34,7 +40,7 @@ object RateAllocator {
         case Some(_) => 0L
         case None    => Long.MaxValue
       }
-      val capped = perPartitionLimit match {
+      val capped = partitionOverrides.get(tp).orElse(perPartitionLimit) match {
         case Some(cap) => math.min(proportional, cap)
         case None      => proportional
       }
