@@ -420,16 +420,26 @@ object Graft {
     * (neighbors share a component; composing through a component
     * member stays inside it), so correctness is unchanged — pinned
     * against a local union-find on random graphs in GraftApiSpec.
-    * Each round's result is localCheckpoint'ed: iterative lineage
-    * otherwise grows exponentially in planning cost. */
-  def dupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    * Each round's result is checkpointed: iterative lineage otherwise
+    * grows exponentially in planning cost.
+    *
+    * `reliable = false` (default) uses `localCheckpoint` — fastest, but
+    * blocks live on executors, so on a real cluster a lost executor
+    * kills the job mid-iteration instead of recomputing. For long
+    * chains on preemptible/large clusters pass `reliable = true` to
+    * write rounds to the reliable checkpoint dir (the caller must have
+    * set `sparkContext.setCheckpointDir` to durable storage); each
+    * round then survives executor loss at the cost of a distributed
+    * write per round. */
+  def dupClusters(pairs: DataFrame, idA: String, idB: String,
+      reliable: Boolean = false): DataFrame = {
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = checkpointed(pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = checkpointed(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
     // labels only ever decrease, so the label sum is a strictly
     // decreasing convergence witness: one cheap aggregate per round
     // instead of a join-and-count diff
@@ -446,12 +456,11 @@ object Graft {
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
       // pointer jumping: follow each label to ITS label (left join —
       // a label that is already a root labels itself)
-      labels = propagated
+      labels = checkpointed(propagated
         .join(propagated.select(col("id").as("__lid"), col("cluster_id").as("__lparent")),
           col("cluster_id") === col("__lid"), "left")
         .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__lparent"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+          least(col("cluster_id"), coalesce(col("__lparent"), col("cluster_id"))).as("cluster_id")))
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s

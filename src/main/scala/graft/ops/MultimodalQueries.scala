@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * passes — the Scala analog of a Pandas-UDF/mapInPandas media
   * pipeline.
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * environment): [[DecodeStub]] derives deterministic "pixels" from the
-  * blob bytes. Everything around the stub — blob/metadata schema,
-  * partition-batched iteration, feature schema, the frame-sampling
-  * arithmetic — is the real production shape: swap [[DecodeStub.decode]]
-  * for a JNI/ImageIO call and nothing else changes.
+  * Decode dispatches on the blob's magic bytes: real PNGs decode
+  * through JDK ImageIO to luminance pixels (an actual codec, no extra
+  * deps); other blobs use a deterministic byte-stream interpretation —
+  * the fixture path, since the text-derived fixtures are not images
+  * (audio/video codecs would plug into the same dispatch). The
+  * blob/metadata schema, partition-batched iteration, feature schema
+  * and frame-sampling arithmetic are the production shape either way.
   *
   * Scale notes: blobs never pass through a shuffle (all ops are
   * per-row/per-partition); metadata-only predicates prune on parquet
@@ -23,11 +24,45 @@ import org.apache.spark.sql.types._
   */
 object MultimodalQueries {
 
-  /** STUB decoder: "decodes" a blob to its byte stream. A real build
-    * replaces this with the actual media codec; the call site,
-    * batching, and output contract stay identical. */
+  /** Blob decoder. Real PNG blobs (sniffed by magic bytes) decode
+    * through JDK ImageIO to row-major grayscale pixels — an actual
+    * media codec, zero extra dependencies. Anything else falls back to
+    * the byte-stream interpretation (the deterministic stand-in used by
+    * the text-derived fixtures, whose DuckDB oracle works per byte).
+    * Formats the JDK can't decode (jpeg2000, webp, ...) would plug in
+    * here behind the same sniff-and-dispatch; the call site, batching
+    * and output contract never change. */
   object DecodeStub {
-    def decode(blob: Array[Byte]): Array[Int] = blob.map(b => (b & 0xff))
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+    def isPng(blob: Array[Byte]): Boolean =
+      blob.length >= PngMagic.length && java.util.Arrays.equals(
+        java.util.Arrays.copyOf(blob, PngMagic.length), PngMagic)
+
+    /** Row-major luminance (0-255, ITU-R BT.601 integer weights) of a
+      * decoded PNG — deterministic across JVMs: PNG is lossless and the
+      * weights are fixed integer arithmetic. */
+    def decodePng(blob: Array[Byte]): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      require(img != null, "ImageIO could not decode PNG blob")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          out(y * w + x) = (r * 299 + g * 587 + b * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decode(blob: Array[Byte]): Array[Int] =
+      if (isPng(blob)) decodePng(blob) else blob.map(b => (b & 0xff))
   }
 
   /** Deterministic multimodal table derived from `documents`: blob =
@@ -83,8 +118,12 @@ object MultimodalQueries {
     *    analog), count
     *  - sampled_sum: sum of the first decoded value of every 4th frame
     */
-  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val media = mediaTable(spark, dir).select(col("doc_id"), col("blob"))
+  def qMultimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    features(mediaTable(spark, dir).select(col("doc_id"), col("blob")))
+
+  /** The feature kernel on any (id: long, blob: binary) frame — decode
+    * dispatches per blob, so text stand-ins and real PNGs mix freely. */
+  def features(media: DataFrame): DataFrame = {
     val enc = Encoders.row(featureSchema)
     media.mapPartitions { rows =>
       rows.map { r =>

@@ -164,6 +164,18 @@ class GraftApiSpec extends SparkTestBase {
     }
   }
 
+  test("dupClusters reliable=true checkpoints rounds durably and matches the default path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("x", "y")
+    val out = Graft.dupClusters(pairs, "x", "y", reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // rounds actually hit the reliable dir (not executor-local storage)
+    val l = java.nio.file.Files.list(dir)
+    try assert(l.count() > 0, "no reliable checkpoint written") finally l.close()
+  }
+
   test("dupClusters on an empty pair list returns empty, not an error") {
     val empty = Seq.empty[(Long, Long)].toDF("x", "y")
     assert(Graft.dupClusters(empty, "x", "y").count() === 0L)
