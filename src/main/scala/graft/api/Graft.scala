@@ -297,18 +297,19 @@ object Graft {
   }
 
   /** IVF approximate top-k cosine search: corpus vectors live in their
-    * nearest cell (map-only assignment), queries probe their
-    * `ivf.nprobe` nearest cells, and scoring is an equi-join on cell id
-    * — compute drops ~nlist/nprobe vs the exact scan. Output schema
-    * matches [[knn]]. */
+    * `ivf.corpusAssign` nearest cells (map-only spilled assignment —
+    * FAISS-style replication that recovers Voronoi-boundary neighbors),
+    * queries probe their `ivf.nprobe` nearest cells, and scoring is an
+    * equi-join on cell id — compute drops ~nlist/(nprobe·corpusAssign)
+    * vs the exact scan. Output schema matches [[knn]]. */
   def ivfKnn(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
     import graft.ops.Ivf
     val centroids = Ivf.trainCentroids(corpus, id, vec, ivf)
-    val assigned = Ivf.assign(corpus, id, vec, centroids, 1)
+    val assigned = Ivf.assign(corpus, id, vec, centroids, ivf.corpusAssign)
       .select(col(id).as("neighbor_id"), col(vec).as("__v"), col("nrm").as("__nrm"), col("cell"))
-    val probes = Ivf.assign(queries, queryId, queryVec, centroids, ivf.nprobe)
+    val probes = Ivf.assign(queries, queryId, queryVec, centroids, ivf.resolveNprobe(centroids.length))
       .select(col(queryId).as("query_id"), col(queryVec).as("__q"), col("nrm").as("__qnrm"), col("cell"))
     // no broadcast hint: Catalyst/AQE broadcasts a small query side on
     // its own; a huge query set must shuffle-join on cell or it would
@@ -316,6 +317,12 @@ object Graft {
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+      // replication + multi-probe surface the same (query, neighbor)
+      // pair through several cells: collapse before ranking or row_number
+      // would count the duplicate. cos is a pure function of the pair, so
+      // dedup on the keys alone is exact.
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -94,13 +94,15 @@ object SimilarityQueries {
   /** IVF-bucketed approximate kNN — the scale path. Centroids are
     * trained (sampled spherical k-means, [[Ivf.trainCentroids]]);
     * corpus vectors live in their nearest cell via a map-only kernel;
-    * queries probe their 4 nearest of 16 cells. Recall vs the exact
-    * path is asserted in ScalaTest (approximate ⇒ no SQL oracle). */
+    * queries probe their nearest ~¼ of the ≈√n auto-sized cells
+    * ([[Ivf.Params.resolveNlist]]/[[Ivf.Params.resolveNprobe]]).
+    * Recall vs the exact path is asserted in ScalaTest
+    * (approximate ⇒ no SQL oracle). */
   def qSimilarityIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     graft.api.Graft.ivfKnn(
       emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
-      Ivf.Params(nlist = 16, nprobe = 4))
+      Ivf.Params())
   }
 }

@@ -68,10 +68,40 @@ class ApproxOpsSpec extends SparkTestBase {
     }
     val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivfPairs intersect exact).size.toDouble / exact.size
-    // trained spherical-k-means centroids must beat the probe-4-of-16
+    // trained spherical-k-means centroids must beat the probe-¼-of-cells
     // random-scan floor (0.25) decisively: true neighbors concentrate in
     // the query's nearest cells when the cells are real Voronoi regions
-    assert(recall >= 0.6, s"IVF recall $recall too low for trained centroids")
+    assert(recall >= 0.8, s"IVF recall $recall too low for trained centroids")
+  }
+
+  test("IVF auto-sizing: nlist ≈ √n clamped, nprobe ≈ nlist/3, cells balanced") {
+    val p = Ivf.Params()
+    // sizing law: √n clamped to [16, sampleCap]
+    assert(p.resolveNlist(100L) === 16)
+    assert(p.resolveNlist(1000000L) === 1000)
+    assert(p.resolveNlist(100000000000L) === p.sampleCap)
+    assert(p.resolveNprobe(16) === 6)
+    assert(p.resolveNprobe(1000) === 334)
+    // explicit values pass through untouched (clamped to cell count)
+    assert(Ivf.Params(nlist = 7, nprobe = 3).resolveNlist(1000000L) === 7)
+    assert(Ivf.Params(nprobe = 99).resolveNprobe(10) === 10)
+
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val centroids = Ivf.trainCentroids(emb, "vec_id", "embedding", p)
+    assert(centroids.length === p.resolveNlist(n),
+      s"trained ${centroids.length} cells for n=$n")
+    // balance: trained Voronoi cells must not collapse — the largest
+    // home cell stays within a small factor of the mean population, so
+    // the downstream cell equi-join has no quadratic hot cell
+    val sizes = Ivf.assign(emb, "vec_id", "embedding", centroids, 1)
+      .groupBy(col("cell")).count()
+      .collect().map(_.getLong(1))
+    val mean = n.toDouble / centroids.length
+    assert(sizes.max <= 4.0 * mean,
+      s"hot cell ${sizes.max} vs mean $mean over ${centroids.length} cells")
+    assert(sizes.length >= centroids.length / 2,
+      s"only ${sizes.length} of ${centroids.length} cells populated")
   }
 
   test("q_fingerprint64: xxhash64 production path is collision-free on the fixtures " +
