@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   * (default 3) and the MIN is reported. A single timed run on a loaded
   * machine can read 4-12x slower than the engine's steady state (round-2
   * bench recorded 60.8s for a 34.8s engine); min-of-N restores signal.
+  *
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated query names) restricts the
+  * run — the isolation-audit mode for chasing a drifted number without
+  * the other 45 queries contending for the same cores.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,8 +49,12 @@ object Bench {
     // A failed query must be distinguishable from a fast one: its time is
     // reported as -1 and its message lands in the "errors" map.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val secs = (1 to reps).map { _ =>
         var failed = false
         val sec = time {
