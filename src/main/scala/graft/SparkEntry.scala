@@ -79,6 +79,7 @@ object SparkEntry {
       graft.ops.Tables.events(s, dir), Seq("event_type"), "value", "event_id", 16)),
     "q_multimodal_meta" -> MultimodalQueries.qMultimodalMeta,
     "q_multimodal_features" -> MultimodalQueries.qMultimodalFeatures,
+    "q_multimodal_png" -> MultimodalQueries.qMultimodalPng,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -164,7 +165,7 @@ object SparkEntry {
     "q_late_data" ->
       """SELECT event_id, ts, user_id FROM (
         |  SELECT event_id, ts, user_id,
-        |    max(ts) OVER (ORDER BY (event_id * 1103515245 + 12345) % 2147483648, event_id
+        |    max(ts) OVER (ORDER BY ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648, event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_ts_so_far
         |  FROM events)
         |WHERE ts < max_ts_so_far - INTERVAL '10 minutes'""".stripMargin,
@@ -317,6 +318,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q_multimodal_meta" -> MultimodalQueries.metaOracle,
     "q_multimodal_features" -> MultimodalQueries.featuresOracle,
+    "q_multimodal_png" -> MultimodalQueries.pngOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -169,7 +169,10 @@ object CoreQueries {
     * Every data-sized operation is partitioned; only chunk-count-sized
     * (constant) data ever meets a single partition. */
   def qLateData(spark: SparkSession, dir: String): DataFrame = {
-    val arrival = (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    // fold the id to 31 bits BEFORE the LCG multiply: raw long ids past
+    // ~8.4e9 would overflow (2^63 / 1103515245) under ANSI — caught by
+    // the round-5 sf1 amplified run, where key domains sit at 1e9+
+    val arrival = (pmod(col("event_id"), lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
     // chunk count scales with the cluster (4× parallelism) so the
     // within-chunk window's parallelism isn't capped at a constant when
     // the data grows 1000×; pow2 so chunkWidth divides the 2^31 axis
