@@ -146,6 +146,63 @@ object MultimodalQueries {
         col("col").as("cnt"), col("n_frames"), col("sampled_sum"))
   }
 
+  /** Fixture-derived REAL-PNG media table: each document's normalized
+    * bytes become a 1×n TYPE_INT_RGB image (r=g=b=byte) encoded through
+    * JDK ImageIO's PNG writer. PNG is lossless and the BT.601 integer
+    * luminance of a gray pixel is the identity ((v·299+v·587+v·114)/1000
+    * = v), so the decoded pixel stream equals the source bytes exactly —
+    * which is what lets the production ImageIO decode path sit under the
+    * driver's DuckDB hash oracle instead of a weaker rows-only check.
+    * (TYPE_INT_RGB, not TYPE_BYTE_GRAY: Java converts gray color space
+    * through a gamma ramp in getRGB, which would break the identity.)
+    * Encode is CPU-bound per row → repartition off the single fixture
+    * split before the kernel. */
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+    mediaTable(spark, dir).select(col("doc_id"), col("blob"))
+      .filter(length(col("blob")) > 0) // ImageIO needs width ≥ 1
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = new java.awt.image.BufferedImage(
+            bytes.length, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var x = 0
+          while (x < bytes.length) {
+            val v = bytes(x) & 0xff
+            img.setRGB(x, 0, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG writer registered")
+          Row(r.getLong(0), baos.toByteArray)
+        }
+      }(enc)
+  }
+
+  /** The graded real-codec entry: encode fixtures as actual PNGs, decode
+    * them back through [[DecodeStub.decodePng]] (magic-byte dispatch
+    * selects the ImageIO path), extract the same feature set as
+    * [[qMultimodalFeatures]]. Identical output contract ⇒ identical
+    * oracle, but the bytes flowing through `features` are genuine PNG. */
+  def qMultimodalPng(spark: SparkSession, dir: String): DataFrame =
+    features(pngMediaTable(spark, dir))
+
+  val pngOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(
+      |    string_split(regexp_replace(text, '[^ -~]', '', 'g'), ''), c -> ascii(c)) AS p
+      |  FROM documents
+      |)
+      |SELECT doc_id, b.b::BIGINT AS bucket,
+      |  len(list_filter(p, x -> x % 16 = b.b))::BIGINT AS cnt,
+      |  ((len(p) + 255) // 256)::BIGINT AS n_frames,
+      |  list_sum(list_transform(range(0, (len(p) + 255) // 256),
+      |    f -> CASE WHEN f % 4 = 0 THEN p[(f * 256 + 1)::INT] ELSE 0 END))::BIGINT AS sampled_sum
+      |FROM px, (SELECT unnest(range(0, 16)) AS b) b
+      |WHERE len(p) > 0""".stripMargin
+
   val featuresOracle: String =
     """WITH px AS (
       |  SELECT doc_id, list_transform(

@@ -59,4 +59,31 @@ class MultimodalSpec extends SparkTestBase {
     // 400 px → 2 frames of 256; 24 bytes → 1 frame
     assert(byDoc(1L).head.getLong(3) === 2L && byDoc(2L).head.getLong(3) === 1L)
   }
+
+  test("q_multimodal_png: fixture-derived blobs are genuine PNGs and decode " +
+      "round-trips to the source bytes exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val media = MultimodalQueries.pngMediaTable(spark, dir).collect()
+    assert(media.nonEmpty)
+    assert(media.forall(r => DecodeStub.isPng(r.getAs[Array[Byte]](1))),
+      "pngMediaTable emitted a non-PNG blob")
+    // round-trip identity on a sample: ImageIO decode of the 1×n gray
+    // PNG must reproduce the normalized text bytes bit-for-bit
+    val expected = MultimodalQueries.mediaTable(spark, dir)
+      .select("doc_id", "blob").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).map(_ & 0xff).toSeq).toMap
+    media.take(25).foreach { r =>
+      val id = r.getLong(0)
+      assert(DecodeStub.decode(r.getAs[Array[Byte]](1)).toSeq === expected(id),
+        s"doc $id: PNG decode diverged from source bytes")
+    }
+    // and the graded query's stats equal the text-path stats for the
+    // same (non-empty) docs: same features through a real codec
+    val viaPng = MultimodalQueries.qMultimodalPng(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val viaText = MultimodalQueries.qMultimodalFeatures(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(viaPng.keySet.map(_._1).toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viaPng === viaText)
+  }
 }
