@@ -87,6 +87,20 @@ object StreamingQueries {
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Streaming CONTENT dedup for a document pipeline: xxhash64 of the
+    * text is the admission key (the same production fingerprint as
+    * [[graft.api.Graft.fingerprint64]]), each fingerprint admitted once
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates`) is the 100 TB shape: dedup state is
+    * EVICTED once the watermark passes, so state size is bounded by the
+    * horizon's document rate instead of growing with the whole corpus —
+    * and the state lives in the checkpoint, so a restarted query keeps
+    * rejecting duplicates of documents admitted before the restart. */
+  def dedupDocsByFingerprint(docs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    docs.withColumn("fp64", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp64")
+
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 
   /** One open session in keyed state (all times epoch micros — sub-ms

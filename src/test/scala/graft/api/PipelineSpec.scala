@@ -1,9 +1,16 @@
 package graft.api
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 
 import graft.SparkTestBase
 import graft.ops.Tables
+import graft.sources.FileStreamClient
+import graft.streaming.StreamingQueries
 
 /** End-to-end training-data pipeline over the public operator surface —
   * the composition a real corpus build runs, proving the operators
@@ -63,5 +70,88 @@ class PipelineSpec extends SparkTestBase {
     // the stream covers every token exactly once
     val totalTokens = rows.map(_.getLong(1)).sum
     assert(rows.last.getLong(2) + rows.last.getLong(1) === totalTokens)
+  }
+
+  test("streaming pipeline: dis source → fingerprint64 dedup → dis sink, " +
+      "duplicate-free and complete across a restart") {
+    // The O18+O22 composition a streaming corpus build runs: documents
+    // arrive on a dis stream (with duplicates, as crawls produce), the
+    // query admits each content fingerprint once, admitted docs land on
+    // a second dis stream. The query is stopped after draining half the
+    // input and restarted from its checkpoint; duplicates of
+    // already-admitted docs that arrive AFTER the restart can only be
+    // rejected by dedup state recovered from the checkpoint, and
+    // already-read source offsets must not be re-emitted.
+    val root = Files.createTempDirectory("pipe-stream-")
+    val client = new FileStreamClient(root)
+    client.createStream("docs", 2)
+    client.createStream("out", 2)
+    val checkpoint = Files.createTempDirectory("pipe-ckpt-").toString
+
+    val docs = Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).limit(60)
+      .select(col("doc_id"), col("text")).cache()
+    // synthetic event time: doc i at base + i seconds — the whole feed
+    // spans 1 minute, far inside the 2 h watermark horizon, so nothing
+    // is late-dropped and every duplicate must be killed by STATE
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime * 1000L
+    def produce(ids: DataFrame => DataFrame, dupIds: Seq[Long]): Unit =
+      ids(docs).unionAll(docs.filter(col("doc_id").isin(dupIds: _*)))
+        .select(
+          to_json(struct(col("doc_id"),
+            (lit(base) + col("doc_id") * 1000000L).as("ts_us"), col("text"))).as("value"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("partition"))
+        .coalesce(1)
+        .write.format("dis")
+        .option("client.root", root.toString).option("stream", "docs")
+        .mode("append").save()
+
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts_us", LongType),
+      StructField("text", StringType)))
+    def runOnce(): Unit = {
+      val parsed = spark.readStream.format("dis")
+        .option("client.root", root.toString).option("stream", "docs")
+        .option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", "20") // several micro-batches per run
+        .load()
+        .select(from_json(col("value").cast("string"), docSchema).as("d"))
+        .select(col("d.*"))
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val q = StreamingQueries.dedupDocsByFingerprint(parsed)
+        .select(to_json(struct(col("doc_id"), col("fp64"))).as("value"))
+        .writeStream.format("dis")
+        .option("client.root", root.toString).option("stream", "out")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+
+    // phase A: first 30 docs, 10 of them sent twice (intra-run dupes)
+    produce(_.filter(col("doc_id") < 30), (0L until 10L))
+    runOnce()
+
+    // phase B: remaining docs, plus 15 phase-A docs RE-SENT after the
+    // restart — only checkpoint-recovered state can reject these
+    produce(_.filter(col("doc_id") >= 30 && col("doc_id") < 60), (5L until 20L))
+    runOnce()
+
+    val sunk = spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "out")
+      .load()
+      .select(from_json(col("value").cast("string"),
+        StructType(Seq(StructField("doc_id", LongType), StructField("fp64", LongType)))).as("d"))
+      .select(col("d.fp64"))
+      .collect().map(_.getLong(0))
+
+    val expected = docs.select(xxhash64(col("text"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(sunk.length === sunk.distinct.length,
+      s"sink holds duplicated fingerprints: ${sunk.length} rows, ${sunk.distinct.length} distinct")
+    assert(sunk.toSet === expected,
+      s"sink incomplete or polluted: ${sunk.length} vs ${expected.size} expected")
   }
 }
