@@ -439,7 +439,15 @@ object Graft {
     * round then survives executor loss at the cost of a distributed
     * write per round. */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false): DataFrame =
+    dupClustersCounted(pairs, idA, idB, reliable)._1
+
+  /** [[dupClusters]] plus the number of label-propagation rounds it
+    * took — the observable that lets tests (and capacity planning) pin
+    * the pointer-jumping O(log diameter) bound on adversarial
+    * topologies instead of trusting the comment. */
+  private[graft] def dupClustersCounted(pairs: DataFrame, idA: String, idB: String,
+      reliable: Boolean = false): (DataFrame, Int) = {
     def checkpointed(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = checkpointed(pairs.select(col(idA).as("src"), col(idB).as("dst"))
@@ -455,7 +463,9 @@ object Graft {
     var prevSum = labelSum(labels)
     // empty pair list: no nodes, nothing to propagate
     var converged = edges.isEmpty
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val propagated = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("id"), col("cluster_id"))
@@ -472,7 +482,7 @@ object Graft {
       converged = s == prevSum
       prevSum = s
     }
-    labels
+    (labels, rounds)
   }
 
   // ---------- sampling ----------

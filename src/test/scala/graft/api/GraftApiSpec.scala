@@ -181,6 +181,44 @@ class GraftApiSpec extends SparkTestBase {
     assert(Graft.dupClusters(empty, "x", "y").count() === 0L)
   }
 
+  test("dupClusters adversarial scale: a 10^5-node chain converges in " +
+      "O(log n) rounds, a 10^5-leaf star in O(1)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 100000L
+    // chain 0-1-2-…-(n-1): the worst-case diameter for label
+    // propagation — naive min-propagation needs n rounds; pointer
+    // jumping must stay logarithmic or a web-scale dup graph with one
+    // long chain would never converge
+    val chain = spark.range(n - 1).select(col("id").as("x"), (col("id") + 1).as("y"))
+    val (chainLabels, chainRounds) = Graft.dupClustersCounted(chain, "x", "y")
+    assert(chainLabels.count() === n)
+    assert(chainLabels.filter(col("cluster_id") =!= 0L).count() === 0L,
+      "chain did not collapse to the min id")
+    val bound = 2 * (64 - java.lang.Long.numberOfLeadingZeros(n - 1)) // 2·⌈log₂ n⌉
+    assert(chainRounds <= bound, s"chain took $chainRounds rounds, bound $bound")
+
+    // star 0←{1..n-1}: diameter 2 — must converge in a handful of
+    // rounds regardless of n (the hot-key topology: every edge shares
+    // node 0; the per-round hash agg absorbs the skew)
+    val star = spark.range(1, n).select(lit(0L).as("x"), col("id").as("y"))
+    val (starLabels, starRounds) = Graft.dupClustersCounted(star, "x", "y")
+    assert(starLabels.count() === n)
+    assert(starLabels.filter(col("cluster_id") =!= 0L).count() === 0L,
+      "star did not collapse to the hub id")
+    assert(starRounds <= 4, s"star took $starRounds rounds")
+
+    // reliable=true parity on a 10^4 chain segment: durable-checkpoint
+    // rounds must produce bit-identical labels and the same round count
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-scale-")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val seg = spark.range(10000L - 1).select(col("id").as("x"), (col("id") + 1).as("y"))
+    val (relLabels, relRounds) = Graft.dupClustersCounted(seg, "x", "y", reliable = true)
+    val (defLabels, defRounds) = Graft.dupClustersCounted(seg, "x", "y")
+    assert(relRounds === defRounds)
+    assert(relLabels.orderBy("id").collect().toSeq ===
+      defLabels.orderBy("id").collect().toSeq)
+  }
+
   test("funnel: dropouts cannot skip ahead; conversion window gates stages") {
     def t(s: String) = s"2024-01-01 $s:00"
     val ev = Seq(
