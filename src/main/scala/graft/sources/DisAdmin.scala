@@ -58,6 +58,62 @@ object DisAdmin {
     ()
   }
 
+  // ---- queued commit (reference commitNextDurationAsync parity) ----
+  // dis/DirectDISInputDStream.scala:286-328: ranges enqueue threadsafe,
+  // drain at the NEXT compute — per partition the max untilOffset wins,
+  // empty ranges are skipped, and only the most recent callback fires.
+  private val pendingByGroup =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.util.concurrent.ConcurrentLinkedQueue[OffsetRange]]()
+  private val pendingCallback =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Try[Unit] => Unit]()
+
+  private def groupKey(opts: Map[String, String]): (String, String) =
+    (opts.getOrElse("client.root", ""), Dis.groupId(opts))
+
+  /** Queue offset ranges for commit when the options' group's running
+    * query fires its next trigger — the reference's enqueue-then-drain
+    * `commitNextDurationAsync` contract, vs [[commitNow]] (immediate)
+    * and `commitOnTrigger` (every trigger's own end offsets). Nothing
+    * touches the consumer group until a trigger drains the queue.
+    * Threadsafe; only the most recently supplied callback runs. */
+  def commitOnNextTrigger(options: Map[String, String], ranges: Seq[OffsetRange],
+      onComplete: Try[Unit] => Unit = _ => ()): Unit = {
+    val key = groupKey(Dis.normalize(options))
+    val q = pendingByGroup.computeIfAbsent(key,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[OffsetRange]())
+    ranges.foreach(q.add)
+    pendingCallback.put(key, onComplete)
+  }
+
+  /** Drain this group's queued ranges through an already-open client —
+    * called by the source at each trigger commit. Max untilOffset per
+    * (stream, partition); from==until ranges carry no progress and are
+    * dropped, exactly like the reference's commitAll. */
+  private[sources] def drainQueued(client: StreamClient, root: String, group: String): Unit = {
+    val key = (root, group)
+    val q = pendingByGroup.get(key)
+    if (q != null && !q.isEmpty) {
+      val maxUntil = scala.collection.mutable.Map[(String, Int), Long]()
+      var r = q.poll()
+      while (r != null) {
+        if (r.fromOffset != r.untilOffset) {
+          val k = (r.stream, r.partition)
+          maxUntil(k) = math.max(maxUntil.getOrElse(k, Long.MinValue), r.untilOffset)
+        }
+        r = q.poll()
+      }
+      if (maxUntil.nonEmpty) {
+        val cb = Option(pendingCallback.remove(key)).getOrElse((_: Try[Unit]) => ())
+        cb(Try {
+          maxUntil.groupBy(_._1._1).foreach { case (stream, offs) =>
+            client.commit(stream, group, offs.map { case ((_, p), o) => p -> o }.toMap)
+          }
+        })
+      }
+    }
+  }
+
   /** Last committed offsets of the options' group for a stream. */
   def committed(options: Map[String, String], stream: String): Map[Int, Long] =
     withClient(options) { client =>

@@ -401,13 +401,19 @@ class DisMicroBatchStream(options: Map[String, String])
   /** Commit-on-progress: push the trigger's end offsets back to the
     * consumer group (O17 analog; opt-in like the reference's explicit
     * commitAsync). */
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
     if (options.get("commitontrigger").exists(_.toBoolean)) {
       val byStream = DisSourceOffset.from(end).offsets.groupBy(_._1._1)
       byStream.foreach { case (s, offs) =>
         client.commit(s, Dis.groupId(options), offs.map { case ((_, p), o) => p -> o })
       }
     }
+    // drain ranges queued via DisAdmin.commitOnNextTrigger — the
+    // reference's enqueue-then-drain-at-next-compute contract
+    // (dis/DirectDISInputDStream.scala:286-328); independent of the
+    // commitOnTrigger auto-commit above
+    DisAdmin.drainQueued(client, options.getOrElse("client.root", ""), Dis.groupId(options))
+  }
 
   override def stop(): Unit = client.close()
 }

@@ -44,6 +44,49 @@ class AdminAndOptionsSpec extends SparkTestBase {
     assert(DisAdmin.committed(opts(root), "s") === Map(1 -> 4L))
   }
 
+  test("commitOnNextTrigger queues now, drains at the next trigger: " +
+      "max untilOffset per partition, empty ranges skipped, last callback wins") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (root, _) = freshRoot(parts = 2, records = 10)
+    val o = opts(root)
+
+    // enqueue BEFORE any query runs: two overlapping ranges for p0 (max
+    // untilOffset 4 must win), an empty range for p1 (no progress — must
+    // NOT produce a commit), then a second call whose callback replaces
+    // the first (reference: only the most recent callback fires)
+    DisAdmin.commitOnNextTrigger(o, Seq(
+      OffsetRange("s", 0, 0L, 2L), OffsetRange("s", 0, 1L, 4L),
+      OffsetRange("s", 1, 3L, 3L)),
+      _ => fail("superseded callback must not fire"))
+    @volatile var result: Option[scala.util.Try[Unit]] = None
+    DisAdmin.commitOnNextTrigger(o, Seq(OffsetRange("s", 1, 0L, 1L)),
+      t => result = Some(t))
+
+    // nothing committed until a trigger drains the queue
+    assert(DisAdmin.committed(o, "s") === Map.empty)
+
+    val q = spark.readStream.format("dis")
+      .option("client.root", root).option("stream", "s")
+      .option("groupId", "g1").option("startingOffsets", "earliest")
+      // several micro-batches: Spark delivers source.commit(n) while
+      // planning batch n+1, so the queue drains mid-run — matching the
+      // reference, whose drain also happens at the NEXT compute()
+      .option("maxRecordsPerTrigger", "3")
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", Files.createTempDirectory("qc-ck-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    assert(result.exists(_.isSuccess), "drain callback never fired or failed")
+    // p0: max(2, 4) = 4; p1: the empty (3,3] range dropped, (0,1] applied
+    assert(DisAdmin.committed(o, "s") === Map(0 -> 4L, 1 -> 1L))
+    // queue is drained: another trigger with nothing enqueued changes nothing
+    DisAdmin.commitNow(o, Map(("s", 1) -> 2L))
+    assert(DisAdmin.committed(o, "s") === Map(0 -> 4L, 1 -> 2L))
+  }
+
   test("count is exact offset algebra: full backlog, explicit and sentinel ranges") {
     val (root, _) = freshRoot(parts = 2, records = 10) // 5 records per partition
     assert(DisAdmin.count(opts(root)) === 10L)
