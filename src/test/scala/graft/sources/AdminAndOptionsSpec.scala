@@ -97,6 +97,19 @@ class AdminAndOptionsSpec extends SparkTestBase {
       "offsetRanges" -> """{"s":{"0":[-2,-1]}}""")) === 5L)
   }
 
+  test("countApprox returns the exact count as a final degenerate bound " +
+      "(reference parity: offset algebra dominates any timed approximation)") {
+    val (root, _) = freshRoot(parts = 2, records = 10)
+    val b = DisAdmin.countApprox(opts(root), timeoutMs = 1L, confidence = 0.5)
+    assert(b === DisAdmin.BoundedCount(10.0, 1.0, 10.0, 10.0))
+    // range-scoped variant flows through the same offset algebra
+    val r = DisAdmin.countApprox(opts(root,
+      "offsetRanges" -> """{"s":{"0":[1,4]}}"""), timeoutMs = 0L)
+    assert(r === DisAdmin.BoundedCount(3.0, 1.0, 3.0, 3.0))
+    intercept[IllegalArgumentException](
+      DisAdmin.countApprox(opts(root), timeoutMs = 1L, confidence = 1.5))
+  }
+
   test("lag = latest - committed; uncommitted partitions lag the full backlog") {
     val (root, _) = freshRoot(parts = 2, records = 10)
     assert(DisAdmin.lag(opts(root), "s") === Map(0 -> 5L, 1 -> 5L))
