@@ -61,6 +61,7 @@ object SparkEntry {
     "q_percentiles_exact" -> CoreQueries.qPercentilesExact,
     "q_text_clean"      -> TextQueries.qTextClean,
     "q_token_count"     -> TextQueries.qTokenCount,
+    "q_drop_boilerplate" -> TextQueries.qDropBoilerplate,
     "q_quality_score"   -> TextQueries.qQualityScore,
     "q_lang_id"         -> TextQueries.qLangId,
     "q_fingerprint"     -> TextQueries.qFingerprint,
@@ -319,6 +320,7 @@ object SparkEntry {
     "q_multimodal_meta" -> MultimodalQueries.metaOracle,
     "q_multimodal_features" -> MultimodalQueries.featuresOracle,
     "q_multimodal_png" -> MultimodalQueries.pngOracle,
+    "q_drop_boilerplate" -> TextQueries.dropBoilerplateOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -39,6 +39,50 @@ object Graft {
         .cast("long").as("bpe_tokens"),
       length(col(text)).cast("long").as("n_chars"))
 
+  /** Corpus-adaptive boilerplate removal — the token-level analog of
+    * the line-level boilerplate filter web-corpus pipelines run
+    * (drop any unit appearing in ≥ `minDocFrac` of documents; such
+    * units are navigation/template noise, not content): split on
+    * `delim`, compute per-unit DISTINCT-document frequency, drop
+    * frequent units from every document preserving unit order.
+    * Returns (id, cleaned, n_removed).
+    *
+    * Scale shape: one explode (tokens), one distinct+agg for document
+    * frequencies (shuffle on unit), an anti-join of tokens against the
+    * frequent set, and a per-doc re-aggregation (shuffle on id). The
+    * frequent set is intrinsically tiny — a unit must occur in
+    * ≥ minDocFrac·nDocs distinct docs, so |frequent| ≤ 1/minDocFrac ×
+    * vocabulary-that-saturates — and AQE broadcasts it in the
+    * anti-join at runtime; no hint needed, and no driver-side
+    * collection anywhere. The corpus size enters as a 1-row aggregate
+    * cross-joined in, not a driver action. */
+  def dropBoilerplate(df: DataFrame, id: String, text: String,
+      delim: String = " ", minDocFrac: Double = 0.5): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0,1], got $minDocFrac")
+    val toks = df.select(col(id),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(delim))))
+      .toDF(id, "pos", "word")
+    val total = df.agg(count(lit(1)).as("__n"))
+    val frequent = toks.select(col(id), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(total))
+      .filter(col("__df") >= ceil(col("__n") * minDocFrac))
+      .select(col("word"))
+    val kept = toks.join(frequent, Seq("word"), "left_anti")
+    val keptAgg = kept.groupBy(col(id)).agg(
+      concat_ws(delim, transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x("word"))).as("cleaned"),
+      count(lit(1)).as("__kept"))
+    val totals = toks.groupBy(col(id)).agg(count(lit(1)).as("__words"))
+    df.select(col(id)).join(totals, Seq(id), "left").join(keptAgg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (coalesce(col("__words"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Per-document quality heuristics: stopword ratio, punctuation
     * ratio, length features, composite score in [0,1]. */
   def qualityScore(df: DataFrame, id: String, text: String,

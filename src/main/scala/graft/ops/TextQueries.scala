@@ -32,6 +32,41 @@ object TextQueries {
   def qTokenCount(spark: SparkSession, dir: String): DataFrame =
     graft.api.Graft.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Corpus-adaptive boilerplate removal: tokens appearing in ≥ 50% of
+    * all documents are template noise by definition — drop every
+    * occurrence, preserving token order (the word-level analog of the
+    * boilerplate-line filter, whose unit is '\n'; the fixtures are
+    * single-line). */
+  def qDropBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.dropBoilerplate(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", " ", 0.5)
+
+  val dropBoilerplateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), w AS (
+      |  SELECT doc_id, unnest(ts) AS word,
+      |    unnest(list_transform(ts, (x, i) -> i)) AS pos
+      |  FROM toks
+      |), freq AS (
+      |  SELECT word FROM (SELECT DISTINCT doc_id, word FROM w)
+      |  GROUP BY word
+      |  HAVING count(*) >= (SELECT ceil(count(*) * 0.5) FROM documents)
+      |), kept AS (
+      |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS cleaned,
+      |    count(*) AS n_kept
+      |  FROM w WHERE word NOT IN (SELECT word FROM freq)
+      |  GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(k.cleaned, '') AS cleaned,
+      |  (t.n_words - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+      |FROM documents d
+      |JOIN tot t USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length — the standard cheap filters a pretraining pipeline
     * runs before anything expensive. Pure per-row FP arithmetic

@@ -219,6 +219,31 @@ class GraftApiSpec extends SparkTestBase {
       defLabels.orderBy("id").collect().toSeq)
   }
 
+  test("dropBoilerplate removes corpus-frequent tokens, keeps order, handles " +
+      "all-boilerplate docs") {
+    val docs = Seq(
+      (1L, "menu home alpha beta menu"),  // 'menu' twice in one doc: df counts docs, removal hits every occurrence
+      (2L, "home gamma delta"),
+      (3L, "menu home epsilon"),
+      (4L, "menu home")                    // nothing but boilerplate left
+    ).toDF("doc_id", "text")
+    // df threshold ceil(0.5·4)=2: menu (docs 1,3,4) and home (1,2,3,4)
+    // qualify; every content word appears once
+    val out = Graft.dropBoilerplate(docs, "doc_id", "text", " ", 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> (("alpha beta", 3L)),
+      2L -> (("gamma delta", 1L)),
+      3L -> (("epsilon", 2L)),
+      4L -> (("", 2L))))
+    // frac=1.0: only universal tokens go ('home'); frac>1 rejected
+    val strict = Graft.dropBoilerplate(docs, "doc_id", "text", " ", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(1L) === "menu alpha beta menu")
+    intercept[IllegalArgumentException](
+      Graft.dropBoilerplate(docs, "doc_id", "text", " ", 1.5))
+  }
+
   test("funnel: dropouts cannot skip ahead; conversion window gates stages") {
     def t(s: String) = s"2024-01-01 $s:00"
     val ev = Seq(
