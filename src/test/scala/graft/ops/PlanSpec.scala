@@ -115,6 +115,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q_similarity_ivf is an equi-join on cells with pair-dedup before the " +
+      "per-query window — no nested-loop join") {
+    val p = plan(SimilarityQueries.qSimilarityIvf(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // multi-assign/multi-probe duplicates collapse in an aggregate
+    // BEFORE the rank window, or row_number would count them
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("row_number"), p)
+  }
+
+  test("q_drop_boilerplate: anti-join candidate filter, no cartesian, " +
+      "map-side partial df aggregation") {
+    val p = plan(TextQueries.qDropBoilerplate(spark, dir))
+    assert(p.contains("LeftAnti"), s"anti-join gone:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // exactly one nested-loop is fine and intentional: the corpus-count
+    // SCALAR (1-row aggregate) cross-joined onto the word-df table —
+    // data-sized sides must never nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"nested loop:\n$p")
+    assert(p.contains("partial_count"), s"df agg not partial:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
