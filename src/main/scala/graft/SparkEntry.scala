@@ -81,6 +81,7 @@ object SparkEntry {
     "q_multimodal_meta" -> MultimodalQueries.qMultimodalMeta,
     "q_multimodal_features" -> MultimodalQueries.qMultimodalFeatures,
     "q_multimodal_png" -> MultimodalQueries.qMultimodalPng,
+    "q_multimodal_resize" -> MultimodalQueries.qMultimodalResize,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_multimodal_meta" -> MultimodalQueries.metaOracle,
     "q_multimodal_features" -> MultimodalQueries.featuresOracle,
     "q_multimodal_png" -> MultimodalQueries.pngOracle,
+    "q_multimodal_resize" -> MultimodalQueries.resizeOracle,
     "q_drop_boilerplate" -> TextQueries.dropBoilerplateOracle,
 
     "q_fingerprint" ->

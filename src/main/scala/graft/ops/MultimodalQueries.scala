@@ -63,6 +63,35 @@ object MultimodalQueries {
 
     def decode(blob: Array[Byte]): Array[Int] =
       if (isPng(blob)) decodePng(blob) else blob.map(b => (b & 0xff))
+
+    /** Decode keeping true dimensions: PNGs report the codec's (w, h);
+      * raw byte blobs are a 1-row stream (len, 1). Row-major pixels. */
+    def decodeWithDims(blob: Array[Byte]): (Int, Int, Array[Int]) =
+      if (isPng(blob)) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        require(img != null, "ImageIO could not decode PNG blob")
+        (img.getWidth, img.getHeight, decodePng(blob))
+      } else (blob.length, 1, blob.map(b => (b & 0xff)))
+
+    /** Nearest-neighbor resize of a row-major w×h pixel array to
+      * tw×th: out(y,x) = in(⌊y·h/th⌋, ⌊x·w/tw⌋) — the standard integer
+      * index map, deterministic, separable per axis (so the 1-row case
+      * reduces to 1-D stream resampling). */
+    def resizeNearest(px: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+      require(w > 0 && h > 0 && tw > 0 && th > 0, s"bad dims $w x $h -> $tw x $th")
+      val out = new Array[Int](tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * h / th).toInt
+        var x = 0
+        while (x < tw) {
+          out(y * tw + x) = px(sy * w + (x.toLong * w / tw).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Deterministic multimodal table derived from `documents`: blob =
@@ -201,6 +230,48 @@ object MultimodalQueries {
       |  list_sum(list_transform(range(0, (len(p) + 255) // 256),
       |    f -> CASE WHEN f % 4 = 0 THEN p[(f * 256 + 1)::INT] ELSE 0 END))::BIGINT AS sampled_sum
       |FROM px, (SELECT unnest(range(0, 16)) AS b) b
+      |WHERE len(p) > 0""".stripMargin
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("pos", LongType),
+    StructField("v", LongType)))
+
+  /** Nearest-neighbor resize to tw×th over any (id, blob) frame,
+    * batched per partition: decode (magic-byte dispatch — real codec
+    * for PNGs) → resizeNearest → one scalar row per target pixel.
+    * The fixed target shape is what a training pipeline feeds a vision
+    * tower; emitting scalars keeps the gate hash-comparable (no array
+    * columns) and the op shuffle-free. */
+  def resample(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    val enc = Encoders.row(resizeSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val (w, h, px) = DecodeStub.decodeWithDims(r.getAs[Array[Byte]](1))
+        val out = DecodeStub.resizeNearest(px, w, h, tw, th)
+        out.iterator.zipWithIndex.map { case (v, i) =>
+          Row(r.getLong(0), i.toLong, v.toLong)
+        }
+      }
+    }(enc)
+  }
+
+  /** Graded resize entry: fixture docs → genuine PNG encode →
+    * production decode (true codec dims) → nearest-neighbor resize to a
+    * 64×1 thumbnail. The PNG round-trip is byte-exact (see
+    * [[pngMediaTable]]), so the target pixels equal 1-D resampling of
+    * the source bytes — which the SQL oracle states directly. */
+  def qMultimodalResize(spark: SparkSession, dir: String): DataFrame =
+    resample(pngMediaTable(spark, dir), 64, 1)
+
+  val resizeOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(
+      |    string_split(regexp_replace(text, '[^ -~]', '', 'g'), ''), c -> ascii(c)) AS p
+      |  FROM documents
+      |)
+      |SELECT doc_id, i.i::BIGINT AS pos, p[(i.i * len(p) // 64 + 1)::INT]::BIGINT AS v
+      |FROM px, (SELECT unnest(range(0, 64)) AS i) i
       |WHERE len(p) > 0""".stripMargin
 
   val featuresOracle: String =

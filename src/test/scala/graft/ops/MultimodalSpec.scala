@@ -60,6 +60,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(byDoc(1L).head.getLong(3) === 2L && byDoc(2L).head.getLong(3) === 1L)
   }
 
+  test("resizeNearest does true 2-D nearest-neighbor resize through a real PNG") {
+    // 4×4 gradient, downsample to 2×2: nearest-neighbor picks the
+    // top-left pixel of each 2×2 block (floor index map)
+    val pixels = Array.tabulate(4, 4)((y, x) => y * 40 + x * 10)
+    val blob = pngBytes(pixels)
+    val (w, h, px) = DecodeStub.decodeWithDims(blob)
+    assert((w, h) === (4, 4))
+    val out = DecodeStub.resizeNearest(px, w, h, 2, 2)
+    assert(out.toSeq === Seq(0, 20, 80, 100))
+    // upscale 2×2 → 4×4 replicates each source pixel into a 2×2 block
+    val up = DecodeStub.resizeNearest(Array(1, 2, 3, 4), 2, 2, 4, 4)
+    assert(up.toSeq === Seq(1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+    // raw byte blobs resize as a 1-row stream
+    val (bw, bh, bpx) = DecodeStub.decodeWithDims(Array[Byte](10, 20, 30, 40))
+    assert((bw, bh) === (4, 1))
+    assert(DecodeStub.resizeNearest(bpx, bw, bh, 2, 1).toSeq === Seq(10, 30))
+  }
+
   test("q_multimodal_png: fixture-derived blobs are genuine PNGs and decode " +
       "round-trips to the source bytes exactly") {
     val dir = "/root/testdata/sf0.001"
