@@ -66,7 +66,7 @@ object DedupQueries {
     * ((2i+1)*h + i²+13) mod P with h = polyHashS(shingle). Shuffle-free
     * except the explicit repartition that spreads the CPU-bound kernel
     * across cores (the fixture is one parquet split). */
-  private def signatures(df: DataFrame, id: String, text: String): DataFrame = {
+  private[graft] def signatures(df: DataFrame, id: String, text: String): DataFrame = {
     val enc = Encoders.row(sigSchema)
     df.select(col(id), col(text))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -99,17 +99,34 @@ object DedupQueries {
   /** Near-duplicate pairs via MinHash → LSH banding → bucket join →
     * exact-Jaccard verify. Output: (id_a, id_b, jaccard) — generalized
     * entry used by [[graft.api.Graft.minhashDupes]]. */
-  def minhashDupesOn(df: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
-    val docs = signatures(df, id, text)
-
-    // band rows: (doc_id, band, bandHash); bandHash folds the band's
-    // signature slice so the join key is one long, not an array
-    val bands = docs.select(
+  /** LSH band rows of a [[signatures]] frame: (doc_id, band, bandhash);
+    * bandhash folds the band's signature slice so the join key is one
+    * long, not an array. */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
         aggregate(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
           lit(0L), (acc, x) => pmod(acc * 31 + x, lit(P))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+
+  /** Exact Jaccard on shingle arrays — shared by the self-join and the
+    * incremental (batch-vs-history) verify. */
+  private[graft] def jaccardCol(a: Column, b: Column): Column = jaccard(a, b)
+
+  /** Shingle arrays for an (id, text) frame — used to verify candidates
+    * against a history store without recomputing full signatures. */
+  private[graft] def shingleFrame(df: DataFrame, id: String, text: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("sh", ArrayType(StringType)))))
+    df.select(col(id), col(text)).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), shinglesOf(r.getString(1)).toSeq))
+    }(enc)
+  }
+
+  def minhashDupesOn(df: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
+    val docs = signatures(df, id, text)
+    val bands = bandsOf(docs)
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") &&

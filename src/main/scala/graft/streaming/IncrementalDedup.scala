@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupQueries
+
+/** Streaming NEAR-duplicate dedup: admit each arriving micro-batch's
+  * documents against the full history of previously-admitted documents
+  * — the ingest-time shape of MinHash+LSH dedup, for pipelines that
+  * cannot re-run corpus-wide dedup on every crawl drop.
+  *
+  * Designed for `foreachBatch`:
+  * {{{
+  *   docsStream.writeStream.foreachBatch { (batch, _) =>
+  *     IncrementalDedup.admitBatch(batch, "doc_id", "text", 0.8, storeDir)
+  *     ()
+  *   }.option("checkpointLocation", ck).start()
+  * }}}
+  *
+  * Store layout under `storeDir` (both plain parquet, append-only):
+  *  - `docs/`  — admitted (doc_id, text)
+  *  - `bands/` — admitted LSH band rows (doc_id, band, bandhash)
+  *
+  * Scale shape — per-batch cost is ∝ batch + candidates, NOT history:
+  * the batch's band rows equi-join the PERSISTED band table (no
+  * signature recomputation over history; parquet prunes on the band
+  * join keys' stats), and only candidate history docs are re-shingled
+  * for the exact-Jaccard verify. History grows append-only; the band
+  * table is the classic disk-resident LSH index, so a 100 TB admitted
+  * corpus costs (bands × docs) long-triples of storage and the
+  * per-batch join shuffles only batch-sized band rows.
+  *
+  * Admission semantics (deterministic given batch boundaries):
+  *  1. a new doc with a verified near-dup among ADMITTED history is
+  *     rejected;
+  *  2. survivors dedup within the batch — one canonical doc (min id)
+  *     per within-batch duplicate cluster (connected components, so a
+  *     chain a~b~c admits only a).
+  * Micro-batch boundaries affect which witness rejects a doc — inherent
+  * to any incremental dedup — but two admitted docs are NEVER verified
+  * near-dups of each other, whatever the batching.
+  *
+  * foreachBatch is at-least-once: a replayed batch re-runs admission
+  * against a store that already contains its admitted docs, so replayed
+  * docs self-match (Jaccard 1.0 ≥ any threshold) and are rejected —
+  * the store converges; readers should still `dropDuplicates(id)` for
+  * the replay-during-append edge. */
+object IncrementalDedup {
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Run one admission step; appends admitted docs + their band rows to
+    * the store and returns the admitted (id, text) frame. */
+  def admitBatch(batch: DataFrame, id: String, text: String,
+      threshold: Double, storeDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val docsPath = s"$storeDir/docs"
+    val bandsPath = s"$storeDir/bands"
+
+    val newDocs = batch.select(col(id).as("doc_id"), col(text).as("text"))
+    // cached: reused for history verify AND the admitted band append, so
+    // the CPU-bound signature kernel runs once per batch
+    val newSigs = DedupQueries.signatures(newDocs, "doc_id", "text").cache()
+    val newBands = DedupQueries.bandsOf(newSigs)
+
+    // 1. history rejection: batch bands ⋈ persisted band index →
+    //    candidate (new, seen) pairs → exact verify on shingles of the
+    //    candidate subset only
+    val rejectedByHistory: DataFrame =
+      if (exists(spark, bandsPath)) {
+        val seenBands = spark.read.parquet(bandsPath)
+          .select(col("doc_id").as("seen_id"), col("band"), col("bandhash"))
+        val cand = newBands.join(seenBands, Seq("band", "bandhash"))
+          .select(col("doc_id"), col("seen_id")).distinct()
+        val seenSh = DedupQueries.shingleFrame(
+          spark.read.parquet(docsPath)
+            .join(cand.select(col("seen_id").as("doc_id")).distinct(), Seq("doc_id")),
+          "doc_id", "text")
+          .select(col("doc_id").as("seen_id"), col("sh").as("sh_seen"))
+        cand
+          .join(newSigs.select(col("doc_id"), col("sh")), Seq("doc_id"))
+          .join(seenSh, Seq("seen_id"))
+          .filter(DedupQueries.jaccardCol(col("sh"), col("sh_seen")) >= threshold)
+          .select(col("doc_id")).distinct()
+      } else spark.range(0).select(col("id").as("doc_id"))
+
+    val survivors = newDocs.join(rejectedByHistory, Seq("doc_id"), "left_anti")
+
+    // 2. within-batch canonicalization: near-dup pairs among survivors →
+    //    connected clusters → keep the min id of each cluster
+    val pairs = graft.api.Graft.minhashDupes(survivors, "doc_id", "text", threshold)
+    val clusters = graft.api.Graft.dupClusters(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    // localCheckpoint (eager) truncates lineage BEFORE the store writes:
+    // the admitted plan reads the store's current files, so a lazy
+    // recompute after the appends below would see its own output
+    val admitted = survivors.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+
+    admitted.write.mode(SaveMode.Append).parquet(docsPath)
+    newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .write.mode(SaveMode.Append).parquet(bandsPath)
+    newSigs.unpersist()
+    admitted
+  }
+
+  /** The admitted corpus so far (empty frame if nothing admitted). */
+  def admittedDocs(spark: SparkSession, storeDir: String): DataFrame =
+    if (exists(spark, s"$storeDir/docs")) spark.read.parquet(s"$storeDir/docs")
+    else spark.range(0).select(col("id").as("doc_id"), lit("").as("text")).limit(0)
+}
