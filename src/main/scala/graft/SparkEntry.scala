@@ -62,6 +62,7 @@ object SparkEntry {
     "q_text_clean"      -> TextQueries.qTextClean,
     "q_token_count"     -> TextQueries.qTokenCount,
     "q_drop_boilerplate" -> TextQueries.qDropBoilerplate,
+    "q_repetition"      -> TextQueries.qRepetition,
     "q_quality_score"   -> TextQueries.qQualityScore,
     "q_lang_id"         -> TextQueries.qLangId,
     "q_fingerprint"     -> TextQueries.qFingerprint,
@@ -323,6 +324,7 @@ object SparkEntry {
     "q_multimodal_png" -> MultimodalQueries.pngOracle,
     "q_multimodal_resize" -> MultimodalQueries.resizeOracle,
     "q_drop_boilerplate" -> TextQueries.dropBoilerplateOracle,
+    "q_repetition" -> TextQueries.repetitionOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

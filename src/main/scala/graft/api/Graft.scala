@@ -39,6 +39,34 @@ object Graft {
         .cast("long").as("bpe_tokens"),
       length(col(text)).cast("long").as("n_chars"))
 
+  /** Within-document repetition ratios — the Gopher-family quality
+    * signal (heavily repeated content is boilerplate/spam): fraction of
+    * duplicated words and duplicated word-3-grams per document.
+    * Pure per-row column arithmetic (single-level HOFs only — nested
+    * interpreted lambdas are the measured ~100× trap), shuffle-free,
+    * deterministic. Ratios rounded to 6 places so the cross-engine
+    * compare is exact. */
+  def repetitionScore(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = tokens(col(text))
+    val nW = size(w)
+    // guard: sequence(0, nW-3) runs DESCENDING for nW < 3 (it never
+    // returns empty) — short docs must yield an empty gram list
+    val grams = when(nW >= 3,
+      transform(sequence(lit(0), nW - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val nG = size(grams)
+    df.select(
+      col(id),
+      nW.cast("long").as("n_words"),
+      round(when(nW > 0,
+        lit(1.0) - size(array_distinct(w)).cast("double") / nW.cast("double"))
+        .otherwise(0.0), 6).as("word_rep_ratio"),
+      round(when(nG > 0,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / nG.cast("double"))
+        .otherwise(0.0), 6).as("gram3_rep_ratio"))
+  }
+
   /** Corpus-adaptive boilerplate removal — the token-level analog of
     * the line-level boilerplate filter web-corpus pipelines run
     * (drop any unit appearing in ≥ `minDocFrac` of documents; such

@@ -67,6 +67,33 @@ object TextQueries {
       |JOIN tot t USING (doc_id)
       |LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  /** Within-document repetition ratios (Gopher-family quality signal):
+    * duplicated-word and duplicated-3-gram fractions per doc. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.repetitionScore(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
+  val repetitionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 2),
+      |      i -> w[(i+1)::INT] || ' ' || w[(i+2)::INT] || ' ' || w[(i+3)::INT])
+      |    ELSE [] END AS gr
+      |  FROM t
+      |)
+      |SELECT doc_id, len(w)::BIGINT AS n_words,
+      |  round(CASE WHEN len(w) > 0
+      |    THEN 1.0 - len(list_distinct(w))::DOUBLE / len(w)::DOUBLE
+      |    ELSE 0.0 END, 6) AS word_rep_ratio,
+      |  round(CASE WHEN len(gr) > 0
+      |    THEN 1.0 - len(list_distinct(gr))::DOUBLE / len(gr)::DOUBLE
+      |    ELSE 0.0 END, 6) AS gram3_rep_ratio
+      |FROM g""".stripMargin
+
   /** Quality scoring: length, punctuation ratio, stopword ratio, mean
     * word length — the standard cheap filters a pretraining pipeline
     * runs before anything expensive. Pure per-row FP arithmetic

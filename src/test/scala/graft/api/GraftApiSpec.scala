@@ -244,6 +244,23 @@ class GraftApiSpec extends SparkTestBase {
       Graft.dropBoilerplate(docs, "doc_id", "text", " ", 1.5))
   }
 
+  test("repetitionScore: duplicated-word/3-gram fractions with short-doc guards") {
+    val docs = Seq(
+      (1L, "a b c a b c"),      // 6 words 3 distinct → 0.5; grams: 4, distinct 3 ("a b c" twice) → 0.25
+      (2L, "x y z"),            // no repetition → 0, 0 (single gram)
+      (3L, "w w w w"),          // 4 words 1 distinct → 0.75; grams "w w w"×2 distinct 1 → 0.5
+      (4L, "p q"),              // <3 words: gram ratio must be 0, not a DESC-sequence artifact
+      (5L, "")                  // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = Graft.repetitionScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((6L, 0.5, 0.25)))
+    assert(out(2L) === ((3L, 0.0, 0.0)))
+    assert(out(3L) === ((4L, 0.75, 0.5)))
+    assert(out(4L) === ((2L, 0.0, 0.0)))
+    assert(out(5L) === ((0L, 0.0, 0.0)))
+  }
+
   test("funnel: dropouts cannot skip ahead; conversion window gates stages") {
     def t(s: String) = s"2024-01-01 $s:00"
     val ev = Seq(
