@@ -138,6 +138,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"df agg not partial:\n$p")
   }
 
+  test("q_repetition is shuffle-free per-row projection") {
+    val p = plan(TextQueries.qRepetition(spark, dir))
+    assert(!p.contains("Exchange"), s"per-row quality op shuffled:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
