@@ -47,7 +47,12 @@ object Graft {
     * deterministic. Ratios rounded to 6 places so the cross-engine
     * compare is exact. */
   def repetitionScore(df: DataFrame, id: String, text: String): DataFrame = {
-    val w = tokens(col(text))
+    // the tokenization MUST be materialized as its own column before the
+    // gram lambda touches it: a lambda body referencing the split()
+    // SUBTREE re-evaluates it per gram (interpreted HOFs share no
+    // subexpressions) — measured 13 s instead of <1 s at sf0.1.
+    // Referencing an attribute makes each element_at O(1).
+    val w = col("__w")
     val nW = size(w)
     // guard: sequence(0, nW-3) runs DESCENDING for nW < 3 (it never
     // returns empty) — short docs must yield an empty gram list
@@ -56,15 +61,16 @@ object Graft {
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
       .otherwise(array().cast("array<string>"))
     val nG = size(grams)
-    df.select(
-      col(id),
-      nW.cast("long").as("n_words"),
-      round(when(nW > 0,
-        lit(1.0) - size(array_distinct(w)).cast("double") / nW.cast("double"))
-        .otherwise(0.0), 6).as("word_rep_ratio"),
-      round(when(nG > 0,
-        lit(1.0) - size(array_distinct(grams)).cast("double") / nG.cast("double"))
-        .otherwise(0.0), 6).as("gram3_rep_ratio"))
+    df.select(col(id), tokens(col(text)).as("__w"))
+      .select(
+        col(id),
+        nW.cast("long").as("n_words"),
+        round(when(nW > 0,
+          lit(1.0) - size(array_distinct(w)).cast("double") / nW.cast("double"))
+          .otherwise(0.0), 6).as("word_rep_ratio"),
+        round(when(nG > 0,
+          lit(1.0) - size(array_distinct(grams)).cast("double") / nG.cast("double"))
+          .otherwise(0.0), 6).as("gram3_rep_ratio"))
   }
 
   /** Corpus-adaptive boilerplate removal — the token-level analog of
