@@ -1,0 +1,70 @@
+package graft.api
+
+import org.scalacheck.Gen
+
+import graft.SparkTestBase
+
+/** Property tests for the round's text operators: the distributed
+  * implementations must agree with straightforward single-machine
+  * reference computations on random corpora (small alphabet → dense
+  * collisions, the adversarial case for frequency logic). */
+class TextOpsPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+  private val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+  private def corpus(n: Int): Gen[List[List[String]]] = Gen.listOfN(n, doc)
+
+  private def refDropBoilerplate(docs: List[List[String]], frac: Double)
+      : Map[Long, (String, Long)] = {
+    val n = docs.length
+    val cut = math.ceil(n * frac).toLong
+    val dfc = docs.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val frequent = dfc.filter(_._2 >= cut).keySet
+    docs.zipWithIndex.map { case (ws, i) =>
+      val kept = ws.filterNot(frequent)
+      i.toLong -> ((kept.mkString(" "), (ws.length - kept.length).toLong))
+    }.toMap
+  }
+
+  private def refRepetition(ws: List[String]): (Long, Double, Double) = {
+    def ratio(xs: List[String]) =
+      if (xs.isEmpty) 0.0
+      else BigDecimal(1.0 - xs.distinct.size.toDouble / xs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val grams = if (ws.length < 3) Nil else ws.sliding(3).map(_.mkString(" ")).toList
+    (ws.length.toLong, ratio(ws), ratio(grams))
+  }
+
+  test("property: dropBoilerplate matches a single-machine reference on random corpora") {
+    val gen = for { n <- Gen.chooseNum(1, 12); c <- corpus(n) } yield c
+    (1 to 25).foreach { seed =>
+      val docs = gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Graft.dropBoilerplate(df, "doc_id", "text", " ", 0.5)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      // the reference tokenizes exactly like split(" "): empty docs
+      // produce one empty token on both sides
+      val ref = refDropBoilerplate(docs.map(ws => if (ws.isEmpty) List("") else ws), 0.5)
+      assert(got === ref, s"seed $seed corpus $docs")
+    }
+  }
+
+  test("property: repetitionScore matches a single-machine reference on random docs") {
+    (1 to 25).foreach { seed =>
+      val docs = corpus(10).apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Graft.repetitionScore(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val (n, wr, gr) = refRepetition(ws)
+        val (gn, gwr, ggr) = got(i.toLong)
+        assert(gn === n, s"seed $seed doc $ws n_words")
+        assert(math.abs(gwr - wr) < 1e-9, s"seed $seed doc $ws word ratio $gwr vs $wr")
+        assert(math.abs(ggr - gr) < 1e-9, s"seed $seed doc $ws gram ratio $ggr vs $gr")
+      }
+    }
+  }
+}
