@@ -81,4 +81,52 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(replay.count() === 0L, "replay re-admitted docs")
     assert(IncrementalDedup.admittedDocs(spark, store).count() === 3L)
   }
+
+  test("a restarted stream resumes from its checkpoint and keeps rejecting " +
+      "against the store built before the restart") {
+    val root = Files.createTempDirectory("incdedup-rs-")
+    val client = new FileStreamClient(root)
+    client.createStream("docs", 1)
+    val store = Files.createTempDirectory("incdedup-rs-store-").toString
+    val ck = Files.createTempDirectory("incdedup-rs-ck-").toString
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("dis")
+        .option("client.root", root.toString).option("stream", "docs")
+        .option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", "2")
+        .load()
+        .select(from_json(col("value").cast("string"), schema).as("d"))
+        .select(col("d.*"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalDedup.admitBatch(batch, "doc_id", "text", 0.8, store)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+
+    def feed(id: Long, text: String): Unit =
+      client.append("docs", 0, null, s"""{"doc_id":$id,"text":"$text"}""".getBytes("UTF-8"))
+
+    // run 1: admit A and B
+    feed(1L, baseA); feed(2L, baseB)
+    runOnce()
+    assert(IncrementalDedup.admittedDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // run 2 (the restart): near-dups of A and B plus a novel doc arrive;
+    // the resumed query must not re-read offsets 0-1 and must reject the
+    // dups against the store persisted by run 1
+    feed(3L, baseA + " az"); feed(4L, (1 to 20).map(i => s"d$i").mkString(" "))
+    feed(5L, baseB + " bz")
+    runOnce()
+    assert(IncrementalDedup.admittedDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+  }
 }
