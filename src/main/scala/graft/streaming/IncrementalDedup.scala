@@ -114,4 +114,39 @@ object IncrementalDedup {
   def admittedDocs(spark: SparkSession, storeDir: String): DataFrame =
     if (exists(spark, s"$storeDir/docs")) spark.read.parquet(s"$storeDir/docs")
     else spark.range(0).select(col("id").as("doc_id"), lit("").as("text")).limit(0)
+
+  /** Compact the append-only store: every micro-batch appends its own
+    * parquet files, so a long-running ingest accumulates
+    * batches × partitions small files — the classic metadata killer at
+    * scale. Rewrites docs/ and bands/ into `parts` files each via a
+    * temp-dir + swap (crash before the swap leaves the original store
+    * untouched). Single-writer contract: pause `admitBatch` while
+    * compacting, like any parquet compaction. Bands repartition BY the
+    * join key columns so the compacted index clusters band buckets
+    * together and the per-batch candidate join scans fewer files. */
+  def compactStore(spark: SparkSession, storeDir: String, parts: Int = 16): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(sub: String)(rewrite: (String, String) => Unit): Unit = {
+      val live = s"$storeDir/$sub"
+      if (!exists(spark, live)) return
+      val tmp = s"$storeDir/__compact_$sub"
+      val old = s"$storeDir/__old_$sub"
+      rewrite(live, tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(old), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(old)),
+        s"compact: could not move $live aside")
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(live)),
+        s"compact: could not swap in $tmp")
+      fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    }
+    swapIn("docs") { (live, tmp) =>
+      spark.read.parquet(live).repartition(parts).write.parquet(tmp)
+    }
+    swapIn("bands") { (live, tmp) =>
+      spark.read.parquet(live)
+        .repartition(parts, col("band"), col("bandhash"))
+        .write.parquet(tmp)
+    }
+  }
 }

@@ -128,5 +128,21 @@ class IncrementalDedupSpec extends SparkTestBase {
     runOnce()
     assert(IncrementalDedup.admittedDocs(spark, store)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+
+    // compaction: identical content, fewer files, admission still works
+    def parquetFiles(sub: String): Int =
+      new java.io.File(s"$store/$sub").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles("docs")
+    IncrementalDedup.compactStore(spark, store, parts = 1)
+    assert(parquetFiles("docs") === 1 && parquetFiles("bands") === 1,
+      s"docs ${parquetFiles("docs")} bands ${parquetFiles("bands")} (was $before)")
+    assert(IncrementalDedup.admittedDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    // rejection against the compacted band index still works
+    val post = IncrementalDedup.admitBatch(
+      spark.createDataFrame(Seq((9L, baseA + " aq"))).toDF("doc_id", "text"),
+      "doc_id", "text", 0.8, store)
+    assert(post.count() === 0L, "compacted store failed to reject a near-dup")
   }
 }
