@@ -338,32 +338,44 @@ object Graft {
     * through the IVF index so the plan is an equi-join on cell ids —
     * never an all-pairs nested-loop join.
     *
-    * Candidate generation is EXACT (lossless): every vector is assigned
-    * to its nearest cell AND probed against all cells within angular
-    * margin 2·acos(threshold) of its nearest ([[graft.ops.Ivf
-    * .assignWithin]] — spherical triangle inequality guarantees one
-    * side's home cell lies inside the other side's probe radius for
-    * every qualifying pair). The pair is then normalized, deduped, and
-    * exact-verified with the codegen'd FloatVecDot on candidates only.
+    * Candidate generation is EXACT (lossless): every vector lives in
+    * its home cell, and the probe side visits every cell c with
+    * θ(v, centroid_c) ≤ radius_c + acos(threshold), where radius_c is
+    * the cell's measured max member angle ([[graft.ops.Ivf
+    * .assignWithinRadii]] — the triangle inequality through the
+    * partner's home membership guarantees no qualifying pair is
+    * missed). The pair is then normalized, deduped, and exact-verified
+    * with the codegen'd FloatVecDot on candidates only.
     *
-    * Cost scales with the threshold's geometry: a production dedup cut
-    * (≥0.9 ⇒ 52° margin) probes a few cells → candidates ≈
-    * n²·probes/nlist ≪ n²; a loose cut widens the radius and degrades
-    * gracefully toward an exhaustive search that is STILL a shuffled
-    * equi-join spreading over executors — never a broadcast nested
-    * loop. The fixture gate cross-checks against the exhaustive SQL
-    * oracle; GraftApiSpec pins brute parity on caller data and
+    * Cost scales with the CORPUS's geometry, not a fixed margin:
+    * clustered embeddings give small radii, so a production dedup cut
+    * (t ≥ 0.9) probes ≈ the cells within 26° of v → candidates ≪ n²;
+    * diffuse/isotropic data pushes radii toward 90° and the rule
+    * degrades gracefully toward an exhaustive search that is STILL a
+    * shuffled equi-join spreading over executors — never a broadcast
+    * nested loop. The fixture gate cross-checks against the exhaustive
+    * SQL oracle; GraftApiSpec pins brute parity on caller data (incl. a
+    * clustered corpus where probe sets are asserted small) and
     * graft.drive.EmbedDrive audits it on the fixtures at two scales. */
   def embedNearDup(df: DataFrame, id: String, vec: String, threshold: Double,
       ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
     import graft.ops.Ivf
     val centroids = Ivf.trainCentroids(df, id, vec, ivf)
-    val margin = 2.0 * math.acos(math.max(-1.0, math.min(1.0, threshold)))
-    val probed = Ivf.assignWithin(df, id, vec, centroids, margin)
-      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"), col("cell_rank"))
-    // the home cell is the rank-0 probe — reuse it instead of paying the
-    // full-corpus assignment kernel a second time
-    val home = probed.filter(col("cell_rank") === 0).drop("cell_rank")
+    val maxPairRad = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    // per-cell radii from the home assignment: one map-only pass + an
+    // nlist-sized aggregate (≤ sampleCap rows — driver-safe by
+    // construction, constant in corpus size)
+    val home = Ivf.assign(df, id, vec, centroids, 1)
+      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"), col("cell_angle"))
+      .localCheckpoint(true) // reused below; one kernel pass, not two
+    val radii = new Array[Double](centroids.length)
+    home.groupBy(col("cell")).agg(max(col("cell_angle")).as("r"))
+      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    // probe side: every cell whose radius-expanded cap can hold a
+    // qualifying partner ([[Ivf.assignWithinRadii]] — complete, and far
+    // tighter than the fixed 2·acos(t) margin when cells are tight)
+    val probed = Ivf.assignWithinRadii(df, id, vec, centroids, radii, maxPairRad)
+      .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"))
     home.as("a").join(probed.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$id") =!= col(s"b.$id"))
       .withColumn("cos", round(

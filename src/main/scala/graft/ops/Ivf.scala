@@ -137,7 +137,8 @@ object Ivf {
     StructField(vec, ArrayType(FloatType)),
     StructField("nrm", DoubleType),
     StructField("cell", IntegerType),
-    StructField("cell_rank", IntegerType)))
+    StructField("cell_rank", IntegerType),
+    StructField("cell_angle", DoubleType)))
 
   /** Explode each row to its `nprobe` nearest cells:
     * (id, vec, nrm, cell, cell_rank) with cell_rank 0 = nearest.
@@ -169,6 +170,22 @@ object Ivf {
       sorted.takeWhile(_._1 <= cut)
     })
 
+  /** Explode each row to every cell c with θ(v, centroid_c) ≤
+    * radii(c) + maxPairRad — the per-cell-radius probing rule, tighter
+    * than [[assignWithin]] on clustered data and equally COMPLETE: a
+    * qualifying partner b homed in cell c gives, by the triangle
+    * inequality, θ(v, c) ≤ θ(v, b) + θ(b, c) ≤ maxPairRad + radii(c).
+    * Tight clusters (small radii) probe ≈ the cells within acos(t) of
+    * v; diffuse cells (radii → 90°) degrade to the same
+    * exhaustive-but-distributed fallback as the margin rule — never a
+    * nested loop. `radii` is nlist-sized (≤ sampleCap), safely in the
+    * task closure. */
+  def assignWithinRadii(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]], radii: Array[Double], maxPairRad: Double): DataFrame =
+    assignImpl(df, id, vec, centroids, { angles =>
+      angles.filter { case (a, c) => a <= radii(c) + maxPairRad + 1e-9 }.sorted
+    })
+
   private def assignImpl(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]],
       pick: Array[(Double, Int)] => Array[(Double, Int)]): DataFrame = {
@@ -193,8 +210,8 @@ object Ivf {
             val cos = if (nrm == 0.0) 0.0 else dot / nrm
             (math.acos(math.max(-1.0, math.min(1.0, cos))), c)
           }
-          pick(angles).iterator.zipWithIndex.map { case ((_, c), rank) =>
-            Row(r.getLong(0), vf.toSeq, nrm, c, rank)
+          pick(angles).iterator.zipWithIndex.map { case ((a, c), rank) =>
+            Row(r.getLong(0), vf.toSeq, nrm, c, rank, a)
           }
         }
       }(enc)

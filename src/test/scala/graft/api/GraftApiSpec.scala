@@ -83,6 +83,41 @@ class GraftApiSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("per-cell radius probing: complete on a clustered corpus AND provably " +
+      "tighter than exhaustive probing (small probe sets)") {
+    import graft.ops.Ivf
+    // 8 tight clusters of 25 vectors along distinct axes in 16-d:
+    // radii are small, so probing at t=0.9 must visit few cells
+    val vecs = (0 until 200).map { i =>
+      val base = Array.tabulate(16)(d => if (d == i % 8) 10.0f else 0.0f)
+      base(8 + i % 8) = 0.2f + 0.002f * i
+      (i.toLong, base)
+    }.toDF("row_id", "v")
+    val got = Graft.embedNearDup(vecs, "row_id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import graft.functions.VecMath.float_dot
+    val e = vecs.withColumn("n", sqrt(float_dot(col("v"), col("v"))))
+    val brute = e.as("a").join(e.as("b"), col("a.row_id") < col("b.row_id"))
+      .filter(round(float_dot(col("a.v"), col("b.v")) / col("a.n") / col("b.n"), 12) >= 0.9)
+      .select(col("a.row_id"), col("b.row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(got === brute, "radius probing lost or invented a pair")
+
+    // tightness: with measured radii, the mean probe fan-out must stay
+    // near 1 cell/vector on tight clusters — the margin rule's fixed
+    // 2·acos(0.9) ≈ 52° cap cannot make that claim when θ_top1 varies
+    val p = Ivf.Params()
+    val centroids = Ivf.trainCentroids(vecs, "row_id", "v", p)
+    val home = Ivf.assign(vecs, "row_id", "v", centroids, 1)
+    val radii = new Array[Double](centroids.length)
+    home.groupBy(col("cell")).agg(max(col("cell_angle")).as("r"))
+      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    val probes = Ivf.assignWithinRadii(vecs, "row_id", "v", centroids,
+      radii, math.acos(0.9)).count()
+    assert(probes <= 3L * 200, s"probe fan-out $probes for 200 clustered vectors")
+  }
+
   test("langId generalizes to caller profiles with priority tiebreak") {
     val df = Seq((1L, "der hund und die katze"), (2L, "the cat and the dog"), (3L, "xyzzy"))
       .toDF("id", "txt")
