@@ -68,10 +68,24 @@ class ApproxOpsSpec extends SparkTestBase {
     }
     val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (ivfPairs intersect exact).size.toDouble / exact.size
-    // trained spherical-k-means centroids must beat the probe-¼-of-cells
-    // random-scan floor (0.25) decisively: true neighbors concentrate in
-    // the query's nearest cells when the cells are real Voronoi regions
+    // trained spherical-k-means centroids must beat the probe-⅓-of-cells
+    // random-scan floor decisively: true neighbors concentrate in the
+    // query's nearest cells when the cells are real Voronoi regions
     assert(recall >= 0.8, s"IVF recall $recall too low for trained centroids")
+  }
+
+  test("q_similarity_ivf: recall bound holds at the gate scale too (sf0.01, " +
+      "auto-sized ~71 cells)") {
+    // the auto-sizing law changes the geometry with n (√5000 ≈ 71 cells,
+    // probe 24, ×2 spill) — the 0.8 bound must survive the scale the
+    // driver actually grades at, not just the smallest fixture
+    val gateDir = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.qSimilarityKnn(spark, gateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.qSimilarityIvf(spark, gateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall at sf0.01")
   }
 
   test("IVF auto-sizing: nlist ≈ √n clamped, nprobe ≈ nlist/3, cells balanced") {
