@@ -219,6 +219,39 @@ object Graft {
   def fingerprint64(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), xxhash64(col(text)).as("fp64"))
 
+  /** SQL-oracle document fingerprint: Σᵢ i·codepoint(charᵢ) (1-based,
+    * rolling-hash family) — exists to pin exact cross-engine hash
+    * arithmetic (DuckDB: `list_transform(string_split(text,''),
+    * (c,i) -> i*ascii(c))`). Computed in a mapPartitions Scala kernel:
+    * the expression form is a nested interpreted HOF
+    * (aggregate∘zip_with∘filter∘split — per-char lambda interpretation),
+    * the measured ~100×-sensitive family; the kernel is a tight
+    * per-row char loop, shuffle-free and contention-immune.
+    * Null/empty text → null fp, matching both the HOF null propagation
+    * and DuckDB's `list_sum([]) = NULL`. */
+  def charFingerprint(df: DataFrame, id: String, text: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField(id, LongType), StructField("fp", LongType))))
+    df.select(col(id).cast("long"), col(text)).mapPartitions { rows =>
+      rows.map { r =>
+        if (r.isNullAt(1) || r.getString(1).isEmpty) Row(r.getLong(0), null)
+        else {
+          val s = r.getString(1)
+          var i = 0
+          var pos = 0L
+          var acc = 0L
+          while (i < s.length) {
+            val cp = s.codePointAt(i)
+            pos += 1
+            acc += pos * cp
+            i += Character.charCount(cp)
+          }
+          Row(r.getLong(0), acc)
+        }
+      }
+    }(enc)
+  }
+
   /** Approximate distinct count per key (HLL++, mergeable sketches). */
   def approxDistinct(df: DataFrame, keys: Seq[String], valueCol: String, rsd: Double = 0.01): DataFrame =
     df.groupBy(keys.map(col): _*)

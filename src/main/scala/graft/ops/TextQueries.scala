@@ -208,15 +208,10 @@ object TextQueries {
     * (rolling-hash family), oracle-checkable in plain SQL. The
     * high-throughput variant for production dedup is xxhash64(text)
     * (see DedupQueries) — this one exists to pin exact cross-engine
-    * semantics. Shuffle-free: aggregate() folds the char array per row. */
+    * semantics. Shuffle-free mapPartitions kernel
+    * ([[graft.api.Graft.charFingerprint]]) — the expression form was
+    * the suite's last nested interpreted HOF and 9×-sensitive to CPU
+    * contention (round-5 bench). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        aggregate(
-          zip_with(
-            filter(split(col("text"), ""), c => c =!= ""),
-            sequence(lit(1), length(col("text"))),
-            (c, i) => i.cast("long") * ascii(c).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("fp"))
+    graft.api.Graft.charFingerprint(Tables.documents(spark, dir), "doc_id", "text")
 }
