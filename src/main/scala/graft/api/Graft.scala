@@ -228,13 +228,17 @@ object Graft {
     * the measured ~100×-sensitive family; the kernel is a tight
     * per-row char loop, shuffle-free and contention-immune.
     * Null/empty text → null fp, matching both the HOF null propagation
-    * and DuckDB's `list_sum([]) = NULL`. */
+    * and DuckDB's `list_sum([]) = NULL`. The id column is carried
+    * opaquely in its original type (nulls included) — no cast, no
+    * assumption that ids are numeric. */
   def charFingerprint(df: DataFrame, id: String, text: String): DataFrame = {
+    val projected = df.select(col(id), col(text))
     val enc = Encoders.row(StructType(Seq(
-      StructField(id, LongType), StructField("fp", LongType))))
-    df.select(col(id).cast("long"), col(text)).mapPartitions { rows =>
+      projected.schema.head, StructField("fp", LongType))))
+    projected.mapPartitions { rows =>
       rows.map { r =>
-        if (r.isNullAt(1) || r.getString(1).isEmpty) Row(r.getLong(0), null)
+        val idVal = if (r.isNullAt(0)) null else r.get(0)
+        if (r.isNullAt(1) || r.getString(1).isEmpty) Row(idVal, null)
         else {
           val s = r.getString(1)
           var i = 0
@@ -246,7 +250,7 @@ object Graft {
             acc += pos * cp
             i += Character.charCount(cp)
           }
-          Row(r.getLong(0), acc)
+          Row(idVal, acc)
         }
       }
     }(enc)

@@ -20,16 +20,20 @@ import graft.ops.DedupQueries
   *
   * Store layout under `storeDir` (both plain parquet, append-only):
   *  - `docs/`  — admitted (doc_id, text)
-  *  - `bands/` — admitted LSH band rows (doc_id, band, bandhash)
+  *  - `bands/` — admitted LSH band rows (doc_id, band, bandhash),
+  *    directory-partitioned by `bucket = pmod(bandhash, BandBuckets)`
   *
   * Scale shape — per-batch cost is ∝ batch + candidates, NOT history:
   * the batch's band rows equi-join the PERSISTED band table (no
-  * signature recomputation over history; parquet prunes on the band
-  * join keys' stats), and only candidate history docs are re-shingled
-  * for the exact-Jaccard verify. History grows append-only; the band
-  * table is the classic disk-resident LSH index, so a 100 TB admitted
-  * corpus costs (bands × docs) long-triples of storage and the
-  * per-batch join shuffles only batch-sized band rows.
+  * signature recomputation over history), and only candidate history
+  * docs are re-shingled for the exact-Jaccard verify. The band index is
+  * bucket-partitioned on a bandhash prefix, so each trigger reads ONLY
+  * the directories for the batch's own buckets — static partition
+  * pruning, an O(batch)-bounded subset of files, not an O(history)
+  * scan. History grows append-only; the band table is the classic
+  * disk-resident LSH index, so a 100 TB admitted corpus costs
+  * (bands × docs) long-triples of storage and the per-batch join
+  * shuffles only batch-sized band rows.
   *
   * Admission semantics (deterministic given batch boundaries):
   *  1. a new doc with a verified near-dup among ADMITTED history is
@@ -48,9 +52,59 @@ import graft.ops.DedupQueries
   * the replay-during-append edge. */
 object IncrementalDedup {
 
+  /** Bucket fan-out of the band index directory layout. 256 keeps the
+    * per-trigger pruned read to ≲1/256 of the index (uniform bandhash)
+    * while staying far under filesystem directory-count pain; a batch
+    * touching all buckets degrades to the unpartitioned scan, never
+    * worse. */
+  val BandBuckets = 256
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def bucketCol = pmod(col("bandhash"), lit(BandBuckets.toLong)).cast("int")
+
+  /** The band-index scan a batch with band-rows in `buckets` performs:
+    * a static `IN` filter on the partition directory column, so Spark
+    * plans the read over only those buckets' files (visible as
+    * `numFiles` in the scan metrics). Exposed for the spec that pins
+    * the pruning. Pre-bucketing stores (no `bucket` dir column) fall
+    * back to a full scan with the bucket derived — correct, unpruned;
+    * `compactStore` migrates them. */
+  private[streaming] def bandIndexScan(spark: SparkSession, bandsPath: String,
+      buckets: Seq[Int]): DataFrame = {
+    val raw = spark.read.parquet(bandsPath)
+    if (raw.columns.contains("bucket"))
+      raw.filter(col("bucket").isin(buckets.map(Int.box): _*))
+    else raw.withColumn("bucket", bucketCol)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+  }
+
+  /** Roll the store forward past a compaction crash. Idempotent, cheap
+    * (a few filesystem stats), and called by every store entry point:
+    *  - crash after the live dir was moved aside but before the rewrite
+    *    was swapped in → the live dir is missing: move the original
+    *    back (the rewrite is discarded — it has identical content, but
+    *    the original is the version whose swap never commenced);
+    *  - crash before the swap started → live dir intact: stale
+    *    `__compact_*` / `__old_*` artifacts are deleted so the next
+    *    rewrite starts clean. */
+  private[streaming] def recoverStore(spark: SparkSession, storeDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("docs", "bands")) {
+      val live = new org.apache.hadoop.fs.Path(s"$storeDir/$sub")
+      val old = new org.apache.hadoop.fs.Path(s"$storeDir/__old_$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/__compact_$sub")
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"recover: could not restore $live")
+      if (fs.exists(live)) {
+        fs.delete(tmp, true)
+        fs.delete(old, true)
+      }
+    }
   }
 
   /** Run one admission step; appends admitted docs + their band rows to
@@ -58,6 +112,7 @@ object IncrementalDedup {
   def admitBatch(batch: DataFrame, id: String, text: String,
       threshold: Double, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
+    recoverStore(spark, storeDir)
     val docsPath = s"$storeDir/docs"
     val bandsPath = s"$storeDir/bands"
 
@@ -65,14 +120,18 @@ object IncrementalDedup {
     // cached: reused for history verify AND the admitted band append, so
     // the CPU-bound signature kernel runs once per batch
     val newSigs = DedupQueries.signatures(newDocs, "doc_id", "text").cache()
-    val newBands = DedupQueries.bandsOf(newSigs)
+    val newBands = DedupQueries.bandsOf(newSigs).withColumn("bucket", bucketCol)
 
     // 1. history rejection: batch bands ⋈ persisted band index →
     //    candidate (new, seen) pairs → exact verify on shingles of the
-    //    candidate subset only
+    //    candidate subset only. The index read is pruned to the batch's
+    //    own bucket directories (≤ BandBuckets literals — bounded
+    //    driver-side by construction, not by data size).
     val rejectedByHistory: DataFrame =
       if (exists(spark, bandsPath)) {
-        val seenBands = spark.read.parquet(bandsPath)
+        val batchBuckets = newBands.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val seenBands = bandIndexScan(spark, bandsPath, batchBuckets)
           .select(col("doc_id").as("seen_id"), col("band"), col("bandhash"))
         val cand = newBands.join(seenBands, Seq("band", "bandhash"))
           .select(col("doc_id"), col("seen_id")).distinct()
@@ -104,27 +163,37 @@ object IncrementalDedup {
       .localCheckpoint(true)
 
     admitted.write.mode(SaveMode.Append).parquet(docsPath)
+    // repartition by bucket before the partitioned append: one file per
+    // non-empty bucket per batch instead of tasks × buckets tiny files
     newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .write.mode(SaveMode.Append).parquet(bandsPath)
+      .repartition(col("bucket"))
+      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
     newSigs.unpersist()
     admitted
   }
 
   /** The admitted corpus so far (empty frame if nothing admitted). */
-  def admittedDocs(spark: SparkSession, storeDir: String): DataFrame =
+  def admittedDocs(spark: SparkSession, storeDir: String): DataFrame = {
+    recoverStore(spark, storeDir)
     if (exists(spark, s"$storeDir/docs")) spark.read.parquet(s"$storeDir/docs")
     else spark.range(0).select(col("id").as("doc_id"), lit("").as("text")).limit(0)
+  }
 
   /** Compact the append-only store: every micro-batch appends its own
     * parquet files, so a long-running ingest accumulates
     * batches × partitions small files — the classic metadata killer at
-    * scale. Rewrites docs/ and bands/ into `parts` files each via a
-    * temp-dir + swap (crash before the swap leaves the original store
-    * untouched). Single-writer contract: pause `admitBatch` while
-    * compacting, like any parquet compaction. Bands repartition BY the
-    * join key columns so the compacted index clusters band buckets
-    * together and the per-batch candidate join scans fewer files. */
+    * scale. Rewrites docs/ and bands/ via a temp-dir + swap; a crash at
+    * ANY point (mid-rewrite, between the two renames) is rolled forward
+    * by [[recoverStore]] on the next store operation, so the live store
+    * always serves the pre-compaction content until the swap completes.
+    * Single-writer contract: pause `admitBatch` while
+    * compacting, like any parquet compaction. Bands keep (or, for a
+    * pre-bucketing store, acquire) the bucket directory layout, ending
+    * at one file per non-empty bucket with rows clustered by the join
+    * keys — so the per-batch pruned read opens exactly one file per
+    * probed bucket. */
   def compactStore(spark: SparkSession, storeDir: String, parts: Int = 16): Unit = {
+    recoverStore(spark, storeDir) // clears any crashed prior compaction
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def swapIn(sub: String)(rewrite: (String, String) => Unit): Unit = {
@@ -144,9 +213,14 @@ object IncrementalDedup {
       spark.read.parquet(live).repartition(parts).write.parquet(tmp)
     }
     swapIn("bands") { (live, tmp) =>
-      spark.read.parquet(live)
-        .repartition(parts, col("band"), col("bandhash"))
-        .write.parquet(tmp)
+      val raw = spark.read.parquet(live)
+      val bucketed =
+        if (raw.columns.contains("bucket")) raw
+        else raw.withColumn("bucket", bucketCol) // migrate pre-bucketing store
+      bucketed
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("band"), col("bandhash"))
+        .write.partitionBy("bucket").parquet(tmp)
     }
   }
 }

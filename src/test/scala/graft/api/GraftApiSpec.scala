@@ -361,6 +361,31 @@ class GraftApiSpec extends SparkTestBase {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("charFingerprint: exact code-point semantics incl. non-BMP, empty/null " +
+      "text, and null or non-numeric ids") {
+    // "a😀b" = 'a'(97), U+1F600 (128512), 'b'(98): one surrogate
+    // PAIR must count as ONE position — fp = 1*97 + 2*128512 + 3*98 = 257415.
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "a😀b"),
+      (java.lang.Long.valueOf(2L), ""),
+      (java.lang.Long.valueOf(3L), null: String),
+      (null.asInstanceOf[java.lang.Long], "ab")) // null id must not throw
+      .toDF("doc_id", "text")
+    val out = Graft.charFingerprint(df, "doc_id", "text").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+                 if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out(1L) === 257415L, "surrogate pair must be one code point")
+    assert(out(2L) === null, "empty text -> null fp")
+    assert(out(3L) === null, "null text -> null fp")
+    assert(out(null) === (1L * 97 + 2L * 98), "null id carried, fp computed")
+
+    // id column type is carried opaquely: a string id survives untouched.
+    val sdf = Seq(("k1", "ab")).toDF("doc_id", "text")
+    val srow = Graft.charFingerprint(sdf, "doc_id", "text").collect().head
+    assert(srow.getString(0) === "k1")
+    assert(srow.getLong(1) === 1L * 97 + 2L * 98)
+  }
+
   test("sessionize groups by gap on arbitrary key/ts columns") {
     val df = Seq(
       (7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:10:00"),

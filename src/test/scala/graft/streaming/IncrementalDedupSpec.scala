@@ -130,13 +130,18 @@ class IncrementalDedupSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
 
     // compaction: identical content, fewer files, admission still works
-    def parquetFiles(sub: String): Int =
-      new java.io.File(s"$store/$sub").listFiles()
-        .count(f => f.getName.endsWith(".parquet"))
-    val before = parquetFiles("docs")
+    def parquetFiles(sub: String): Int = IncrementalDedupSpec.walkParquet(s"$store/$sub").size
+    val beforeDocs = parquetFiles("docs")
+    val beforeBands = parquetFiles("bands")
     IncrementalDedup.compactStore(spark, store, parts = 1)
-    assert(parquetFiles("docs") === 1 && parquetFiles("bands") === 1,
-      s"docs ${parquetFiles("docs")} bands ${parquetFiles("bands")} (was $before)")
+    // docs collapse to `parts`; bands collapse to ONE file per non-empty
+    // bucket directory (the pruned-read-optimal layout)
+    val bucketDirs = new java.io.File(s"$store/bands").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(parquetFiles("docs") === 1 && parquetFiles("bands") === bucketDirs,
+      s"docs ${parquetFiles("docs")} (was $beforeDocs) bands ${parquetFiles("bands")} " +
+        s"over $bucketDirs buckets (was $beforeBands)")
+    assert(parquetFiles("bands") <= beforeBands)
     assert(IncrementalDedup.admittedDocs(spark, store)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
     // rejection against the compacted band index still works
@@ -144,5 +149,112 @@ class IncrementalDedupSpec extends SparkTestBase {
       spark.createDataFrame(Seq((9L, baseA + " aq"))).toDF("doc_id", "text"),
       "doc_id", "text", 0.8, store)
     assert(post.count() === 0L, "compacted store failed to reject a near-dup")
+  }
+
+  private def doc(i: Long, prefix: String): (Long, String) =
+    i -> (1 to 20).map(j => s"$prefix${i}w$j").mkString(" ")
+
+  private def admit(pairs: Seq[(Long, String)], store: String) =
+    IncrementalDedup.admitBatch(
+      spark.createDataFrame(pairs).toDF("doc_id", "text"),
+      "doc_id", "text", 0.8, store)
+
+  test("a batch's band-index read is pruned to its own bucket directories " +
+      "(strict subset of files, admission decisions unchanged)") {
+    import graft.ops.DedupQueries
+    val store = Files.createTempDirectory("incdedup-prune-").toString
+    // seed 3 batches × 15 distinct docs → band files spread over many buckets
+    admit((1L to 15L).map(doc(_, "p")), store)
+    admit((16L to 30L).map(doc(_, "q")), store)
+    admit((31L to 45L).map(doc(_, "r")), store)
+    val bandsPath = s"$store/bands"
+    val allFiles = IncrementalDedupSpec.walkParquet(bandsPath)
+    assert(allFiles.size > 40, s"seed store too small to prove pruning: ${allFiles.size}")
+
+    // the probe batch: one near-dup of doc 1 — its band rows hit ≤ Bands buckets
+    val probe = spark.createDataFrame(Seq(doc(1L, "p")._1 -> (doc(1L, "p")._2 + " x")))
+      .toDF("doc_id", "text")
+    val probeBuckets = DedupQueries.bandsOf(
+        DedupQueries.signatures(probe, "doc_id", "text"))
+      .select(pmod(col("bandhash"), lit(IncrementalDedup.BandBuckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+    // the exact scan admitBatch plans for this batch: execute it and read
+    // the physical scan's numFiles metric
+    val scan = IncrementalDedup.bandIndexScan(spark, bandsPath, probeBuckets)
+    scan.collect()
+    val filesRead = IncrementalDedupSpec.scannedFiles(scan)
+    val expected = probeBuckets.map(b =>
+      IncrementalDedupSpec.walkParquet(s"$bandsPath/bucket=$b").size).sum
+    assert(filesRead === expected,
+      s"scan read $filesRead files, bucket dirs hold $expected")
+    assert(filesRead > 0 && filesRead < allFiles.size,
+      s"not a strict subset: $filesRead of ${allFiles.size}")
+
+    // admission decisions unchanged by pruning: the near-dup is rejected
+    // against history, a novel doc is admitted
+    val out = admit(Seq(100L -> (doc(1L, "p")._2 + " x"), 101L -> doc(101L, "z")._2), store)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(101L),
+      "pruned index changed admission decisions")
+  }
+
+  test("a compaction crash at any point leaves a store that serves identical " +
+      "admission decisions (self-recovery)") {
+    val fsRoot = Files.createTempDirectory("incdedup-crash-").toString
+    admit(Seq(doc(1L, "a"), doc(2L, "b")), fsRoot)
+    val dupOf1 = Seq(50L -> (doc(1L, "a")._2 + " t"))
+
+    // crash point 1: rewrite finished, swap not started → stale __compact_*
+    // dirs next to an intact live store
+    val fs = new org.apache.hadoop.fs.Path(fsRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$fsRoot/docs").write.parquet(s"$fsRoot/__compact_docs")
+    spark.read.parquet(s"$fsRoot/bands").write.parquet(s"$fsRoot/__compact_bands")
+    assert(admit(dupOf1, fsRoot).count() === 0L, "near-dup admitted after crash point 1")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$fsRoot/__compact_docs")),
+      "stale compaction artifact not cleaned")
+    // a fresh compaction over the recovered store succeeds
+    IncrementalDedup.compactStore(spark, fsRoot, parts = 1)
+    assert(admit(dupOf1, fsRoot).count() === 0L)
+
+    // crash point 2: between the two renames — live dir moved aside,
+    // rewrite never swapped in (the data-loss window)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$fsRoot/bands"),
+      new org.apache.hadoop.fs.Path(s"$fsRoot/__old_bands")))
+    assert(admit(dupOf1, fsRoot).count() === 0L,
+      "near-dup admitted: band index lost in the rename window")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$fsRoot/bands")), "live bands not restored")
+
+    // same window for docs/: admitted corpus must survive
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$fsRoot/docs"),
+      new org.apache.hadoop.fs.Path(s"$fsRoot/__old_docs")))
+    assert(IncrementalDedup.admittedDocs(spark, fsRoot)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+}
+
+object IncrementalDedupSpec {
+  /** All parquet files under `dir`, recursively (bands/ is directory-
+    * partitioned, so a flat listing sees only bucket dirs). */
+  def walkParquet(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(new java.io.File(dir))
+  }
+
+  /** Sum of the `numFiles` metric over the executed plan's file scans —
+    * the count AFTER partition pruning (descends through AQE). */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
   }
 }
