@@ -66,6 +66,17 @@ object IncrementalDedup {
 
   private def bucketCol = pmod(col("bandhash"), lit(BandBuckets.toLong)).cast("int")
 
+  /** Whether the band store at `bandsPath` has the bucket directory
+    * layout (any `bucket=` child). A store written before bucketing —
+    * flat parquet files at the root — must NOT receive a partitioned
+    * append: the mixed layout fails Spark's partition discovery
+    * ("Conflicting directory structures") and bricks the store. */
+  private def bandsBucketed(spark: SparkSession, bandsPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(bandsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+  }
+
   /** The band-index scan a batch with band-rows in `buckets` performs:
     * a static `IN` filter on the partition directory column, so Spark
     * plans the read over only those buckets' files (visible as
@@ -107,6 +118,40 @@ object IncrementalDedup {
     }
   }
 
+  /** Rewrite `storeDir/sub` via a temp dir and swap it in (two renames);
+    * a crash at ANY point is rolled forward by [[recoverStore]]. */
+  private def swapIn(spark: SparkSession, storeDir: String, sub: String)(
+      rewrite: (String, String) => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = s"$storeDir/$sub"
+    if (!exists(spark, live)) return
+    val tmp = s"$storeDir/__compact_$sub"
+    val old = s"$storeDir/__old_$sub"
+    rewrite(live, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(old)),
+      s"compact: could not move $live aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(live)),
+      s"compact: could not swap in $tmp")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
+  /** The band-store rewrite: acquire (or keep) the bucket directory
+    * layout, one file per non-empty bucket, rows clustered by the join
+    * keys. Shared by [[compactStore]] and the in-place migration a
+    * pre-bucketing store gets on its first post-upgrade append. */
+  private def bandsRewrite(spark: SparkSession)(live: String, tmp: String): Unit = {
+    val raw = spark.read.parquet(live)
+    val bucketed =
+      if (raw.columns.contains("bucket")) raw
+      else raw.withColumn("bucket", bucketCol) // migrate pre-bucketing store
+    bucketed
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("band"), col("bandhash"))
+      .write.partitionBy("bucket").parquet(tmp)
+  }
+
   /** Run one admission step; appends admitted docs + their band rows to
     * the store and returns the admitted (id, text) frame. */
   def admitBatch(batch: DataFrame, id: String, text: String,
@@ -116,11 +161,23 @@ object IncrementalDedup {
     val docsPath = s"$storeDir/docs"
     val bandsPath = s"$storeDir/bands"
 
+    // A pre-bucketing store (flat parquet at bands/ root) must be
+    // migrated BEFORE the partitioned append below: bucket= dirs next
+    // to flat files fail Spark's partition discovery ("Conflicting
+    // directory structures") on the next read — the store would be
+    // bricked. One forced compaction-shaped rewrite; every later batch
+    // sees the bucketed layout (and its pruned read).
+    if (exists(spark, bandsPath) && !bandsBucketed(spark, bandsPath))
+      swapIn(spark, storeDir, "bands")(bandsRewrite(spark))
+
     val newDocs = batch.select(col(id).as("doc_id"), col(text).as("text"))
     // cached: reused for history verify AND the admitted band append, so
     // the CPU-bound signature kernel runs once per batch
     val newSigs = DedupQueries.signatures(newDocs, "doc_id", "text").cache()
-    val newBands = DedupQueries.bandsOf(newSigs).withColumn("bucket", bucketCol)
+    // also cached: the bucket-discovery collect below is its own action,
+    // and bandsOf's posexplode would otherwise re-run for it before the
+    // candidate join and the band append reuse the rows
+    val newBands = DedupQueries.bandsOf(newSigs).withColumn("bucket", bucketCol).cache()
 
     // 1. history rejection: batch bands ⋈ persisted band index →
     //    candidate (new, seen) pairs → exact verify on shingles of the
@@ -168,11 +225,15 @@ object IncrementalDedup {
     newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
+    newBands.unpersist()
     newSigs.unpersist()
     admitted
   }
 
-  /** The admitted corpus so far (empty frame if nothing admitted). */
+  /** The admitted corpus so far (empty frame if nothing admitted).
+    * Rolls forward any crashed compaction first, so it is a store ENTRY
+    * POINT under the single-operator contract: do not call concurrently
+    * with a running [[compactStore]] (see its scaladoc for why). */
   def admittedDocs(spark: SparkSession, storeDir: String): DataFrame = {
     recoverStore(spark, storeDir)
     if (exists(spark, s"$storeDir/docs")) spark.read.parquet(s"$storeDir/docs")
@@ -186,41 +247,27 @@ object IncrementalDedup {
     * ANY point (mid-rewrite, between the two renames) is rolled forward
     * by [[recoverStore]] on the next store operation, so the live store
     * always serves the pre-compaction content until the swap completes.
-    * Single-writer contract: pause `admitBatch` while
-    * compacting, like any parquet compaction. Bands keep (or, for a
-    * pre-bucketing store, acquire) the bucket directory layout, ending
-    * at one file per non-empty bucket with rows clustered by the join
-    * keys — so the per-batch pruned read opens exactly one file per
-    * probed bucket. */
+    *
+    * Single-OPERATOR contract: pause every other store entry point —
+    * `admitBatch` AND the readers (`admittedDocs`) — while compacting,
+    * like any parquet compaction. The readers are included because they
+    * too call [[recoverStore]]: a reader racing an in-flight compaction
+    * cannot tell "crashed" from "running" and would delete the
+    * in-progress `__compact_*` rewrite or rename `__old_*` back inside
+    * the two-rename window, failing the compaction's second rename.
+    * (Crash-vs-running is undecidable from the filesystem alone — a
+    * liveness marker left by a crash would instead disable recovery
+    * forever — so the contract, not a marker, carries this.)
+    *
+    * Bands keep (or, for a pre-bucketing store, acquire) the bucket
+    * directory layout, ending at one file per non-empty bucket with
+    * rows clustered by the join keys — so the per-batch pruned read
+    * opens exactly one file per probed bucket. */
   def compactStore(spark: SparkSession, storeDir: String, parts: Int = 16): Unit = {
     recoverStore(spark, storeDir) // clears any crashed prior compaction
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swapIn(sub: String)(rewrite: (String, String) => Unit): Unit = {
-      val live = s"$storeDir/$sub"
-      if (!exists(spark, live)) return
-      val tmp = s"$storeDir/__compact_$sub"
-      val old = s"$storeDir/__old_$sub"
-      rewrite(live, tmp)
-      fs.delete(new org.apache.hadoop.fs.Path(old), true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(live), new org.apache.hadoop.fs.Path(old)),
-        s"compact: could not move $live aside")
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(live)),
-        s"compact: could not swap in $tmp")
-      fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    }
-    swapIn("docs") { (live, tmp) =>
+    swapIn(spark, storeDir, "docs") { (live, tmp) =>
       spark.read.parquet(live).repartition(parts).write.parquet(tmp)
     }
-    swapIn("bands") { (live, tmp) =>
-      val raw = spark.read.parquet(live)
-      val bucketed =
-        if (raw.columns.contains("bucket")) raw
-        else raw.withColumn("bucket", bucketCol) // migrate pre-bucketing store
-      bucketed
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("band"), col("bandhash"))
-        .write.partitionBy("bucket").parquet(tmp)
-    }
+    swapIn(spark, storeDir, "bands")(bandsRewrite(spark))
   }
 }

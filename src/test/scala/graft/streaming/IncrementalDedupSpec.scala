@@ -198,6 +198,41 @@ class IncrementalDedupSpec extends SparkTestBase {
       "pruned index changed admission decisions")
   }
 
+  test("appending to a pre-bucketing store (flat band files) migrates the " +
+      "layout instead of bricking partition discovery") {
+    import graft.ops.DedupQueries
+    val store = Files.createTempDirectory("incdedup-flat-").toString
+    // seed the store the way the pre-bucketing code did: docs/ plain,
+    // bands/ as FLAT parquet at the root, no bucket column
+    val seed = (1L to 10L).map(doc(_, "f"))
+    val seedDf = spark.createDataFrame(seed).toDF("doc_id", "text")
+    seedDf.write.parquet(s"$store/docs")
+    DedupQueries.bandsOf(DedupQueries.signatures(seedDf, "doc_id", "text"))
+      .write.parquet(s"$store/bands")
+    assert(new java.io.File(s"$store/bands").listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "seed store is not flat — test setup broken")
+
+    // the upgrade-boundary batch: a near-dup of seeded doc 1 plus a novel doc
+    val out = admit(Seq(90L -> (doc(1L, "f")._2 + " x"), 91L -> doc(91L, "n")._2), store)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(91L),
+      "admission decisions wrong across the layout migration")
+
+    // the store must still be readable (the bricking failure mode is
+    // 'Conflicting directory structures' on this exact read) and fully
+    // bucketed: no flat parquet left at the root
+    val bandDocs = spark.read.parquet(s"$store/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(bandDocs === (1L to 10L).toSet + 91L, s"band index lost rows: $bandDocs")
+    assert(!new java.io.File(s"$store/bands").listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "flat files survived next to bucket= dirs")
+
+    // and later batches keep working against the migrated layout
+    val later = admit(Seq(92L -> (doc(91L, "n")._2 + " y"), 93L -> doc(93L, "m")._2), store)
+    assert(later.collect().map(_.getLong(0)).toSet === Set(93L))
+  }
+
   test("a compaction crash at any point leaves a store that serves identical " +
       "admission decisions (self-recovery)") {
     val fsRoot = Files.createTempDirectory("incdedup-crash-").toString
