@@ -396,8 +396,25 @@ object Graft {
     * graft.drive.EmbedDrive audits it on the fixtures at two scales. */
   def embedNearDup(df: DataFrame, id: String, vec: String, threshold: Double,
       ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    // all-zero stored radii: the indexed overload measures df's own
+    // per-cell radii and takes the max, so this trains per call and
+    // probes exactly as this method always did
+    val centroids = graft.ops.Ivf.trainCentroids(df, id, vec, ivf)
+    embedNearDup(df, id, vec, threshold,
+      graft.ops.Ivf.Index(centroids, new Array[Double](centroids.length)))
+  }
+
+  /** [[embedNearDup]] against a PREBUILT index ([[graft.ops.Ivf.train]]
+    * / [[graft.ops.Ivf.load]]): skips centroid training — the amortized
+    * path for recurring dedup over a slowly-drifting corpus. Probing
+    * stays complete under a stale index because the effective per-cell
+    * radius is the max of the index's stored radius and the radius
+    * measured from `df`'s own home assignment (which this method
+    * computes anyway for the join's home side). */
+  def embedNearDup(df: DataFrame, id: String, vec: String, threshold: Double,
+      index: graft.ops.Ivf.Index): DataFrame = {
     import graft.ops.Ivf
-    val centroids = Ivf.trainCentroids(df, id, vec, ivf)
+    val centroids = index.centroids
     val maxPairRad = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     // per-cell radii from the home assignment: one map-only pass + an
     // nlist-sized aggregate (≤ sampleCap rows — driver-safe by
@@ -405,9 +422,9 @@ object Graft {
     val home = Ivf.assign(df, id, vec, centroids, 1)
       .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"), col("cell_angle"))
       .localCheckpoint(true) // reused below; one kernel pass, not two
-    val radii = new Array[Double](centroids.length)
+    val radii = index.radii.clone()
     home.groupBy(col("cell")).agg(max(col("cell_angle")).as("r"))
-      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+      .collect().foreach(r => radii(r.getInt(0)) = math.max(radii(r.getInt(0)), r.getDouble(1)))
     // probe side: every cell whose radius-expanded cap can hold a
     // qualifying partner ([[Ivf.assignWithinRadii]] — complete, and far
     // tighter than the fixed 2·acos(t) margin when cells are tight)

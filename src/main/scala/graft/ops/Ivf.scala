@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,6 +66,71 @@ object Ivf {
     def resolveNprobe(cells: Int): Int =
       if (nprobe > 0) math.min(nprobe, cells)
       else math.min(cells, math.max(4, (cells + 2) / 3))
+  }
+
+  /** A trained, persistable IVF index: unit-norm centroids plus the
+    * per-cell max member angle ("radius", radians) measured over the
+    * corpus the index covers. Production recurring dedup trains once
+    * and amortizes the index across crawls ([[save]]/[[load]]); the
+    * radius-rule probing ([[assignWithinRadii]]) stays COMPLETE under a
+    * stale index as long as `radii` still bounds every covered vector —
+    * consumers joining new data against an indexed corpus must take the
+    * max with the new members' measured angles (see
+    * [[graft.api.Graft.embedNearDup]] and
+    * [[graft.streaming.IncrementalEmbedDedup]]). */
+  final case class Index(centroids: Array[Array[Double]], radii: Array[Double]) {
+    require(centroids.length == radii.length,
+      s"index has ${centroids.length} centroids but ${radii.length} radii")
+    def nlist: Int = centroids.length
+  }
+
+  /** Train a persistable index on `df`: centroids by spherical k-means
+    * on the bounded sample, radii from every row's home assignment (one
+    * map-only pass + an nlist-sized aggregate). */
+  def train(df: DataFrame, id: String, vec: String, p: Params = Params()): Index = {
+    val centroids = trainCentroids(df, id, vec, p)
+    Index(centroids, measureRadii(df, id, vec, centroids))
+  }
+
+  /** Per-cell max home-assignment angle of `df`'s rows — the measured
+    * cell radii the completeness proof of [[assignWithinRadii]] needs.
+    * Never-populated cells get radius 0 (an empty cell holds no
+    * qualifying partner, so probing it is never required). The result
+    * is nlist-sized (≤ sampleCap) — driver-safe by construction. */
+  def measureRadii(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]]): Array[Double] = {
+    val radii = new Array[Double](centroids.length)
+    assign(df, id, vec, centroids, 1)
+      .groupBy(col("cell")).agg(max(col("cell_angle")).as("r"))
+      .collect().foreach(r => radii(r.getInt(0)) = r.getDouble(1))
+    radii
+  }
+
+  /** Persist an index as one tiny parquet of (cell, centroid, radius) —
+    * nlist rows, a single file; readable by any engine. Overwrites. */
+  def save(spark: SparkSession, dir: String, index: Index): Unit = {
+    val rows = index.centroids.indices.map(c =>
+      (c, index.centroids(c).toSeq, index.radii(c)))
+    spark.createDataFrame(rows).toDF("cell", "centroid", "radius")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Load an index written by [[save]]. Bit-identical round-trip:
+    * centroids and radii are stored as the same doubles they held in
+    * memory, so a saved-then-loaded index reproduces exactly the pairs
+    * a fresh train on the same corpus would. */
+  def load(spark: SparkSession, dir: String): Index = {
+    val rows = spark.read.parquet(dir).select("cell", "centroid", "radius").collect()
+    val centroids = new Array[Array[Double]](rows.length)
+    val radii = new Array[Double](rows.length)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 0 && c < rows.length, s"index at $dir has cell id $c out of range")
+      centroids(c) = r.getSeq[Double](1).toArray
+      radii(c) = r.getDouble(2)
+    }
+    require(!centroids.contains(null), s"index at $dir is missing cells")
+    Index(centroids, radii)
   }
 
   /** Unit-normalized centroids from a deterministic stride sample of the

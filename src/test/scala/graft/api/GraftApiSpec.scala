@@ -83,6 +83,31 @@ class GraftApiSpec extends SparkTestBase {
     assert(got === brute)
   }
 
+  test("a saved-then-loaded IVF index reproduces exactly the pairs a fresh " +
+      "per-call train produces (the amortized recurring-dedup path)") {
+    import graft.ops.Ivf
+    val vecs = (0 until 60).map { i =>
+      val base = Array.tabulate(8)(d => if (d == i % 4) 10.0f else 0.0f)
+      base(4 + i % 4) = 0.3f + 0.01f * i
+      (i.toLong, base)
+    }.toDF("row_id", "v")
+    val fresh = Graft.embedNearDup(vecs, "row_id", "v", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fresh.nonEmpty)
+
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index-").toString + "/index"
+    Ivf.save(spark, dir, Ivf.train(vecs, "row_id", "v"))
+    val loaded = Ivf.load(spark, dir)
+    val viaIndex = Graft.embedNearDup(vecs, "row_id", "v", 0.9, loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === fresh, "saved index diverged from fresh train")
+
+    // the loaded index also round-trips bit-identically
+    val trained = Ivf.train(vecs, "row_id", "v")
+    assert(loaded.centroids.map(_.toSeq).toSeq === trained.centroids.map(_.toSeq).toSeq)
+    assert(loaded.radii.toSeq === trained.radii.toSeq)
+  }
+
   test("per-cell radius probing: complete on a clustered corpus AND provably " +
       "tighter than exhaustive probing (small probe sets)") {
     import graft.ops.Ivf

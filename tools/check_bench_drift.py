@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Flag per-query bench drift against the pinned reference shares.
+
+Usage: python3 tools/check_bench_drift.py BENCH_rN.json [factor]
+
+The reference (tools/bench_reference.json) pins each query's best
+full-run time observed across rounds at sf0.1 — min-over-rounds
+discards contention outliers, approximating an isolated run. A query
+whose current time exceeds factor x reference (default 2.0) is flagged
+so regressions like round-5's q_fingerprint 9x are caught mechanically
+instead of by eyeballing totals. New queries (absent from the
+reference) are listed informationally; fold them into the reference
+once they have a few rounds of history.
+
+Exit code: 0 if nothing drifted, 1 if any query exceeds the factor.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+REF_PATH = Path(__file__).parent / "bench_reference.json"
+# below this absolute cost, ratio noise is meaningless (first-touch
+# and scheduling jitter are a large share of tiny queries)
+MIN_FLAG_SECONDS = 0.3
+
+
+def load_bench(path):
+    d = json.load(open(path))
+    if isinstance(d.get("parsed"), dict) and "queries" in d.get("parsed", {}):
+        return d["parsed"]["queries"]
+    m = re.search(r'\{"metric".*\}', d.get("tail", ""))
+    if not m:
+        raise SystemExit(f"no bench JSON line found in {path}")
+    return json.loads(m.group(0))["queries"]
+
+
+def main():
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    ref = json.load(open(REF_PATH))["seconds"]
+    cur = load_bench(sys.argv[1])
+
+    drifted, new = [], []
+    for q, t in sorted(cur.items()):
+        if q == "_warmup":
+            continue
+        if q not in ref:
+            new.append((q, t))
+            continue
+        if t > factor * ref[q] and t > MIN_FLAG_SECONDS:
+            drifted.append((q, t, ref[q], t / ref[q]))
+
+    for q, t, r, ratio in drifted:
+        print(f"DRIFT {q}: {t:.2f}s vs reference {r:.2f}s ({ratio:.1f}x)")
+    for q, t in new:
+        print(f"NEW   {q}: {t:.2f}s (no reference yet)")
+    kept = sum(1 for q in cur if q != "_warmup" and q in ref) - len(drifted)
+    print(f"\n{kept} queries within {factor}x of reference; "
+          f"{len(drifted)} drifted; {len(new)} new")
+    sys.exit(1 if drifted else 0)
+
+
+if __name__ == "__main__":
+    main()
