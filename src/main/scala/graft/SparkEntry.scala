@@ -83,6 +83,8 @@ object SparkEntry {
     "q_multimodal_features" -> MultimodalQueries.qMultimodalFeatures,
     "q_multimodal_png" -> MultimodalQueries.qMultimodalPng,
     "q_multimodal_resize" -> MultimodalQueries.qMultimodalResize,
+    "q_multimodal_resize2d" -> MultimodalQueries.qMultimodalResize2d,
+    "q_drop_boilerplate_lines" -> TextQueries.qDropBoilerplateLines,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -323,7 +325,9 @@ object SparkEntry {
     "q_multimodal_features" -> MultimodalQueries.featuresOracle,
     "q_multimodal_png" -> MultimodalQueries.pngOracle,
     "q_multimodal_resize" -> MultimodalQueries.resizeOracle,
+    "q_multimodal_resize2d" -> MultimodalQueries.resize2dOracle,
     "q_drop_boilerplate" -> TextQueries.dropBoilerplateOracle,
+    "q_drop_boilerplate_lines" -> TextQueries.dropBoilerplateLinesOracle,
     "q_repetition" -> TextQueries.repetitionOracle,
 
     "q_fingerprint" ->

@@ -186,26 +186,44 @@ object MultimodalQueries {
     * through a gamma ramp in getRGB, which would break the identity.)
     * Encode is CPU-bound per row → repartition off the single fixture
     * split before the kernel. */
-  def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame =
+    grayPngTable(spark, dir, width = 0, minBytes = 1)
+
+  /** Row-major gray PNG of `bytes(0 until w*h)` (r=g=b=byte — see
+    * [[pngMediaTable]] for why TYPE_INT_RGB keeps the round-trip
+    * byte-exact). */
+  private def encodeGrayPng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val v = bytes(i) & 0xff
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG writer registered")
+    baos.toByteArray
+  }
+
+  /** Fixture bytes → real gray PNGs. `width = 0` keeps the 1×n stream
+    * shape; `width > 0` builds TRUE 2-D images — row-major width×h with
+    * h = len/width, the trailing partial row dropped (codecs don't do
+    * ragged rows). Encode is CPU-bound per row → repartition off the
+    * single fixture split. */
+  private def grayPngTable(spark: SparkSession, dir: String,
+      width: Int, minBytes: Int): DataFrame = {
     val enc = Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("blob", BinaryType))))
     mediaTable(spark, dir).select(col("doc_id"), col("blob"))
-      .filter(length(col("blob")) > 0) // ImageIO needs width ≥ 1
+      .filter(length(col("blob")) >= minBytes) // ImageIO needs w,h ≥ 1
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val img = new java.awt.image.BufferedImage(
-            bytes.length, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var x = 0
-          while (x < bytes.length) {
-            val v = bytes(x) & 0xff
-            img.setRGB(x, 0, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          val baos = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG writer registered")
-          Row(r.getLong(0), baos.toByteArray)
+          val w = if (width > 0) width else bytes.length
+          val h = if (width > 0) bytes.length / width else 1
+          Row(r.getLong(0), encodeGrayPng(bytes, w, h))
         }
       }(enc)
   }
@@ -273,6 +291,28 @@ object MultimodalQueries {
       |SELECT doc_id, i.i::BIGINT AS pos, p[(i.i * len(p) // 64 + 1)::INT]::BIGINT AS v
       |FROM px, (SELECT unnest(range(0, 64)) AS i) i
       |WHERE len(p) > 0""".stripMargin
+
+  /** Graded TRUE-2-D resize entry: 64-wide PNGs (h = len/64 rows of
+    * fixture bytes, real codec geometry) → production decode → 8×8
+    * thumbnail. Unlike [[qMultimodalResize]] (whose 1×n fixtures reduce
+    * the index map to 1-D resampling), this pins the full 2-D map
+    * out(y,x) = in(⌊y·h/8⌋·64 + ⌊x·64/8⌋) under the hash oracle, which
+    * states it directly against the byte stream. */
+  def qMultimodalResize2d(spark: SparkSession, dir: String): DataFrame =
+    resample(grayPngTable(spark, dir, width = 64, minBytes = 64), 8, 8)
+
+  val resize2dOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(
+      |    string_split(regexp_replace(text, '[^ -~]', '', 'g'), ''), c -> ascii(c)) AS p
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, p, len(p) // 64 AS h FROM px WHERE len(p) >= 64
+      |)
+      |SELECT doc_id, (y.y * 8 + x.x)::BIGINT AS pos,
+      |  p[((y.y * h // 8) * 64 + (x.x * 64 // 8) + 1)::INT]::BIGINT AS v
+      |FROM d, (SELECT unnest(range(0, 8)) AS y) y,
+      |       (SELECT unnest(range(0, 8)) AS x) x""".stripMargin
 
   val featuresOracle: String =
     """WITH px AS (

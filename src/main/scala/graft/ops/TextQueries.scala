@@ -67,6 +67,49 @@ object TextQueries {
       |JOIN tot t USING (doc_id)
       |LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  /** LINE-level boilerplate removal — the web-corpus shape: repeated
+    * nav/footer/cookie-banner LINES dropped by corpus frequency, word
+    * order inside surviving lines untouched. The fixtures are
+    * single-line word streams, so the graded entry derives a multi-line
+    * column by mapping the token "the" to a newline (literal
+    * left-to-right replace — identical semantics in both engines), then
+    * runs [[graft.api.Graft.dropBoilerplate]] with `delim = "\n"`. A
+    * line must recur in ≥ 0.5% of documents verbatim to be dropped —
+    * the line-keyed threshold regime (whole lines recur far less often
+    * than words, so minDocFrac is 100× smaller than the word entry's). */
+  def qDropBoilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.dropBoilerplate(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        replace(col("text"), lit(" the "), lit("\n")).as("text")),
+      "doc_id", "text", "\n", 0.005)
+
+  val dropBoilerplateLinesOracle: String =
+    """WITH lined AS (
+      |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ts FROM lined
+      |), w AS (
+      |  SELECT doc_id, unnest(ts) AS word,
+      |    unnest(list_transform(ts, (x, i) -> i)) AS pos
+      |  FROM toks
+      |), freq AS (
+      |  SELECT word FROM (SELECT DISTINCT doc_id, word FROM w)
+      |  GROUP BY word
+      |  HAVING count(*) >= (SELECT ceil(count(*) * 0.005) FROM documents)
+      |), kept AS (
+      |  SELECT doc_id, string_agg(word, chr(10) ORDER BY pos) AS cleaned,
+      |    count(*) AS n_kept
+      |  FROM w WHERE word NOT IN (SELECT word FROM freq)
+      |  GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_lines FROM w GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(k.cleaned, '') AS cleaned,
+      |  (t.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+      |FROM documents d
+      |JOIN tot t USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** Within-document repetition ratios (Gopher-family quality signal):
     * duplicated-word and duplicated-3-gram fractions per doc. */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =
