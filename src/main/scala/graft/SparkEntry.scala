@@ -85,6 +85,8 @@ object SparkEntry {
     "q_multimodal_resize" -> MultimodalQueries.qMultimodalResize,
     "q_multimodal_resize2d" -> MultimodalQueries.qMultimodalResize2d,
     "q_drop_boilerplate_lines" -> TextQueries.qDropBoilerplateLines,
+    "q_decontaminate"   -> TextQueries.qDecontaminate,
+    "q_lm_bits"         -> TextQueries.qLmBits,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -328,6 +330,8 @@ object SparkEntry {
     "q_multimodal_resize2d" -> MultimodalQueries.resize2dOracle,
     "q_drop_boilerplate" -> TextQueries.dropBoilerplateOracle,
     "q_drop_boilerplate_lines" -> TextQueries.dropBoilerplateLinesOracle,
+    "q_decontaminate" -> TextQueries.decontaminateOracle,
+    "q_lm_bits" -> TextQueries.lmBitsOracle,
     "q_repetition" -> TextQueries.repetitionOracle,
 
     "q_fingerprint" ->

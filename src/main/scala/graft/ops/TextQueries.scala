@@ -110,6 +110,70 @@ object TextQueries {
       |JOIN tot t USING (doc_id)
       |LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  /** Benchmark decontamination over the fixtures: docs with
+    * `doc_id % 97 == 0` play the eval suite, the rest are the training
+    * corpus; a training doc is contaminated when it shares any word
+    * 4-gram with the benchmark verbatim (4, not the production 13 —
+    * fixture docs are ~20 words). */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.api.Graft.decontaminate(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", 4)
+  }
+
+  val decontaminateOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(ts) - 3, 0)),
+      |    i -> array_to_string(ts[(i+1)::INT:(i+4)::INT], ' '))) AS g
+      |  FROM toks
+      |), bench AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+      |), hits AS (
+      |  SELECT doc_id, count(DISTINCT g)::BIGINT AS n_hits
+      |  FROM grams WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+      |  GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+      |  (coalesce(h.n_hits, 0) > 0)::BIGINT AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 97 <> 0""".stripMargin
+
+  /** Corpus-trained bigram-LM scoring over the fixtures (bits per
+    * token, add-one smoothing; docs with < 2 tokens omitted). */
+  def qLmBits(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.lmScore(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
+  val lmBitsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), uni AS (
+      |  SELECT w1, count(*) AS c1 FROM (
+      |    SELECT unnest(ts) AS w1 FROM toks
+      |  ) GROUP BY w1
+      |), v AS (SELECT count(*) AS v FROM uni),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(ts) - 1, 0)),
+      |      i -> ts[(i+1)::INT])) AS w1,
+      |    unnest(list_transform(range(0, greatest(len(ts) - 1, 0)),
+      |      i -> ts[(i+2)::INT])) AS w2
+      |  FROM toks
+      |), bcnt AS (
+      |  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2
+      |)
+      |SELECT bi.doc_id,
+      |  round(sum(-log2((bcnt.cb + 1) / (uni.c1 + v.v))) / count(*), 4)
+      |    AS bits_per_token
+      |FROM bi JOIN bcnt USING (w1, w2) JOIN uni USING (w1), v
+      |GROUP BY bi.doc_id""".stripMargin
+
   /** Within-document repetition ratios (Gopher-family quality signal):
     * duplicated-word and duplicated-3-gram fractions per doc. */
   def qRepetition(spark: SparkSession, dir: String): DataFrame =

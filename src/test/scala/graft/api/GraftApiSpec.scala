@@ -143,6 +143,36 @@ class GraftApiSpec extends SparkTestBase {
     assert(probes <= 3L * 200, s"probe fan-out $probes for 200 clustered vectors")
   }
 
+  test("decontaminate counts distinct shared n-grams and spares clean or " +
+      "too-short docs") {
+    val bench = Seq((1L, "a b c d e")).toDF("bid", "btxt")
+    val train = Seq(
+      (10L, "z z b c d e q"),     // one 4-gram hit: "b c d e"
+      (11L, "a b c d e"),         // two hits: "a b c d" and "b c d e"
+      (12L, "a b c x d e f"),     // shares words but no 4-gram
+      (13L, "a b c")              // too short for any 4-gram
+    ).toDF("k", "body")
+    val got = Graft.decontaminate(train, "k", "body", bench, "btxt", 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map(
+      10L -> (1L, 1L), 11L -> (2L, 1L), 12L -> (0L, 0L), 13L -> (0L, 0L)))
+  }
+
+  test("lmScore computes add-one-smoothed bigram bits per token " +
+      "(hand-checked) and omits bigram-free docs") {
+    // vocab {x,y,z} V=3; unigrams x:4 (doc 4 counts) y:2 z:1;
+    // bigrams (x,y):2 (x,z):1
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "x"))
+      .toDF("k", "body")
+    val got = Graft.lmScore(docs, "k", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def bits(p: Double): Double = BigDecimal(-math.log(p) / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1/2: -log2((2+1)/(4+3)); doc 3: -log2((1+1)/(4+3)); doc 4 omitted
+    assert(got === Map(
+      1L -> bits(3.0 / 7), 2L -> bits(3.0 / 7), 3L -> bits(2.0 / 7)))
+  }
+
   test("langId generalizes to caller profiles with priority tiebreak") {
     val df = Seq((1L, "der hund und die katze"), (2L, "the cat and the dog"), (3L, "xyzzy"))
       .toDF("id", "txt")
