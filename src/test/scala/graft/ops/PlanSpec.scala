@@ -143,6 +143,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"per-row quality op shuffled:\n$p")
   }
 
+  test("q_decontaminate: gram equi-join, no cartesian, partial hit counting") {
+    val p = plan(TextQueries.qDecontaminate(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("partial_count"), s"hit count not partial:\n$p")
+  }
+
+  test("q_lm_bits: count-table equi-joins; the only nested-loop is the 1-row " +
+      "vocabulary-size broadcast") {
+    val p = plan(TextQueries.qLmBits(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"nested loop:\n$p")
+    assert(p.contains("partial_count"), s"LM counts not partial:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase

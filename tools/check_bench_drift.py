@@ -27,6 +27,8 @@ MIN_FLAG_SECONDS = 0.3
 
 def load_bench(path):
     d = json.load(open(path))
+    if "queries" in d:  # a raw graft.Bench output line
+        return d["queries"]
     if isinstance(d.get("parsed"), dict) and "queries" in d.get("parsed", {}):
         return d["parsed"]["queries"]
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
