@@ -87,6 +87,7 @@ object SparkEntry {
     "q_drop_boilerplate_lines" -> TextQueries.qDropBoilerplateLines,
     "q_decontaminate"   -> TextQueries.qDecontaminate,
     "q_lm_bits"         -> TextQueries.qLmBits,
+    "q_token_budget_sample" -> CoreQueries.qTokenBudgetSample,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -332,6 +333,7 @@ object SparkEntry {
     "q_drop_boilerplate_lines" -> TextQueries.dropBoilerplateLinesOracle,
     "q_decontaminate" -> TextQueries.decontaminateOracle,
     "q_lm_bits" -> TextQueries.lmBitsOracle,
+    "q_token_budget_sample" -> CoreQueries.tokenBudgetOracle,
     "q_repetition" -> TextQueries.repetitionOracle,
 
     "q_fingerprint" ->

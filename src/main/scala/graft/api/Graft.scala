@@ -734,6 +734,35 @@ object Graft {
     df.filter(bucket < rateExpr)
   }
 
+  /** Deterministic TOKEN-BUDGET sampling per stratum — the mixture-
+    * construction step ("x tokens of web, y of code, z of math"): walk
+    * each stratum's docs in reproducible pseudo-random order (the same
+    * overflow-safe 31-bit LCG as [[hashSample]], id tiebreak) and keep
+    * docs while the stratum's RUNNING token total stays within its
+    * budget. Budgets are tokens, not documents, so long docs spend the
+    * budget faster — what a mixture spec actually means. Returns every
+    * row with its running total and a 0/1 `kept`.
+    *
+    * Scale shape: one window partitioned by stratum (strata are few and
+    * large → each window partition is one shuffle partition's sort, no
+    * global sort, no driver loop). Deterministic across engines,
+    * partitionings and retries by the hashSample argument. A stratum
+    * absent from `budgets` keeps nothing (budget 0). */
+  def tokenBudgetSample(df: DataFrame, id: String, stratumCol: String,
+      tokensCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
+    val order = pmod(pmod(col(id), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order.asc, col(id).asc)
+    val budgetExpr = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .select(col(id), col(stratumCol), col(tokensCol),
+        col("__cum").cast("long").as("cum_tokens"),
+        (col("__cum") <= budgetExpr).cast("long").as("kept"))
+  }
+
   // ---------- sequence packing (training-data prep) ----------
 
   /** Concat-and-chunk sequence packing — the standard pretraining data

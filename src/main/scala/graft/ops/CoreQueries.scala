@@ -327,6 +327,42 @@ object CoreQueries {
       Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0))
       .select(col("event_id"), col("event_type"), col("user_id"))
 
+  /** Token-budget mixture sampling over documents: four derived
+    * domains, per-domain token budgets, docs kept in LCG order until
+    * the budget is spent ([[graft.api.Graft.tokenBudgetSample]]); the
+    * 'misc' domain has no budget entry and keeps nothing. */
+  def qTokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0, "web")
+        .when(pmod(col("doc_id"), lit(4)) === 1, "code")
+        .when(pmod(col("doc_id"), lit(4)) === 2, "math")
+        .otherwise("misc").as("domain"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    graft.api.Graft.tokenBudgetSample(docs, "doc_id", "domain", "n_tokens",
+      Map("web" -> 3000L, "code" -> 2000L, "math" -> 1000L))
+  }
+
+  val tokenBudgetOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+      |                    WHEN 2 THEN 'math' ELSE 'misc' END AS domain,
+      |    len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, domain, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY domain
+      |      ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+      |               doc_id) AS cum
+      |  FROM t
+      |)
+      |SELECT doc_id, domain, n_tokens, cum::BIGINT AS cum_tokens,
+      |  (cum <= CASE domain WHEN 'web' THEN 3000 WHEN 'code' THEN 2000
+      |                      WHEN 'math' THEN 1000 ELSE 0 END)::BIGINT AS kept
+      |FROM c""".stripMargin
+
   /** Ordered signup→click→purchase funnel per user, reported as users
     * per deepest stage reached ([[graft.api.Graft.funnel]]): each stage
     * is a filtered min-ts aggregate chained through equi-joins — no

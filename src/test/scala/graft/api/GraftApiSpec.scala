@@ -173,6 +173,30 @@ class GraftApiSpec extends SparkTestBase {
       1L -> bits(3.0 / 7), 2L -> bits(3.0 / 7), 3L -> bits(2.0 / 7)))
   }
 
+  test("tokenBudgetSample matches a single-machine reference and drops " +
+      "unbudgeted strata") {
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", (i % 7) + 1)) // tokens 1..7
+    val df = rows.toDF("k", "dom", "toks")
+    val got = Graft.tokenBudgetSample(df, "k", "dom", "toks",
+        Map("even" -> 30L)) // odd has no budget
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+
+    // independent reference: same LCG order, running sum, budget cut
+    def lcg(id: Long): Long = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val expected = rows.groupBy(_._2).flatMap { case (dom, rs) =>
+      var cum = 0L
+      rs.sortBy(r => (lcg(r._1), r._1)).map { r =>
+        cum += r._3
+        r._1 -> (cum, if (dom == "even" && cum <= 30L) 1L else 0L)
+      }
+    }
+    assert(got === expected)
+    assert(got.values.count(_._2 == 1L) > 0, "budget kept nothing — fixture broken")
+    assert(rows.filter(_._2 == "odd").forall(r => got(r._1)._2 == 0L),
+      "unbudgeted stratum kept rows")
+  }
+
   test("langId generalizes to caller profiles with priority tiebreak") {
     val df = Seq((1L, "der hund und die katze"), (2L, "the cat and the dog"), (3L, "xyzzy"))
       .toDF("id", "txt")
