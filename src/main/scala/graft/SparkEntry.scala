@@ -88,6 +88,7 @@ object SparkEntry {
     "q_decontaminate"   -> TextQueries.qDecontaminate,
     "q_lm_bits"         -> TextQueries.qLmBits,
     "q_token_budget_sample" -> CoreQueries.qTokenBudgetSample,
+    "q_dup_spans"       -> TextQueries.qDupSpans,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -334,6 +335,7 @@ object SparkEntry {
     "q_decontaminate" -> TextQueries.decontaminateOracle,
     "q_lm_bits" -> TextQueries.lmBitsOracle,
     "q_token_budget_sample" -> CoreQueries.tokenBudgetOracle,
+    "q_dup_spans" -> TextQueries.dupSpansOracle,
     "q_repetition" -> TextQueries.repetitionOracle,
 
     "q_fingerprint" ->

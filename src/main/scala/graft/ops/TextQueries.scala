@@ -142,6 +142,31 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |WHERE d.doc_id % 97 <> 0""".stripMargin
 
+  /** Exact-substring duplicate-span coverage over the fixtures
+    * (20-char spans on ~100-char docs; production uses the paper's
+    * 50). */
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.dupSpans(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 20)
+
+  val dupSpansOracle: String =
+    """WITH spans AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 19, 0)),
+      |    i -> substr(text, (i+1)::INT, 20))) AS s
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT s, count(*) AS n FROM spans GROUP BY s
+      |), hits AS (
+      |  SELECT doc_id, count(*) AS dups
+      |  FROM spans JOIN cnt USING (s) WHERE n > 1 GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  greatest(length(d.text) - 19, 0)::BIGINT AS n_spans,
+      |  coalesce(h.dups, 0)::BIGINT AS dup_spans,
+      |  round(coalesce(h.dups, 0) / greatest(length(d.text) - 19, 1), 4) AS dup_frac
+      |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   /** Corpus-trained bigram-LM scoring over the fixtures (bits per
     * token, add-one smoothing; docs with < 2 tokens omitted). */
   def qLmBits(spark: SparkSession, dir: String): DataFrame =

@@ -173,6 +173,22 @@ class GraftApiSpec extends SparkTestBase {
       1L -> bits(3.0 / 7), 2L -> bits(3.0 / 7), 3L -> bits(2.0 / 7)))
   }
 
+  test("dupSpans counts corpus-duplicated L-char positions, including " +
+      "within-doc repeats, and zeroes short docs") {
+    val docs = Seq(
+      (1L, "abcdefghij"),      // spans (L=5): 6; all unique to this doc...
+      (2L, "abcdeXYZWV"),      // ...except "abcde", shared with doc 1
+      (3L, "ppppppppp"),       // 5 positions, every span "ppppp" (within-doc dup)
+      (4L, "zzz")              // shorter than L: 0 spans
+    ).toDF("k", "body")
+    val got = Graft.dupSpans(docs, "k", "body", 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((6L, 1L, 0.1667)), got)  // "abcde" occurs in doc 2
+    assert(got(2L) === ((6L, 1L, 0.1667)), got)
+    assert(got(3L) === ((5L, 5L, 1.0)), got)     // repeated within one doc
+    assert(got(4L) === ((0L, 0L, 0.0)), got)
+  }
+
   test("tokenBudgetSample matches a single-machine reference and drops " +
       "unbudgeted strata") {
     val rows = (1L to 40L).map(i =>

@@ -158,6 +158,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"LM counts not partial:\n$p")
   }
 
+  test("q_dup_spans: span equi-join + keyed counts, no cartesian, no nested loop") {
+    val p = plan(TextQueries.qDupSpans(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("partial_count"), s"span counts not partial:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
