@@ -72,6 +72,54 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.last.getLong(2) + rows.last.getLong(1) === totalTokens)
   }
 
+  test("round-8 curation composes: span/LM quality gates → decontaminate → " +
+      "token-budget mixture") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+    // 1. char-level duplication + LM-typicality gates (both non-vacuous:
+    //    the span gate kills the exact-dup families, the LM gate cuts
+    //    the top decile of surprisal)
+    val spanScores = Graft.dupSpans(docs, "doc_id", "text", 20)
+    val lm = Graft.lmScore(docs, "doc_id", "text")
+    val lmCut = lm.agg(expr("percentile_approx(bits_per_token, 0.9)")).collect()(0).getDouble(0)
+    val gated = docs
+      .join(spanScores.filter(col("dup_frac") <= 0.8).select(col("doc_id")), "doc_id")
+      .join(lm.filter(col("bits_per_token") <= lmCut).select(col("doc_id")), "doc_id")
+    val nDocs = docs.count()
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated < nDocs, s"gates vacuous: $nGated of $nDocs")
+
+    // 2. decontaminate the survivors against a held-out benchmark slice
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train = gated.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val decon = Graft.decontaminate(train, "doc_id", "text", bench, "text", 4)
+    assert(decon.count() === train.count(), "decontaminate lost or invented docs")
+    val clean = train.join(
+      decon.filter(col("contaminated") === 0).select(col("doc_id")), "doc_id")
+
+    // 3. token-budget mixture over derived domains
+    val domains = clean.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "web").otherwise("code").as("domain"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_tokens"))
+    val budgets = Map("web" -> 400L, "code" -> 150L)
+    val mixed = Graft.tokenBudgetSample(domains, "doc_id", "domain", "n_tokens", budgets)
+    val perDomain = mixed.filter(col("kept") === 1)
+      .groupBy(col("domain")).agg(sum(col("n_tokens")).as("toks"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perDomain.nonEmpty)
+    perDomain.foreach { case (d, (toks, n)) =>
+      assert(toks <= budgets(d), s"$d over budget: $toks")
+      assert(n > 0, s"$d kept nothing")
+    }
+    // maximality: the cheapest unkept doc of each domain would not fit
+    mixed.filter(col("kept") === 0)
+      .groupBy(col("domain")).agg(min(col("cum_tokens")).as("c"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) > budgets(r.getString(0)),
+          s"${r.getString(0)} cut a doc that fit the budget")
+      }
+  }
+
   test("streaming pipeline: dis source → fingerprint64 dedup → dis sink, " +
       "duplicate-free and complete across a restart") {
     // The O18+O22 composition a streaming corpus build runs: documents
