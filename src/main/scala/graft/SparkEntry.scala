@@ -89,6 +89,10 @@ object SparkEntry {
     "q_lm_bits"         -> TextQueries.qLmBits,
     "q_token_budget_sample" -> CoreQueries.qTokenBudgetSample,
     "q_dup_spans"       -> TextQueries.qDupSpans,
+    "q_decontaminate_bloom" -> TextQueries.qDecontaminateBloom,
+    "q_pii_redact"      -> TextQueries.qPiiRedact,
+    "q_line_dedup"      -> TextQueries.qLineDedup,
+    "q_shuffle_shards"  -> CoreQueries.qShuffleShards,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -337,6 +341,11 @@ object SparkEntry {
     "q_token_budget_sample" -> CoreQueries.tokenBudgetOracle,
     "q_dup_spans" -> TextQueries.dupSpansOracle,
     "q_repetition" -> TextQueries.repetitionOracle,
+    // bit-identical to the exact gate by construction (verify join)
+    "q_decontaminate_bloom" -> TextQueries.decontaminateOracle,
+    "q_pii_redact" -> TextQueries.piiRedactOracle,
+    "q_line_dedup" -> TextQueries.lineDedupOracle,
+    "q_shuffle_shards" -> CoreQueries.shuffleShardsOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

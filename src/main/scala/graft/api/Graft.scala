@@ -39,6 +39,42 @@ object Graft {
         .cast("long").as("bpe_tokens"),
       length(col(text)).cast("long").as("n_chars"))
 
+  // PII patterns shared by piiRedact and its tests. Deliberately kept
+  // inside the regex subset that means the same thing in Java regex and
+  // RE2 (no backreferences, no lookaround, ASCII \d and \b) so any
+  // engine can audit the redaction decision on the same rows.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the compliance pass every released training
+    * corpus runs (C4/Dolma-style rule-based scrubbing): replace
+    * emails, North-American phone numbers and IPv4 literals with
+    * `<EMAIL>`/`<PHONE>`/`<IP>` tokens and report per-document match
+    * counts (counted on the ORIGINAL text, each pattern independently;
+    * replacement applies email → phone → IP so a later pattern never
+    * matches inside an earlier placeholder). Returns
+    * (id, redacted, n_emails, n_phones, n_ips).
+    *
+    * Scale shape: a pure per-row projection — regexp_replace and
+    * regexp_extract_all are codegen'd, no shuffle anywhere, scales
+    * linearly with input bytes (pinned shuffle-free in PlanSpec). */
+  def piiRedact(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    def n(re: String) =
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    df.select(
+      col(id),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("redacted"),
+      n(EmailRe).as("n_emails"),
+      n(PhoneRe).as("n_phones"),
+      n(Ipv4Re).as("n_ips"))
+  }
+
   /** Within-document repetition ratios — the Gopher-family quality
     * signal (heavily repeated content is boilerplate/spam): fraction of
     * duplicated words and duplicated word-3-grams per document.
@@ -174,6 +210,44 @@ object Graft {
       .select(col(id), explode(wordGrams(col("__ts"), n)).as("__g"))
       .distinct()
     val hits = tGrams.join(bGrams, Seq("__g"))
+      .groupBy(col(id)).agg(count(lit(1)).as("__h"))
+    train.select(col(id)).join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__h"), lit(0L)).cast("long").as("n_hits"))
+      .withColumn("contaminated", (col("n_hits") > 0).cast("long"))
+  }
+
+  /** [[decontaminate]] with a broadcast Bloom-filter prefilter — the
+    * 100 TB shape of the same gate. Exact `decontaminate` shuffles
+    * EVERY distinct training gram to the join (the corpus side is the
+    * 100 TB side; its gram stream dominates the job). Here the
+    * benchmark grams are first compressed into a Bloom filter (~1.2
+    * bytes/gram at 1% fpp — a 100M-gram eval suite is ~120 MB,
+    * broadcastable where the gram strings themselves are not), the
+    * corpus gram stream is pruned MAP-SIDE against it before the
+    * distinct/join shuffle, and the surviving ~fpp fraction is then
+    * verified with the exact equi-join so false positives never reach
+    * the output. Same result as [[decontaminate]], bit for bit
+    * (pinned in GraftApiSpec at fpp up to 0.5); shuffle volume drops
+    * from O(corpus grams) to O(true hits + fpp·corpus grams). */
+  def decontaminateBloom(train: DataFrame, id: String, text: String,
+      bench: DataFrame, benchText: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val bGrams = bench.select(tokens(col(benchText)).as("__ts"))
+      .select(explode(wordGrams(col("__ts"), n)).as("__g"))
+      .distinct()
+    // sizing count + filter build are one pass each over the SMALL side
+    val nBench = math.max(bGrams.count(), 1L)
+    val bloom = bGrams.stat.bloomFilter("__g", nBench, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val tGrams = train.select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), explode(wordGrams(col("__ts"), n)).as("__g"))
+      .filter(mightContain(col("__g"))) // map-side: before distinct's shuffle
+      .distinct()
+    val hits = tGrams.join(bGrams, Seq("__g")) // exact verify kills the fpp tail
       .groupBy(col(id)).agg(count(lit(1)).as("__h"))
     train.select(col(id)).join(hits, Seq(id), "left")
       .select(col(id),
@@ -325,6 +399,46 @@ object Graft {
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** CORPUS-level line/paragraph dedup — the C4 pipeline's "any
+    * three-sentence span occurring more than once is dropped" rule,
+    * generalized to `delim`-separated units: every unit keeps exactly
+    * its globally FIRST occurrence (smallest (id, position)); all
+    * later occurrences, across documents or within one, are removed
+    * and the documents reassembled in original unit order. Returns
+    * (id, cleaned, n_removed). Deterministic: the keeper is defined by
+    * ids, not by scan order.
+    *
+    * Scale shape: one posexplode, a keeper agg `min(struct(id, pos))`
+    * keyed on the unit — a HASH agg with map-side partial combine, so
+    * a unit repeated 10⁹ times (the empty line, a cookie banner)
+    * collapses per-task before the shuffle instead of hot-spotting one
+    * reducer the way a row_number window would — then one equi-join of
+    * occurrences against keepers on the same unit key (co-partitioned
+    * with the agg's exchange) and a per-doc positional re-agg. No
+    * pairwise step anywhere: a unit duplicated k times costs k rows. */
+  def lineDedup(df: DataFrame, id: String, text: String,
+      delim: String = "\n"): DataFrame = {
+    val units = df.select(col(id),
+      posexplode(split(col(text), java.util.regex.Pattern.quote(delim))))
+      .toDF(id, "pos", "unit")
+    val keepers = units.groupBy(col("unit"))
+      .agg(min(struct(col(id), col("pos"))).as("__k"))
+      .select(col("unit"), col("__k")(id).as("__kid"), col("__k")("pos").as("__kpos"))
+    val kept = units.join(keepers, Seq("unit"))
+      .filter(col(id) === col("__kid") && col("pos") === col("__kpos"))
+    val keptAgg = kept.groupBy(col(id)).agg(
+      concat_ws(delim, transform(
+        array_sort(collect_list(struct(col("pos"), col("unit")))),
+        x => x("unit"))).as("cleaned"),
+      count(lit(1)).as("__kept"))
+    val totals = units.groupBy(col(id)).agg(count(lit(1)).as("__units"))
+    df.select(col(id)).join(totals, Seq(id), "left").join(keptAgg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (coalesce(col("__units"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed"))
   }
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification
@@ -833,6 +947,32 @@ object Graft {
       .select(col(id), col(stratumCol), col(tokensCol),
         col("__cum").cast("long").as("cum_tokens"),
         (col("__cum") <= budgetExpr).cast("long").as("kept"))
+  }
+
+  /** Deterministic epoch shuffle + sharding — the "globally shuffle
+    * the corpus, then write N shard files" step before training.
+    * Every row gets a pseudo-random key from the same overflow-safe
+    * 31-bit LCG as [[hashSample]]; its shard is `key mod nShards` and
+    * its position is its rank inside the shard (key order, id
+    * tiebreak). Returns (id, shard, pos) — 0-based, dense per shard.
+    * Pure integer arithmetic on the row's own id: the permutation is
+    * reproducible across engines, partitionings and retries, and any
+    * engine can verify it (what a seeded `orderBy(rand())` is not).
+    *
+    * Scale shape: NO global sort — one hash exchange on `shard`
+    * followed by per-shard sorts (pinned in PlanSpec: exactly one
+    * exchange, no rangepartitioning). Each shard sorts independently
+    * in its own partition, so the job scales out with nShards instead
+    * of funneling 100 TB through a global range partitioner. */
+  def epochShuffle(df: DataFrame, id: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = pmod(pmod(col(id), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key").asc, col(id).asc)
+    df.select(col(id), key.as("__key"),
+        pmod(key, lit(nShards.toLong)).cast("long").as("shard"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(id), col("shard"), col("pos"))
   }
 
   // ---------- sequence packing (training-data prep) ----------

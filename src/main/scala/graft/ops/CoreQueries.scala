@@ -363,6 +363,25 @@ object CoreQueries {
       |                      WHEN 'math' THEN 1000 ELSE 0 END)::BIGINT AS kept
       |FROM c""".stripMargin
 
+  /** Deterministic epoch shuffle of the documents corpus into 8
+    * training shards ([[graft.api.Graft.epochShuffle]]): LCG key,
+    * shard = key mod 8, dense per-shard positions — one hash exchange,
+    * per-shard sorts, no global sort. */
+  def qShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.epochShuffle(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id", 8)
+
+  val shuffleShardsOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS key
+      |  FROM documents
+      |)
+      |SELECT doc_id, (key % 8)::BIGINT AS shard,
+      |  (row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+      |    - 1)::BIGINT AS pos
+      |FROM s""".stripMargin
+
   /** Ordered signup→click→purchase funnel per user, reported as users
     * per deepest stage reached ([[graft.api.Graft.funnel]]): each stage
     * is a filtered min-ts aggregate chained through equi-joins — no

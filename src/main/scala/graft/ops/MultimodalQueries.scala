@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   */
 object MultimodalQueries {
 
+  // JVM-global, set on object init (driver AND executor: any kernel
+  // reaching encode/decode loads this object first). See the note on
+  // DecodeStub for why the default disk-backed stream cache is a trap.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Blob decoder. Real PNG blobs (sniffed by magic bytes) decode
     * through JDK ImageIO to row-major grayscale pixels — an actual
     * media codec, zero extra dependencies. Anything else falls back to
@@ -33,18 +38,28 @@ object MultimodalQueries {
     * here behind the same sniff-and-dispatch; the call site, batching
     * and output contract never change. */
   object DecodeStub {
+    // ImageIO's DEFAULT stream cache is disk-backed: every read/write
+    // through it creates (and deletes) a temp FILE. At one blob per row
+    // that is thousands of filesystem round-trips per task — measured as
+    // multi-× run-to-run swings tracking /tmp state. The blobs are tiny;
+    // the outer object's init caches in memory instead.
+
     private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
     def isPng(blob: Array[Byte]): Boolean =
       blob.length >= PngMagic.length && java.util.Arrays.equals(
         java.util.Arrays.copyOf(blob, PngMagic.length), PngMagic)
 
-    /** Row-major luminance (0-255, ITU-R BT.601 integer weights) of a
-      * decoded PNG — deterministic across JVMs: PNG is lossless and the
-      * weights are fixed integer arithmetic. */
-    def decodePng(blob: Array[Byte]): Array[Int] = {
+    private def readPng(blob: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       require(img != null, "ImageIO could not decode PNG blob")
+      img
+    }
+
+    /** Row-major luminance (0-255, ITU-R BT.601 integer weights) of a
+      * decoded image — deterministic across JVMs: PNG is lossless and
+      * the weights are fixed integer arithmetic. */
+    private def luminance(img: java.awt.image.BufferedImage): Array[Int] = {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Int](w * h)
       var y = 0
@@ -61,16 +76,18 @@ object MultimodalQueries {
       out
     }
 
+    def decodePng(blob: Array[Byte]): Array[Int] = luminance(readPng(blob))
+
     def decode(blob: Array[Byte]): Array[Int] =
       if (isPng(blob)) decodePng(blob) else blob.map(b => (b & 0xff))
 
     /** Decode keeping true dimensions: PNGs report the codec's (w, h);
-      * raw byte blobs are a 1-row stream (len, 1). Row-major pixels. */
+      * raw byte blobs are a 1-row stream (len, 1). Row-major pixels.
+      * One codec pass — dims come from the same decoded image. */
     def decodeWithDims(blob: Array[Byte]): (Int, Int, Array[Int]) =
       if (isPng(blob)) {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-        require(img != null, "ImageIO could not decode PNG blob")
-        (img.getWidth, img.getHeight, decodePng(blob))
+        val img = readPng(blob)
+        (img.getWidth, img.getHeight, luminance(img))
       } else (blob.length, 1, blob.map(b => (b & 0xff)))
 
     /** Nearest-neighbor resize of a row-major w×h pixel array to

@@ -142,6 +142,109 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |WHERE d.doc_id % 97 <> 0""".stripMargin
 
+  /** Bloom-prefiltered decontamination — the identical gate to
+    * [[qDecontaminate]] (same split, same 4-grams, bit-identical
+    * output, same oracle) but with the corpus gram stream pruned
+    * map-side against a broadcast Bloom filter of the benchmark grams
+    * before any shuffle; false positives are removed by the exact
+    * verify join. fpp = 0.05 so the fixture run genuinely exercises
+    * the verify path. */
+  def qDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.api.Graft.decontaminateBloom(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0), "text", 4, 0.05)
+  }
+
+  /** PII redaction over the fixtures. The word-soup corpus contains no
+    * PII, so the graded entry derives it deterministically from doc_id
+    * (identical integer/string arithmetic in both engines): every 3rd
+    * doc gains an email, every 4th an IPv4, every 5th a phone number —
+    * the moduli are coprime-ish so zero-, one- and multi-hit rows all
+    * occur, and the untouched word soup pins "no false redactions". */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".com")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".0."), pmod(col("doc_id"), lit(100)).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit(" call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    graft.api.Graft.piiRedact(
+      Tables.documents(spark, dir).select(col("doc_id"), dirty.as("text")),
+      "doc_id", "text")
+  }
+
+  val piiRedactOracle: String =
+    """WITH dirty AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id
+      |         || '@mail' || (doc_id % 7) || '.com' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 1 THEN ' from 10.' || (doc_id % 256)
+      |         || '.0.' || (doc_id % 100) ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 2 THEN ' call 555-'
+      |         || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+      |         || lpad((doc_id * 7 % 10000)::VARCHAR, 4, '0') ELSE '' END
+      |    AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      |  len(regexp_extract_all(text,
+      |    '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+      |  len(regexp_extract_all(text,
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
+      |FROM dirty""".stripMargin
+
+  /** Corpus-level line dedup (C4-style): lines derived from the
+    * single-line fixtures the same way as [[qDropBoilerplateLines]]
+    * (the token "the" becomes a newline), then every repeated line
+    * keeps only its globally first occurrence. */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.lineDedup(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        replace(col("text"), lit(" the "), lit("\n")).as("text")),
+      "doc_id", "text", "\n")
+
+  val lineDedupOracle: String =
+    """WITH lined AS (
+      |  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ts FROM lined
+      |), w AS (
+      |  SELECT doc_id, unnest(ts) AS unit,
+      |    unnest(list_transform(ts, (x, i) -> i)) AS pos
+      |  FROM toks
+      |), ranked AS (
+      |  SELECT doc_id, unit, pos,
+      |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+      |  FROM w
+      |), kept AS (
+      |  SELECT doc_id, string_agg(unit, chr(10) ORDER BY pos) AS cleaned,
+      |    count(*) AS n_kept
+      |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_units FROM w GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(k.cleaned, '') AS cleaned,
+      |  (t.n_units - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+      |FROM documents d
+      |JOIN tot t USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** Exact-substring duplicate-span coverage over the fixtures
     * (20-char spans on ~100-char docs; production uses the paper's
     * 50). */

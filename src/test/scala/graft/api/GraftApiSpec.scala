@@ -492,4 +492,83 @@ class GraftApiSpec extends SparkTestBase {
     assert(out.filter(_._1 == 7L).map(_._2).sorted.toSeq === Seq(1L, 2L))
     assert(out.count(_._1 == 8L) === 1)
   }
+
+  test("piiRedact replaces emails/phones/IPs with placeholders and counts them") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@sub.example.org or call 555-123-4567 now"),
+      (2L, "server at 192.168.10.255 and backup 10.0.0.1 are fine"),
+      (3L, "plain word soup with no pii at all"),
+      (4L, "two mails a@b.co c@d.io one ip 8.8.8.8 one phone 555-000-9999"))
+      .toDF("k", "body")
+    val out = Graft.piiRedact(df, "k", "body").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) === "write to <EMAIL> or call <PHONE> now")
+    assert(out(1L).getLong(2) === 1L && out(1L).getLong(3) === 1L && out(1L).getLong(4) === 0L)
+    assert(out(2L).getString(1) === "server at <IP> and backup <IP> are fine")
+    assert(out(2L).getLong(4) === 2L)
+    assert(out(3L).getString(1) === "plain word soup with no pii at all",
+      "clean text must pass through byte-identical")
+    assert(out(3L).getLong(2) === 0L && out(3L).getLong(3) === 0L && out(3L).getLong(4) === 0L)
+    assert(out(4L).getString(1) === "two mails <EMAIL> <EMAIL> one ip <IP> one phone <PHONE>")
+  }
+
+  test("lineDedup keeps exactly the globally first occurrence of every line") {
+    val df = Seq(
+      (5L, "alpha\nbeta\nalpha"),   // 'alpha' repeated within the doc
+      (6L, "beta\ngamma"),          // 'beta' already seen in doc 5
+      (7L, "gamma\ndelta\nbeta"),   // everything but 'delta' seen before
+      (8L, "alpha"))                // fully deduplicated away
+      .toDF("k", "body")
+    val out = Graft.lineDedup(df, "k", "body", "\n").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(5L) === (("alpha\nbeta", 1L)))
+    assert(out(6L) === (("gamma", 1L)))
+    assert(out(7L) === (("delta", 2L)))
+    assert(out(8L) === (("", 1L)), "a doc whose every line is seen collapses to empty")
+  }
+
+  test("epochShuffle is a deterministic, partitioning-independent permutation " +
+      "with dense per-shard positions") {
+    val ids = (0L until 503L)
+    val df = ids.toDF("rid")
+    val out = Graft.epochShuffle(df, "rid", 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq === ids.toSeq, "every row exactly once")
+    // shard is the documented LCG arithmetic, not an engine-private hash
+    out.foreach { case (rid, shard, _) =>
+      val key = (rid % 2147483648L) * 1103515245L + 12345L
+      assert(shard === (key % 2147483648L) % 7, s"rid=$rid")
+    }
+    // positions are dense 0..count-1 inside every shard
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // identical result from a differently-partitioned input
+    val out2 = Graft.epochShuffle(df.repartition(13), "rid", 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out2.toSeq === out.sorted.toSeq)
+  }
+
+  test("decontaminateBloom is bit-identical to exact decontaminate even at fpp 0.5") {
+    // word soup with planted 4-gram collisions: docs 0,10,20,... quote a
+    // benchmark doc verbatim for 4+ words
+    val bench = Seq((1000L, "the secret eval answer is forty two exactly"),
+      (1001L, "benchmark only phrase never quoted by anyone"))
+      .toDF("bid", "btxt")
+    val train = (0L until 120L).map { i =>
+      val quote = if (i % 10 == 0) " the secret eval answer is" else ""
+      (i, s"doc $i words w${i % 7} w${i % 11} filler content$quote")
+    }.toDF("tid", "ttxt")
+    val exact = Graft.decontaminate(train, "tid", "ttxt", bench, "btxt", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // fpp 0.5 floods the prefilter with false positives; the verify join
+    // must still reduce the answer to the exact one
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Graft.decontaminateBloom(train, "tid", "ttxt", bench, "btxt", 4, fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got === exact, s"fpp=$fpp diverged from exact")
+    }
+    assert(exact.count(_._3 == 1L) === 12, "the 12 planted quotes are contaminated")
+  }
 }

@@ -165,6 +165,47 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"span counts not partial:\n$p")
   }
 
+  test("q_pii_redact is shuffle-free per-row projection") {
+    val p = plan(TextQueries.qPiiRedact(spark, dir))
+    assert(!p.contains("Exchange"), s"per-row redaction shuffled:\n$p")
+  }
+
+  test("q_shuffle_shards: one hash exchange on shard, never a global range sort") {
+    val p = plan(CoreQueries.qShuffleShards(spark, dir))
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort present:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q_line_dedup: keeper agg is map-side partial, equi-joins only") {
+    val p = plan(TextQueries.qLineDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("partial_min"), s"keeper min(struct) not partial:\n$p")
+  }
+
+  test("q_decontaminate_bloom prunes the corpus gram stream BEFORE its exchange") {
+    val df = TextQueries.qDecontaminateBloom(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the bloom mightContain UDF must sit on the MAP side of the gram
+    // distinct's shuffle: some exchange must have a UDF filter in its
+    // subtree (filter above every exchange = pruning after the shuffle
+    // already paid for the full gram stream)
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val belowShuffle = root
+      .collect { case e: ShuffleExchangeExec => e }
+      .exists(_.collect {
+        case f: FilterExec if f.condition.toString.contains("UDF") => f
+      }.nonEmpty)
+    assert(belowShuffle, s"bloom prefilter not below any shuffle:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
