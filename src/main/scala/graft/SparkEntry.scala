@@ -93,6 +93,8 @@ object SparkEntry {
     "q_pii_redact"      -> TextQueries.qPiiRedact,
     "q_line_dedup"      -> TextQueries.qLineDedup,
     "q_shuffle_shards"  -> CoreQueries.qShuffleShards,
+    "q_similarity_pq"   -> SimilarityQueries.qSimilarityPq,
+    "q_domain_filter"   -> TextQueries.qDomainFilter,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -346,6 +348,7 @@ object SparkEntry {
     "q_pii_redact" -> TextQueries.piiRedactOracle,
     "q_line_dedup" -> TextQueries.lineDedupOracle,
     "q_shuffle_shards" -> CoreQueries.shuffleShardsOracle,
+    "q_domain_filter" -> TextQueries.domainFilterOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -75,6 +75,44 @@ object Graft {
       n(Ipv4Re).as("n_ips"))
   }
 
+  /** URL → (host, registered domain) extraction: host is the authority
+    * part (scheme required, port/path/query stripped), the registered
+    * domain is its last two dot-labels (the heuristic curation
+    * pipelines use where no public-suffix list is loaded). Unparseable
+    * URLs yield empty strings rather than nulls or errors — at corpus
+    * scale malformed URLs are data, not exceptions. Pure per-row
+    * codegen'd projection, shuffle-free. */
+  def urlDomains(df: DataFrame, id: String, url: String): DataFrame = {
+    val host = lower(regexp_extract(col(url),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    df.select(col(id), host.as("host"))
+      .withColumn("domain",
+        when(size(split(col("host"), "\\.")) >= 2,
+          concat_ws(".",
+            element_at(split(col("host"), "\\."), -2),
+            element_at(split(col("host"), "\\."), -1)))
+          .otherwise(col("host")))
+  }
+
+  /** Domain blocklist filtering — the URL-level curation gate every
+    * web corpus runs (spam/adult/SEO domain lists): extract each row's
+    * registered domain ([[urlDomains]]) and flag rows whose domain is
+    * on the blocklist. Returns (id, host, domain, blocked 0/1) — flag,
+    * not drop, so the caller can quarantine or sample the rejects.
+    *
+    * Scale shape: blocklists are ~10⁵ domains — a left equi-join that
+    * AQE broadcasts at runtime; the corpus side never shuffles. A
+    * genuinely huge blocklist degrades to a shuffled equi-join on the
+    * domain key, never a scan-per-row membership test. */
+  def domainFilter(df: DataFrame, id: String, url: String,
+      blocklist: DataFrame, domainCol: String): DataFrame =
+    urlDomains(df, id, url)
+      .join(blocklist.select(lower(col(domainCol)).as("domain"))
+          .distinct().withColumn("__b", lit(1L)),
+        Seq("domain"), "left")
+      .select(col(id), col("host"), col("domain"),
+        coalesce(col("__b"), lit(0L)).as("blocked"))
+
   /** Within-document repetition ratios — the Gopher-family quality
     * signal (heavily repeated content is boilerplate/spam): fraction of
     * duplicated words and duplicated word-3-grams per document.
@@ -635,6 +673,57 @@ object Graft {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
+  }
+
+  /** Product-quantized approximate top-k with exact rerank (the
+    * IVFADC-family scan, [[graft.ops.Pq]]): corpus vectors are encoded
+    * to m one-byte codes (32× smaller than 64-d float here), queries
+    * scan the CODES with per-query lookup tables (m adds per corpus
+    * row instead of a dim-length dot product), and each query's
+    * `rerank·k` shortlist is reranked with exact cosine on the fetched
+    * original vectors. Output schema matches [[knn]]
+    * (query_id, neighbor_id, rank, cos) and the reported `cos` IS the
+    * exact cosine — the code approximation can only cost recall, never
+    * score error. With `rerank·k ≥ |corpus|` the result equals [[knn]]
+    * exactly (pinned in ApproxOpsSpec).
+    *
+    * Scale shape: encode is map-only; the ADC scan reads only
+    * (id, m bytes, norm) — the original vectors never shuffle and are
+    * touched again only for the Q×rerank·k shortlist rows (an
+    * AQE-broadcast equi-join against the corpus). Per-partition
+    * bounded shortlists cap the scan output at
+    * partitions × |queries| × rerank·k rows. `queries` is collected to
+    * the driver (same small-side contract as [[knn]]'s broadcast). */
+  def pqKnn(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int = 5,
+      rerank: Int = 4, pq: graft.ops.Pq.Params = graft.ops.Pq.Params()): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    import graft.ops.Pq
+    val cb = Pq.train(corpus, id, vec, pq)
+    val codes = Pq.encode(corpus, id, vec, cb)
+    val qArr = queries.select(col(queryId).cast("long"), col(queryVec)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val shortlist = math.max(k * rerank, k)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cand = Pq.adcShortlist(codes, id, cb, qArr, shortlist)
+      .withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(id).cast("long").as("neighbor_id"), col(vec).as("__v"))
+      .withColumn("__nrm", sqrt(float_dot(col("__v"), col("__v"))))
+    val q = queries.select(col(queryId).cast("long").as("query_id"), col(queryVec).as("__q"))
+      .withColumn("__qnrm", sqrt(float_dot(col("__q"), col("__q"))))
+    val exact = cand.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    exact.withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos"))
   }
 
   /** Embedding near-duplicate pairs at cosine ≥ threshold, blocked

@@ -105,4 +105,17 @@ object SimilarityQueries {
       emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
       Ivf.Params())
   }
+
+  /** Product-quantized kNN with exact rerank — the compressed-corpus
+    * scale path ([[graft.api.Graft.pqKnn]]): 8 one-byte codes per
+    * 64-d vector (32×), ADC shortlist of 8·K, exact cosine rerank.
+    * Approximate ⇒ recall vs the exact path asserted in ScalaTest
+    * (no SQL oracle); reported cos values are exact by construction. */
+  def qSimilarityPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.Graft.pqKnn(
+      emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
+      rerank = 8)
+  }
 }

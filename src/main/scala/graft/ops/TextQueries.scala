@@ -209,6 +209,31 @@ object TextQueries {
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
       |FROM dirty""".stripMargin
 
+  /** Domain blocklist filtering over the fixtures: URLs derived
+    * deterministically from doc_id (subK.siteN.com with 5×97 shapes),
+    * blocklist = the ten siteN.com domains with N ≡ 0 (mod 10), built
+    * as a real DataFrame so the graded plan exercises the broadcast
+    * blocklist join; the oracle states host/domain/blocked directly
+    * from the doc_id arithmetic, so the regex extraction is graded
+    * against ground truth rather than a second regex. */
+  def qDomainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(lit("https://sub"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit(".site"), pmod(col("doc_id"), lit(97)).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+    val blocklist = spark.range(0, 97)
+      .filter(pmod(col("id"), lit(10)) === 0)
+      .select(concat(lit("site"), col("id").cast("string"), lit(".com")).as("domain"))
+    graft.api.Graft.domainFilter(docs, "doc_id", "url", blocklist, "domain")
+  }
+
+  val domainFilterOracle: String =
+    """SELECT doc_id,
+      |  'sub' || (doc_id % 5) || '.site' || (doc_id % 97) || '.com' AS host,
+      |  'site' || (doc_id % 97) || '.com' AS domain,
+      |  ((doc_id % 97) % 10 = 0)::BIGINT AS blocked
+      |FROM documents""".stripMargin
+
   /** Corpus-level line dedup (C4-style): lines derived from the
     * single-line fixtures the same way as [[qDropBoilerplateLines]]
     * (the token "the" becomes a newline), then every repeated line

@@ -550,6 +550,25 @@ class GraftApiSpec extends SparkTestBase {
     assert(out2.toSeq === out.sorted.toSeq)
   }
 
+  test("urlDomains/domainFilter: hosts parse through ports/paths/case; " +
+      "malformed URLs flag clean instead of erroring") {
+    val df = Seq(
+      (1L, "https://Sub.Example.COM/path?q=1"),
+      (2L, "http://ads.tracker.net:8080/x"),
+      (3L, "ftp://files.archive.org"),
+      (4L, "not a url at all"),
+      (5L, "https://localhost/admin"))  // single-label host
+      .toDF("k", "u")
+    val block = Seq("tracker.net").toDF("d")
+    val out = Graft.domainFilter(df, "k", "u", block, "d").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) === (("example.com", "sub.example.com", 0L)))
+    assert(out(2L) === (("tracker.net", "ads.tracker.net", 1L)), "port must not leak into host")
+    assert(out(3L) === (("archive.org", "files.archive.org", 0L)))
+    assert(out(4L) === (("", "", 0L)), "malformed URL is data, not an exception")
+    assert(out(5L) === (("localhost", "localhost", 0L)), "single-label host is its own domain")
+  }
+
   test("decontaminateBloom is bit-identical to exact decontaminate even at fpp 0.5") {
     // word soup with planted 4-gram collisions: docs 0,10,20,... quote a
     // benchmark doc verbatim for 4+ words

@@ -118,6 +118,71 @@ class ApproxOpsSpec extends SparkTestBase {
       s"only ${sizes.length} of ${centroids.length} cells populated")
   }
 
+  test("pqKnn with a full-corpus shortlist equals exact knn bit for bit") {
+    // rerank·k ≥ n makes the ADC shortlist the whole corpus, so the
+    // exact-cosine rerank IS the exact kNN: any divergence would be a
+    // bug in the code/shortlist/merge plumbing, not approximation
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val exact = rows(graft.api.Graft.knn(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5))
+    val pq = rows(graft.api.Graft.pqKnn(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, rerank = n / 5 + 1))
+    assert(pq === exact)
+  }
+
+  test("q_similarity_pq: well-formed top-k, exact cos values, recall vs exact") {
+    val exactRows = SimilarityQueries.qSimilarityKnn(spark, dir).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pq = SimilarityQueries.qSimilarityPq(spark, dir).collect()
+    val byQuery = pq.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until 10L).toSet)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.length === 5, s"query $q returned ${rows.length} neighbors")
+      assert(rows.sortBy(_.getLong(2)).map(_.getLong(2)).toSeq === (1L to 5L))
+      assert(!rows.exists(_.getLong(1) == q), s"query $q returned itself")
+    }
+    // the REPORTED cos of any true-neighbor hit is the exact cosine —
+    // rerank computes it on the original vectors
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c => assert(r.getDouble(3) === c, s"$key cos drifted"))
+    }
+    val recall = (pq.map(r => (r.getLong(0), r.getLong(1))).toSet intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall with 8x rerank shortlist")
+  }
+
+  test("q_similarity_pq: recall bound holds at the gate scale too (sf0.01)") {
+    val gateDir = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.qSimilarityKnn(spark, gateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SimilarityQueries.qSimilarityPq(spark, gateDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall at sf0.01")
+  }
+
+  test("PQ codebooks save/load round-trips and is partitioning-independent") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding")
+    val dirOut = java.nio.file.Files.createTempDirectory("pq_cb").toString
+    Pq.save(spark, dirOut, cb)
+    val loaded = Pq.load(spark, dirOut)
+    assert(loaded.m === cb.m && loaded.ksub === cb.ksub && loaded.dsub === cb.dsub)
+    cb.books.indices.foreach(s => cb.books(s).indices.foreach(j =>
+      assert(java.util.Arrays.equals(loaded.books(s)(j), cb.books(s)(j)), s"book($s)($j)")))
+    // encoding through the loaded books, on a differently-partitioned
+    // input, produces identical codes
+    def codes(df: org.apache.spark.sql.DataFrame, b: Pq.Codebooks) =
+      Pq.encode(df, "vec_id", "embedding", b).collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(codes(emb.repartition(13), loaded) === codes(emb, cb))
+  }
+
   test("q_fingerprint64: xxhash64 production path is collision-free on the fixtures " +
       "and partitions identically to exact text equality") {
     val docs = Tables.documents(spark, dir)

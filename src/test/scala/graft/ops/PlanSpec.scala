@@ -206,6 +206,22 @@ class PlanSpec extends SparkTestBase {
     assert(belowShuffle, s"bloom prefilter not below any shuffle:\n$p")
   }
 
+  test("q_similarity_pq: shortlist rerank joins are equi-joins — no cartesian, " +
+      "no data-sized nested loop") {
+    val p = plan(SimilarityQueries.qSimilarityPq(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // one nested-loop is fine: the Q-row broadcast of queries onto the
+    // (tiny) shortlist; the CORPUS join must be hash/equi
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 0, s"nested loop:\n$p")
+  }
+
+  test("q_domain_filter: blocklist joins broadcast — the corpus side never shuffles") {
+    val p = plan(TextQueries.qDomainFilter(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"blocklist join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the blocklist:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
