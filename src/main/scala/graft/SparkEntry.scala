@@ -95,6 +95,7 @@ object SparkEntry {
     "q_shuffle_shards"  -> CoreQueries.qShuffleShards,
     "q_similarity_pq"   -> SimilarityQueries.qSimilarityPq,
     "q_domain_filter"   -> TextQueries.qDomainFilter,
+    "q_compress_ratio"  -> TextQueries.qCompressRatio,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).

@@ -365,6 +365,52 @@ object Graft {
         col("dup_spans").cast("double") / greatest(col("n_spans"), lit(1L)), 4))
   }
 
+  /** Compression-ratio quality signal — the cheap spam/boilerplate
+    * detector production curation stacks run alongside the repetition
+    * ratios (machine-generated and template text DEFLATEs far below
+    * natural prose): per document, deflated bytes / raw UTF-8 bytes.
+    * Returns (id, raw_bytes, deflate_bytes, ratio) with ratio rounded
+    * to 6 places; empty/null text yields ratio 1.0. Flag low-ratio
+    * docs for removal, near-incompressible ones for binary-junk
+    * review.
+    *
+    * Scale shape: a mapPartitions kernel with ONE Deflater reused and
+    * reset per row (allocating per row churns native zlib state — the
+    * same per-row-resource trap as the ImageIO disk cache), no shuffle
+    * anywhere, linear in corpus bytes. Engine-specific (no SQL oracle —
+    * zlib isn't relational); ScalaTest pins the discriminative bounds
+    * (repetitive ≪ natural text) and partitioning-independence. */
+  def compressionRatio(df: DataFrame, id: String, text: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("__id", LongType),
+      StructField("raw_bytes", LongType),
+      StructField("deflate_bytes", LongType))))
+    val scored = df.select(col(id).cast("long").as("__id"), col(text))
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED, /*nowrap=*/ true)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { r =>
+          // null/empty short-circuit: zlib emits a 2-byte terminator even
+          // for empty input, which would report 0 raw / 2 deflated
+          if (r.isNullAt(1) || r.getString(1).isEmpty) Row(r.getLong(0), 0L, 0L)
+          else {
+            val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var n = 0L
+            while (!deflater.finished()) n += deflater.deflate(buf)
+            Row(r.getLong(0), raw.length.toLong, n)
+          }
+        }
+      }(enc)
+    scored.select(col("__id").as(id), col("raw_bytes"), col("deflate_bytes"),
+      round(when(col("raw_bytes") > 0,
+        col("deflate_bytes").cast("double") / col("raw_bytes").cast("double"))
+        .otherwise(1.0), 6).as("ratio"))
+  }
+
   /** Corpus-trained bigram language-model scoring — the statistical
     * quality signal (CCNet-shape: score docs by how predictable their
     * text is under a LM estimated from the corpus itself). Per doc:

@@ -295,6 +295,14 @@ object TextQueries {
       |  round(coalesce(h.dups, 0) / greatest(length(d.text) - 19, 1), 4) AS dup_frac
       |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** Compression-ratio quality signal over the fixtures (deflate bytes
+    * / raw UTF-8 bytes per doc — engine-specific, rows-only gate;
+    * bounds pinned in ApproxOpsSpec). */
+  def qCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.compressionRatio(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
   /** Corpus-trained bigram-LM scoring over the fixtures (bits per
     * token, add-one smoothing; docs with < 2 tokens omitted). */
   def qLmBits(spark: SparkSession, dir: String): DataFrame =

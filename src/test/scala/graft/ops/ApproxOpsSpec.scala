@@ -183,6 +183,34 @@ class ApproxOpsSpec extends SparkTestBase {
     assert(codes(emb.repartition(13), loaded) === codes(emb, cb))
   }
 
+  test("q_compress_ratio: deflate ratio separates repetitive from varied text, " +
+      "counts raw UTF-8 bytes, and is partitioning-independent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam " * 8),
+      (2L, (0 until 112).map(i => s"w${i * 37 % 997}x${i * 61 % 911}").mkString(" ")),
+      (3L, ""),
+      (4L, "héllo wörld")) // multi-byte UTF-8
+      .toDF("k", "body")
+    val out = graft.api.Graft.compressionRatio(df, "k", "body").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (rep, varied) = (out(1L)._3, out(2L)._3)
+    assert(rep < 0.2, s"repeated text ratio $rep should be tiny")
+    assert(varied > 2 * rep, s"varied ($varied) vs repetitive ($rep) not separated")
+    assert(out(3L) === ((0L, 0L, 1.0)), "empty text pins ratio 1.0")
+    assert(out(4L)._1 === "héllo wörld".getBytes("UTF-8").length.toLong,
+      "raw_bytes must count UTF-8 bytes, not chars")
+    // deterministic across partitionings (one action each — the kernel
+    // holds no cross-row state that could leak between layouts)
+    val a = graft.api.Graft.compressionRatio(df.repartition(7), "k", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = out.toSeq.map { case (k, (_, d, _)) => (k, d) }.sorted
+    assert(a === b)
+    // and the graded entry returns one row per doc
+    val gate = TextQueries.qCompressRatio(spark, dir)
+    assert(gate.count() === Tables.documents(spark, dir).count())
+  }
+
   test("q_fingerprint64: xxhash64 production path is collision-free on the fixtures " +
       "and partitions identically to exact text equality") {
     val docs = Tables.documents(spark, dir)

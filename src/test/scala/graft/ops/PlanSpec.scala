@@ -215,6 +215,11 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 0, s"nested loop:\n$p")
   }
 
+  test("q_compress_ratio is shuffle-free (per-partition kernel + projection)") {
+    val p = plan(TextQueries.qCompressRatio(spark, dir))
+    assert(!p.contains("Exchange"), s"per-row compression op shuffled:\n$p")
+  }
+
   test("q_domain_filter: blocklist joins broadcast — the corpus side never shuffles") {
     val p = plan(TextQueries.qDomainFilter(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"blocklist join not broadcast:\n$p")
