@@ -120,6 +120,76 @@ class PipelineSpec extends SparkTestBase {
       }
   }
 
+  test("round-8 second-pass curation composes: domain filter → PII redact → " +
+      "line dedup → compression gate → bloom decontaminate → epoch shards") {
+    import spark.implicits._
+    // synthetic corpus with every hazard the chain must handle: blocked
+    // domains, injected PII, cross-doc repeated lines, low-entropy spam
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"), lit("@x.io")))
+            .otherwise(lit(""))).as("text"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(10)).cast("string"),
+          lit(".com/d/"), col("doc_id").cast("string")).as("url"))
+
+    // 1. domain blocklist (site0.com is the spam domain: 10% of docs)
+    val flagged = Graft.domainFilter(docs, "doc_id", "url",
+      Seq("site0.com").toDF("domain"), "domain")
+    val allowed = docs.join(
+      flagged.filter(col("blocked") === 0).select(col("doc_id")), "doc_id")
+    val nAll = docs.count()
+    val nAllowed = allowed.count()
+    assert(nAllowed < nAll && nAllowed > nAll / 2, s"blocklist: $nAllowed of $nAll")
+
+    // 2. PII redaction — and the redaction must SURVIVE the rest of the
+    //    chain: no later operator reintroduces raw text
+    val redacted = Graft.piiRedact(allowed, "doc_id", "text")
+      .select(col("doc_id"), col("redacted").as("text"))
+    assert(redacted.filter(col("text").rlike("@")).count() === 0, "emails survived")
+
+    // 3. corpus-level line dedup on the redacted text
+    val lined = redacted.select(col("doc_id"),
+      replace(col("text"), lit(" scan "), lit("\n")).as("text"))
+    val deduped = Graft.lineDedup(lined, "doc_id", "text", "\n")
+      .select(col("doc_id"), col("cleaned").as("text"))
+    val removed = Graft.lineDedup(lined, "doc_id", "text", "\n")
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(removed > 0, "line dedup found nothing on a repetitive corpus")
+
+    // 4. compression-ratio gate (drop the most machine-like decile)
+    val ratios = Graft.compressionRatio(deduped, "doc_id", "text")
+    val cut = ratios.agg(expr("percentile_approx(ratio, 0.1)")).collect()(0).getDouble(0)
+    val survivors = deduped.join(
+      ratios.filter(col("ratio") >= cut).select(col("doc_id")), "doc_id")
+    val nSurv = survivors.count()
+    assert(nSurv > 0 && nSurv < nAllowed, s"compression gate vacuous: $nSurv")
+
+    // 5. bloom decontamination against a benchmark slice — and it must
+    //    agree with the exact gate inside the pipeline too
+    val bench = survivors.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train = survivors.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    val deconB = Graft.decontaminateBloom(train, "doc_id", "text", bench, "text", 4, 0.2)
+    val deconE = Graft.decontaminate(train, "doc_id", "text", bench, "text", 4)
+    assert(deconB.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      deconE.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "bloom and exact decontamination diverged mid-pipeline")
+    val clean = train.join(
+      deconB.filter(col("contaminated") === 0).select(col("doc_id")), "doc_id")
+
+    // 6. epoch shuffle into training shards: a permutation of exactly
+    //    the clean set, dense positions per shard
+    val shards = Graft.epochShuffle(clean, "doc_id", 4)
+    val out = shards.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq ===
+      clean.collect().map(_.getLong(0)).sorted.toSeq, "shards lost/invented docs")
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+  }
+
   test("streaming pipeline: dis source → fingerprint64 dedup → dis sink, " +
       "duplicate-free and complete across a restart") {
     // The O18+O22 composition a streaming corpus build runs: documents
