@@ -67,4 +67,83 @@ class TextOpsPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  private def refLineDedup(docs: List[List[String]]): Map[Long, (String, Long)] = {
+    // walking docs in id order with lines in position order IS keep-first
+    // by (id, pos) — the operator's contract
+    val seen = scala.collection.mutable.Set[String]()
+    docs.zipWithIndex.map { case (lines, i) =>
+      val kept = lines.filter(seen.add)
+      i.toLong -> ((kept.mkString("\n"), (lines.length - kept.length).toLong))
+    }.toMap
+  }
+
+  test("property: lineDedup matches a single-machine keep-first reference " +
+      "on random corpora (dense collisions)") {
+    val gen = for { n <- Gen.chooseNum(1, 12); c <- corpus(n) } yield c
+    (1 to 25).foreach { seed =>
+      val docs = gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString("\n")) }.toDF("doc_id", "text")
+      val got = Graft.lineDedup(df, "doc_id", "text", "\n")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val ref = refLineDedup(docs.map(ws => if (ws.isEmpty) List("") else ws))
+      assert(got === ref, s"seed $seed corpus $docs")
+    }
+  }
+
+  test("property: epochShuffle matches the documented LCG arithmetic on " +
+      "sparse ids up to Long.MaxValue (overflow regime)") {
+    val idGen = Gen.oneOf(
+      Gen.chooseNum(0L, 1000L),
+      Gen.chooseNum(Long.MaxValue - 100000L, Long.MaxValue),
+      Gen.chooseNum(0L, Long.MaxValue))
+    (1 to 10).foreach { seed =>
+      val ids = Gen.listOfN(200, idGen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get.distinct
+      val got = Graft.epochShuffle(ids.toDF("rid"), "rid", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val ref = ids.map { id =>
+        (id, ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L)
+      }.groupBy(_._2 % 5).toSeq.flatMap { case (shard, rows) =>
+        rows.sortBy { case (id, key) => (key, id) }.zipWithIndex
+          .map { case ((id, _), pos) => (id, shard, pos.toLong) }
+      }.sorted
+      assert(got === ref, s"seed $seed")
+    }
+  }
+
+  private def refPii(text: String): (String, Long, Long, Long) = {
+    def count(re: String) = {
+      val m = java.util.regex.Pattern.compile(re).matcher(text)
+      var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+    (text.replaceAll(Graft.EmailRe, "<EMAIL>")
+        .replaceAll(Graft.PhoneRe, "<PHONE>")
+        .replaceAll(Graft.Ipv4Re, "<IP>"),
+      count(Graft.EmailRe), count(Graft.PhoneRe), count(Graft.Ipv4Re))
+  }
+
+  test("property: piiRedact matches a direct java.util.regex reference on " +
+      "random PII-studded docs") {
+    val token = Gen.oneOf(
+      Gen.oneOf("alpha", "beta", "x1", ""),
+      Gen.chooseNum(0, 9999).map(n => s"u$n@host$n.org"),
+      Gen.chooseNum(0, 255).map(n => s"10.$n.0.$n"),
+      Gen.chooseNum(0, 999).map(n => f"555-$n%03d-$n%04d"))
+    val docGen = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, token))
+    (1 to 25).foreach { seed =>
+      val docs = Gen.listOfN(8, docGen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+        .map(_.mkString(" "))
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Graft.piiRedact(df, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === refPii(t), s"seed $seed doc '$t'")
+      }
+    }
+  }
 }
