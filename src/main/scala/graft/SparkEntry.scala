@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ConnectorQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,10 @@ object SparkEntry {
     "q_similarity_pq"   -> SimilarityQueries.qSimilarityPq,
     "q_domain_filter"   -> TextQueries.qDomainFilter,
     "q_compress_ratio"  -> TextQueries.qCompressRatio,
+    "q_nb_classify"     -> ClassifyQueries.qNbClassify,
+    "q_profile"         -> ClassifyQueries.qProfile,
+    "q_cross_dedup"     -> DedupQueries.qCrossDedup,
+    "q_bpe_encode"      -> Bpe.qBpeEncode,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -111,7 +115,10 @@ object SparkEntry {
     * exact counterpart instead. Also omitted: q_fingerprint64 — the
     * production xxhash64 path (DuckDB has no xxhash64); its ScalaTest
     * pins collision-freedom vs exact text on the fixtures, and
-    * q_fingerprint pins exact cross-engine hash semantics. */
+    * q_fingerprint pins exact cross-engine hash semantics. Also
+    * omitted: q_bpe_encode — iterative argmax BPE training is not
+    * ANSI-SQL-expressible; BpeSpec pins it against a sequential
+    * reference implementation instead. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" -> s"SELECT $evCols FROM events",
 
@@ -350,6 +357,9 @@ object SparkEntry {
     "q_line_dedup" -> TextQueries.lineDedupOracle,
     "q_shuffle_shards" -> CoreQueries.shuffleShardsOracle,
     "q_domain_filter" -> TextQueries.domainFilterOracle,
+    "q_nb_classify" -> ClassifyQueries.nbClassifyOracle,
+    "q_profile" -> ClassifyQueries.profileOracle,
+    "q_cross_dedup" -> DedupQueries.crossDedupOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -1181,4 +1181,174 @@ object Graft {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  // ---------- quality classification ----------
+
+  /** (label, f) hashed-token feature rows of a labeled text frame:
+    * one row per token occurrence, f = polyHash(token) mod numFeatures.
+    * The char loop lives in a mapPartitions kernel (the interpreted-HOF
+    * formulation costs ~100×, BASELINE.md); Spark's partial hash agg
+    * downstream bounds any shuffle at labels × numFeatures keys. */
+  private def tokenFeatures(df: DataFrame, label: String, text: String,
+                            numFeatures: Int): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("label", StringType), StructField("f", LongType))))
+    df.select(col(label).cast("string"), col(text)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val lab = r.getString(0)
+        val toks = r.getString(1).split(" ")
+        toks.iterator.filter(_.nonEmpty).map { t =>
+          Row(lab, java.lang.Math.floorMod(polyHash(t), numFeatures.toLong))
+        }
+      }
+    }(enc)
+  }
+
+  /** Multinomial Naive Bayes over hashed token features — the
+    * fastText-shaped quality/language classifier a curation pipeline
+    * trains on a labeled slice and scores the whole crawl with.
+    *
+    * Model rows: (label, feature, logprob) for seen features with
+    * add-one smoothing lp = ln((count+1)/(total+numFeatures)); plus
+    * per label the class log-prior at feature = -1 and the
+    * unseen-feature default ln(1/(total+numFeatures)) at feature = -2.
+    * polyHash keeps every step SQL-replicable (production: xxhash64).
+    *
+    * Scale: one explode + hash agg; map-side partial aggregation
+    * bounds the shuffle at labels × numFeatures keys regardless of
+    * corpus size, and the model is ≤ labels × (numFeatures+2) rows by
+    * construction — always broadcastable. */
+  def nbTrain(df: DataFrame, label: String, text: String,
+              numFeatures: Int = 1024): DataFrame = {
+    val feats = tokenFeatures(df, label, text, numFeatures)
+    val counts = feats.groupBy("label", "f")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = feats.groupBy("label")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val priors = df.groupBy(col(label).cast("string").as("label"))
+      .agg(count(lit(1)).cast("double").as("d"))
+      .withColumn("docs", sum(col("d")).over(Window.partitionBy()))
+    val seen = counts.join(totals, "label").select(
+      col("label"), col("f").as("feature"),
+      log((col("c") + 1d) / (col("n") + numFeatures.toDouble)).as("logprob"))
+    val defaults = totals.select(
+      col("label"), lit(-2L).as("feature"),
+      log(lit(1d) / (col("n") + numFeatures.toDouble)).as("logprob"))
+    val priorRows = priors.select(
+      col("label"), lit(-1L).as("feature"),
+      log(col("d") / col("docs")).as("logprob"))
+    seen.unionByName(defaults).unionByName(priorRows)
+  }
+
+  /** Scores each document against an [[nbTrain]] model: predicted
+    * label = argmax over labels of prior + Σ_token lp(label, f(token)),
+    * ties broken on the lexicographically smaller label. Output:
+    * (id, pred_label, score) with score rounded to 4 dp.
+    *
+    * The model is collected and broadcast — bounded at
+    * labels × (numFeatures+2) rows by construction — so scoring is a
+    * shuffle-free per-row kernel: the whole-crawl pass touches each
+    * document exactly once wherever it already lives. */
+  def nbScore(df: DataFrame, id: String, text: String, model: DataFrame,
+              numFeatures: Int = 1024): DataFrame = {
+    val rows = model.collect() // bounded: labels × (numFeatures+2)
+    val labels = rows.map(_.getString(0)).distinct.sorted
+    val li = labels.zipWithIndex.toMap
+    val priors = new Array[Double](labels.length)
+    val lps = Array.fill(labels.length)(new Array[Double](numFeatures))
+    rows.foreach { r =>
+      val i = li(r.getString(0))
+      if (r.getLong(1) == -2L) java.util.Arrays.fill(lps(i), r.getDouble(2))
+    }
+    rows.foreach { r =>
+      val i = li(r.getString(0)); val f = r.getLong(1)
+      if (f == -1L) priors(i) = r.getDouble(2)
+      else if (f >= 0L) lps(i)(f.toInt) = r.getDouble(2)
+    }
+    val bc = df.sparkSession.sparkContext.broadcast((labels, priors, lps))
+    val enc = Encoders.row(StructType(Seq(
+      StructField(id, LongType), StructField("pred_label", StringType),
+      StructField("raw_score", DoubleType))))
+    val scored = df.select(col(id), col(text))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val (labs, pri, lp) = bc.value
+        it.map { r =>
+          val toks = r.getString(1).split(" ")
+          val fs = toks.iterator.filter(_.nonEmpty)
+            .map(t => java.lang.Math.floorMod(polyHash(t), numFeatures.toLong).toInt)
+            .toArray
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < labs.length) {
+            var s = pri(i)
+            var j = 0
+            while (j < fs.length) { s += lp(i)(fs(j)); j += 1 }
+            if (s > bestScore) { best = i; bestScore = s }
+            i += 1
+          }
+          Row(r.getLong(0), labs(best), bestScore)
+        }
+      }(enc)
+    scored.select(col(id), col("pred_label"),
+      round(col("raw_score"), 4).as("score"))
+  }
+
+  /** Near-duplicate pairs BETWEEN two corpora (new crawl × admitted
+    * corpus) — the batch cross-dedup that keeps a recurring crawl from
+    * re-admitting documents it already holds. MinHash signatures per
+    * side, LSH band equi-join across sides (shuffle ∝ docs × bands,
+    * never |new|×|ref|), exact-Jaccard verify on candidates only.
+    * Output: (new_id, ref_id, jaccard ≥ threshold). */
+  def crossNearDup(newDf: DataFrame, refDf: DataFrame, id: String,
+                   text: String, threshold: Double = 0.8): DataFrame =
+    graft.ops.DedupQueries.crossDupesOn(newDf, refDf, id, text, threshold)
+
+  // ---------- data profiling ----------
+
+  /** Single-pass column profiling — the "what did this crawl deliver"
+    * table a pipeline runs before and after every curation stage.
+    * Output, one row per profiled column: (column, n_rows, n_nulls,
+    * n_distinct, min_num, max_num, min_str, max_str); numeric columns
+    * fill the `_num` stats (cast to double), string columns the
+    * `_str` ones.
+    *
+    * Exact distinct counts plan through Spark's Expand (input ×
+    * profiled-columns before partial agg) — fine up to a handful of
+    * columns; [[profileApprox]] is the single-pass HLL variant for
+    * wide scans at 100 TB. */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame =
+    profileWith(df, numCols, strCols, c => count_distinct(col(c)))
+
+  /** [[profile]] with approx_count_distinct (HLL, rsd 1%): no Expand —
+    * one partial-agg pass whatever the column count. */
+  def profileApprox(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame =
+    profileWith(df, numCols, strCols, c => approx_count_distinct(col(c)))
+
+  private def profileWith(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+                          distinctOf: String => Column): DataFrame = {
+    val all = numCols ++ strCols
+    val aggs = Seq(count(lit(1)).as("__total")) ++ all.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c")) ++
+        (if (numCols.contains(c))
+           Seq(min(col(c)).cast("double").as(s"__min_$c"),
+               max(col(c)).cast("double").as(s"__max_$c"))
+         else
+           Seq(min(col(c)).cast("string").as(s"__min_$c"),
+               max(col(c)).cast("string").as(s"__max_$c")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val branches = all.map { c =>
+      val isNum = numCols.contains(c)
+      s"'$c', `__nn_$c`, `__nd_$c`, " +
+        (if (isNum) s"`__min_$c`, `__max_$c`, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+         else s"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), `__min_$c`, `__max_$c`")
+    }
+    one.select(col("__total"),
+        expr(s"stack(${all.size}, ${branches.mkString(", ")}) AS " +
+          "(column, __nn, n_distinct, min_num, max_num, min_str, max_str)"))
+      .select(col("column"), col("__total").as("n_rows"),
+        (col("__total") - col("__nn")).as("n_nulls"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+  }
 }

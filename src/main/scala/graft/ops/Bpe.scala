@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed byte-pair-encoding tokenizer training + encoding — the
+  * vocabulary-learning step of an LLM data pipeline (north star; the
+  * reference has no tokenization surface).
+  *
+  * Scale design (the classic Sennrich word-level formulation): merges
+  * never cross word boundaries, so training runs on the DISTINCT-word
+  * count table — one corpus-sized shuffle up front, then every merge
+  * round touches only the vocabulary (⋘ corpus; at 100 TB the corpus
+  * is petascale but the distinct-word table is millions of rows).
+  * Each round = one pair-count aggregation over the vocab + a 1-row
+  * top-1 collect (deterministic tie-break: count desc, pair lex asc),
+  * then a kernel rewrite of the affected words. The vocab frame is
+  * cached and re-checkpointed every few rounds to keep lineage flat —
+  * the same pattern as dupClusters' pointer jumping.
+  *
+  * Encoding broadcasts the ranked merge list and applies it greedily
+  * (lowest-rank pair first — the exact GPT-2 `bpe()` loop) in a
+  * per-partition kernel: shuffle-free over the corpus.
+  */
+object Bpe {
+
+  /** End-of-word sentinel (the classic `</w>`), kept out of the
+    * printable-token space so round-trips are unambiguous. */
+  private[ops] val Eow = ""
+
+  private def wordSymbols(w: String): Array[String] =
+    w.split("").filter(_.nonEmpty) :+ Eow
+
+  /** Learn `numMerges` merges from a text column. Returns the ranked
+    * merge list (left symbol, right symbol), rank = list index. */
+  def train(df: DataFrame, text: String, numMerges: Int): Seq[(String, String)] = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("syms", ArrayType(StringType)), StructField("cnt", LongType))))
+    var vocab = df.select(explode(filter(split(col(text), " "), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .mapPartitions { it =>
+        it.map(r => Row(wordSymbols(r.getString(0)).toSeq, r.getLong(1)))
+      }(enc)
+      .cache()
+    vocab.count()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    while (round < numMerges) {
+      // pair frequencies, weighted by word count; adjacent symbol pairs
+      val top = vocab
+        .select(col("cnt"), col("syms"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)))
+        .select(col("cnt"), col("col").as("a"),
+          element_at(col("syms"), col("pos") + 2).as("b"))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // 1 row by construction
+      if (top.isEmpty || top(0).getLong(2) < 2) round = numMerges
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val old = vocab
+        vocab = old.mapPartitions { it =>
+          it.map { r =>
+            val syms = r.getSeq[String](0)
+            Row(mergeOnce(syms, a, b), r.getLong(1))
+          }
+        }(enc).cache()
+        // truncate lineage every 8 rounds so the plan doesn't deepen
+        // unboundedly (same pattern as dupClusters' pointer jumping)
+        if ((merges.length % 8) == 0) vocab = vocab.localCheckpoint(true)
+        vocab.count()
+        old.unpersist(false)
+        round += 1
+      }
+    }
+    vocab.unpersist(false)
+    merges.toSeq
+  }
+
+  private def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Greedy merge-rank encoding of one word (the GPT-2 `bpe()` loop):
+    * repeatedly merge the present pair with the lowest rank. */
+  private[ops] def encodeWord(w: String, rank: Map[(String, String), Int]): Array[String] = {
+    var syms = wordSymbols(w)
+    var done = false
+    while (!done && syms.length > 1) {
+      var best = Int.MaxValue; var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val merged = syms(bi) + syms(bi + 1)
+        syms = (syms.take(bi) :+ merged) ++ syms.drop(bi + 2)
+      }
+    }
+    syms
+  }
+
+  /** Encode a corpus with a trained merge list. Output: (id, n_tokens,
+    * tokens as a space-joined string with the end-of-word sentinel
+    * stripped — scalar so it can sit under the gate comparator).
+    * Shuffle-free: the ranked merges broadcast; each doc encodes where
+    * it lives. */
+  def encode(df: DataFrame, id: String, text: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(
+      merges.zipWithIndex.toMap)
+    val enc = Encoders.row(StructType(Seq(
+      StructField(id, LongType), StructField("n_tokens", LongType),
+      StructField("bpe_tokens", StringType))))
+    df.select(col(id), col(text))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val rank = bc.value
+        it.map { r =>
+          // a never-merged word-final sentinel strips to an empty
+          // token — drop those so the output is purely printable
+          val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+            .flatMap(w => encodeWord(w, rank))
+            .map(_.replace(Eow, "")).filter(_.nonEmpty)
+          Row(r.getLong(0), toks.length.toLong, toks.mkString(" "))
+        }
+      }(enc)
+  }
+
+  /** Gate binding: 24 merges trained on the even half of `documents`,
+    * encoding applied to the full corpus. Engine-specific (iterative
+    * argmax training is not expressible in ANSI SQL) → rows-only gate;
+    * BpeSpec pins training + encoding against a sequential reference
+    * implementation and the lossless round-trip. */
+  def qBpeEncode(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = train(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", 24)
+    encode(docs, "doc_id", "text", merges)
+  }
+}

@@ -222,6 +222,60 @@ object DedupQueries {
       }(enc)
   }
 
+  /** Near-duplicate pairs BETWEEN two corpora — [[graft.api.Graft.crossNearDup]].
+    * Signatures per side, band equi-join across sides (no self-join, no
+    * `<` dedup — orientation comes from which side is which), exact
+    * Jaccard verify on candidates only. */
+  def crossDupesOn(newDf: DataFrame, refDf: DataFrame, id: String,
+                   text: String, threshold: Double): DataFrame = {
+    val sn = signatures(newDf, id, text)
+    val sr = signatures(refDf, id, text)
+    val candidates = bandsOf(sn).as("x").join(bandsOf(sr).as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bandhash") === col("y.bandhash"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("ref_id"))
+      .distinct()
+    candidates
+      .join(sn.select(col("doc_id"), col("sh").as("sh_a")), col("new_id") === col("doc_id")).drop("doc_id")
+      .join(sr.select(col("doc_id"), col("sh").as("sh_b")), col("ref_id") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("jaccard"))
+  }
+
+  /** Cross-corpus dedup on the fixtures: odd doc_ids play the "new
+    * crawl", even ones the "admitted corpus". */
+  def qCrossDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    crossDupesOn(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", 0.8)
+  }
+
+  /** Same exact-Jaccard formulation as [[minhashOracle]] restricted to
+    * odd × even pairs (LSH recall at J ≥ 0.8 is 1 − 5e-8, so the band
+    * path and the exact join agree on these fixtures). */
+  val crossDedupOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, unnest(
+      |    CASE WHEN len(w) < 3 THEN [text]
+      |         ELSE list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+      |  FROM tok
+      |), n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id)
+      |SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+      |  count(*)::DOUBLE / (any_value(na.cnt) + any_value(nb.cnt) - count(*))::DOUBLE AS jaccard
+      |FROM sh a
+      |JOIN sh b ON a.s = b.s AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+      |JOIN n na ON na.doc_id = a.doc_id
+      |JOIN n nb ON nb.doc_id = b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING count(*)::DOUBLE / (any_value(na.cnt) + any_value(nb.cnt) - count(*))::DOUBLE >= 0.8""".stripMargin
+
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashOn(Tables.documents(spark, dir), "doc_id", "text")
 

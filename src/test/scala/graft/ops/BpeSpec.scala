@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** BPE training/encoding vs an independent sequential reference
+  * (the textbook Sennrich algorithm over an in-memory word-count map)
+  * — the distributed formulation must produce the identical merge
+  * list and identical encodings, and encoding must round-trip. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- sequential reference (deliberately naive) ----
+
+  private def refTrain(words: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Seq[String], Long] =
+      words.map { case (w, c) => (w.split("").filter(_.nonEmpty).toSeq :+ Bpe.Eow, c) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= 2 =>
+          merges += ((a, b))
+          vocab = vocab.toSeq.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toSeq, c)
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        case _ => continue = false
+      }
+    }
+    merges.toSeq
+  }
+
+  private def randomCorpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    val roots = Array("spark", "stream", "batch", "shuffle", "merge", "token",
+      "data", "join", "agg", "scan")
+    val suffixes = Array("", "s", "ing", "ed", "er")
+    (0 until n).map { i =>
+      val words = Array.fill(6 + r.nextInt(10))(
+        roots(r.nextInt(roots.length)) + suffixes(r.nextInt(suffixes.length)))
+      (i.toLong, words.mkString(" "))
+    }
+  }
+
+  test("distributed training reproduces the sequential reference merge list") {
+    for (seed <- Seq(1, 7, 23)) {
+      val corpus = randomCorpus(seed, 60)
+      val df = corpus.toDF("id", "body")
+      val got = Bpe.train(df, "body", 20)
+      val wordCounts = corpus.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      val want = refTrain(wordCounts, 20)
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("encoding matches the reference greedy loop and round-trips losslessly") {
+    val corpus = randomCorpus(11, 80)
+    val df = corpus.toDF("id", "body")
+    val merges = Bpe.train(df, "body", 25)
+    val rank = merges.zipWithIndex.toMap
+    val out = Bpe.encode(df, "id", "body", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val byId = corpus.toMap
+    out.foreach { case (id, n, toks) =>
+      // round-trip: stripping token boundaries reconstructs the text
+      assert(toks.split(" ").mkString("") === byId(id).split(" ").filter(_.nonEmpty).mkString(""))
+      assert(n === toks.split(" ").count(_.nonEmpty))
+      // per-word greedy reference
+      val refToks = byId(id).split(" ").filter(_.nonEmpty)
+        .flatMap(w => Bpe.encodeWord(w, rank))
+        .map(_.replace(Bpe.Eow, "")).filter(_.nonEmpty)
+      // (encodeWord is the shared kernel; what this pins is that the
+      // DataFrame path applied it per word with the trained ranks)
+      assert(toks === refToks.mkString(" "))
+    }
+  }
+
+  test("merges actually compress: trained encoding has fewer tokens than chars") {
+    val corpus = randomCorpus(3, 50)
+    val df = corpus.toDF("id", "body")
+    val merges = Bpe.train(df, "body", 30)
+    assert(merges.nonEmpty)
+    val enc = Bpe.encode(df, "id", "body", merges)
+      .agg(sum($"n_tokens")).as[Long].head()
+    val chars = corpus.map(_._2.count(_ != ' ')).sum
+    assert(enc < chars, s"no compression: $enc tokens vs $chars chars")
+  }
+
+  test("training is partitioning-independent") {
+    val corpus = randomCorpus(5, 40)
+    val a = Bpe.train(corpus.toDF("id", "body"), "body", 15)
+    val b = Bpe.train(corpus.toDF("id", "body").repartition(7), "body", 15)
+    assert(a === b)
+  }
+}

@@ -227,6 +227,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("q_profile: one Expand-based multi-distinct agg pass; approx variant has no Expand") {
+    val p = plan(ClassifyQueries.qProfile(spark, dir))
+    assert(p.contains("Expand"), s"multi-distinct not planned via Expand:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    val pa = plan(graft.api.Graft.profileApprox(
+      Tables.events(spark, dir), Seq("event_id", "value"), Seq("event_type")))
+    assert(!pa.contains("Expand"), s"approx profile should be a single pass:\n$pa")
+  }
+
+  test("q_nb_classify scoring is a shuffle-free kernel: one repartition exchange, no joins") {
+    val p = plan(ClassifyQueries.qNbClassify(spark, dir))
+    assert("Exchange".r.findAllIn(p).size <= 1, s"scoring shuffles beyond the repartition:\n$p")
+    assert(!p.contains("Join"), s"scoring joins instead of broadcasting the model:\n$p")
+  }
+
+  test("q_cross_dedup: band equi-join across sides — no cartesian, no nested loop") {
+    val p = plan(DedupQueries.qCrossDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
