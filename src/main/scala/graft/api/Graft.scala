@@ -1328,16 +1328,24 @@ object Graft {
   private def profileWith(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
                           distinctOf: String => Column): DataFrame = {
     val all = numCols ++ strCols
-    val aggs = Seq(count(lit(1)).as("__total")) ++ all.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c")) ++
-        (if (numCols.contains(c))
-           Seq(min(col(c)).cast("double").as(s"__min_$c"),
-               max(col(c)).cast("double").as(s"__max_$c"))
-         else
-           Seq(min(col(c)).cast("string").as(s"__min_$c"),
-               max(col(c)).cast("string").as(s"__max_$c")))
+    // Counts and min/max run as two separate keyless passes: putting a
+    // var-length min(string) buffer in the same aggregate as the
+    // multi-distinct Expand forces the whole 5×-expanded stream through
+    // SortAggregate (two full sorts — measured 1.27 s vs 0.4 s at
+    // sf0.1). Split, the Expand pass is all fixed-width counts →
+    // HashAggregate; the min/max pass is keyless (no sort) and cheap.
+    val countAggs = Seq(count(lit(1)).as("__total")) ++ all.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), distinctOf(c).as(s"__nd_$c")) }
+    val rangeAggs = all.flatMap { c =>
+      if (numCols.contains(c))
+        Seq(min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+      else
+        Seq(min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(df.agg(rangeAggs.head, rangeAggs.tail: _*)) // 1×1 rows
     val branches = all.map { c =>
       val isNum = numCols.contains(c)
       s"'$c', `__nn_$c`, `__nd_$c`, " +

@@ -33,12 +33,69 @@ object Bpe {
     w.split("").filter(_.nonEmpty) :+ Eow
 
   /** Learn `numMerges` merges from a text column. Returns the ranked
-    * merge list (left symbol, right symbol), rank = list index. */
-  def train(df: DataFrame, text: String, numMerges: Int): Seq[(String, String)] = {
+    * merge list (left symbol, right symbol), rank = list index.
+    *
+    * The corpus-sized work (tokenize + word count) is always
+    * distributed. The merge ITERATION runs on the distinct-word table;
+    * when that table is small (≤ maxLocalVocab rows) it is collected
+    * and iterated on the driver — a bounded collect, same pattern as
+    * the IVF centroid sample — because numMerges Spark rounds over a
+    * tiny table are pure scheduler latency (measured ~6 s for 24
+    * merges over a 31-word vocab vs <50 ms local). Large vocabularies
+    * take the distributed rounds. Both paths share the tie-break
+    * (count desc, pair lex asc) and are pinned identical in BpeSpec
+    * (ASCII-safe; a non-BMP corpus would need a byte-order compare to
+    * match Spark's UTF8 ordering). */
+  def train(df: DataFrame, text: String, numMerges: Int,
+            maxLocalVocab: Int = 1 << 16): Seq[(String, String)] = {
+    val wc = df.select(explode(filter(split(col(text), " "), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val n = wc.count()
+    val res =
+      if (n <= maxLocalVocab)
+        trainLocal(wc.collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+      else trainDistributed(wc, numMerges)
+    wc.unpersist(false)
+    res
+  }
+
+  /** Driver-side merge iteration over a collected word-count table. */
+  private def trainLocal(words: Array[(String, Long)],
+                         numMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Seq[String], Long] = words
+      .map { case (w, c) => (wordSymbols(w).toSeq, c) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), cnt) => (-cnt, a, b) }.headOption
+      best match {
+        case Some(((a, b), cnt)) if cnt >= 2 =>
+          merges += ((a, b))
+          vocab = vocab.toSeq.map { case (syms, c) => (mergeOnce(syms, a, b), c) }
+            .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        case _ => continue = false
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed merge rounds over the word-count frame — the path for
+    * vocabularies too large to collect. */
+  private def trainDistributed(wc: DataFrame, numMerges: Int): Seq[(String, String)] = {
     val enc = Encoders.row(StructType(Seq(
       StructField("syms", ArrayType(StringType)), StructField("cnt", LongType))))
-    var vocab = df.select(explode(filter(split(col(text), " "), t => t =!= "")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var vocab = wc
       .mapPartitions { it =>
         it.map(r => Row(wordSymbols(r.getString(0)).toSeq, r.getLong(1)))
       }(enc)

@@ -64,12 +64,19 @@ class BpeSpec extends SparkTestBase {
     for (seed <- Seq(1, 7, 23)) {
       val corpus = randomCorpus(seed, 60)
       val df = corpus.toDF("id", "body")
-      val got = Bpe.train(df, "body", 20)
+      val got = Bpe.train(df, "body", 20, maxLocalVocab = 0) // force distributed rounds
       val wordCounts = corpus.flatMap(_._2.split(" ")).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
       val want = refTrain(wordCounts, 20)
       assert(got === want, s"seed $seed")
     }
+  }
+
+  test("the local fast path and the distributed rounds produce identical merges") {
+    val df = randomCorpus(31, 70).toDF("id", "body")
+    val local = Bpe.train(df, "body", 18) // vocab ≪ default maxLocalVocab
+    val dist = Bpe.train(df, "body", 18, maxLocalVocab = 0)
+    assert(local === dist)
   }
 
   test("encoding matches the reference greedy loop and round-trips losslessly") {
