@@ -100,6 +100,8 @@ object SparkEntry {
     "q_profile"         -> ClassifyQueries.qProfile,
     "q_cross_dedup"     -> DedupQueries.qCrossDedup,
     "q_bpe_encode"      -> Bpe.qBpeEncode,
+    "q_split_groups"    -> CoreQueries.qSplitGroups,
+    "q_sample_k"        -> CoreQueries.qSampleK,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -360,6 +362,8 @@ object SparkEntry {
     "q_nb_classify" -> ClassifyQueries.nbClassifyOracle,
     "q_profile" -> ClassifyQueries.profileOracle,
     "q_cross_dedup" -> DedupQueries.crossDedupOracle,
+    "q_split_groups" -> CoreQueries.splitGroupsOracle,
+    "q_sample_k" -> CoreQueries.sampleKOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

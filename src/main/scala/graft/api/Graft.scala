@@ -1182,6 +1182,46 @@ object Graft {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Leakage-safe train/val/test split: every row of a GROUP lands in
+    * the same split (near-duplicates clustered into one group can never
+    * straddle train and eval — the split analog of decontamination).
+    * Splits are (name, fraction) with fractions summing to 1; the
+    * bucket is the same overflow-safe integer LCG as [[hashSample]],
+    * so assignment is reproducible across engines, partitionings and
+    * retries, and is a pure codegen'd projection — no shuffle. */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val bucket = pmod(
+      pmod(col(groupCol), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(10000L))
+    val cum = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000) }.tail
+    val assign = splits.init.zip(cum.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Exactly-k-per-stratum deterministic sample: the k rows with the
+    * smallest LCG hash in each stratum (ties on the id column), i.e. a
+    * reproducible reservoir. One shuffle (the per-stratum window);
+    * degenerate strata dominate the partition they hash to — for a
+    * single monster stratum at 100 TB, pre-filter with [[hashSample]]
+    * at a rate that leaves ~10k candidates, then apply this exactly. */
+  def sampleKPerStratum(df: DataFrame, stratumCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    val key = pmod(
+      pmod(col(idCol), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   // ---------- quality classification ----------
 
   /** (label, f) hashed-token feature rows of a labeled text frame:

@@ -382,6 +382,39 @@ object CoreQueries {
       |    - 1)::BIGINT AS pos
       |FROM s""".stripMargin
 
+  /** Leakage-safe 80/10/10 split of events keyed by user_id: all of a
+    * user's events land in one split ([[graft.api.Graft.splitByGroup]])
+    * so per-user near-duplicate behavior can't straddle train/eval. */
+  def qSplitGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.splitByGroup(
+      Tables.events(spark, dir).select(col("event_id"), col("user_id")),
+      "user_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  val splitGroupsOracle: String =
+    """SELECT event_id, user_id,
+      |  CASE WHEN ((user_id % 2147483648) * 1103515245 + 12345) % 10000 < 8000
+      |       THEN 'train'
+      |       WHEN ((user_id % 2147483648) * 1103515245 + 12345) % 10000 < 9000
+      |       THEN 'val' ELSE 'test' END AS split
+      |FROM events""".stripMargin
+
+  /** Exactly-50-per-event-type deterministic reservoir
+    * ([[graft.api.Graft.sampleKPerStratum]]): the 50 smallest LCG
+    * hashes per stratum, reproducible across engines and retries. */
+  def qSampleK(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.sampleKPerStratum(
+      Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("user_id")),
+      "event_type", "event_id", 50)
+
+  val sampleKOracle: String =
+    """SELECT event_id, event_type, user_id FROM (
+      |  SELECT event_id, event_type, user_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ((event_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+      |               event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 50""".stripMargin
+
   /** Ordered signup→click→purchase funnel per user, reported as users
     * per deepest stage reached ([[graft.api.Graft.funnel]]): each stage
     * is a filtered min-ts aggregate chained through equi-joins — no

@@ -590,4 +590,37 @@ class GraftApiSpec extends SparkTestBase {
     }
     assert(exact.count(_._3 == 1L) === 12, "the 12 planted quotes are contaminated")
   }
+
+  test("splitByGroup: groups never straddle splits; fractions land near targets") {
+    val rows = (0L until 5000L).map(i => (i, i % 617)).toDF("row_id", "grp")
+    val out = Graft.splitByGroup(rows, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    // leakage-safety: one split per group
+    assert(out.select("grp", "split").distinct().count() ===
+      out.select("grp").distinct().count())
+    val byName = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    val total = byName.values.sum.toDouble
+    assert(byName("train") / total > 0.7 && byName("train") / total < 0.9, byName)
+    // partitioning-independent
+    val again = Graft.splitByGroup(rows.repartition(13), "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again === out.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
+    out.unpersist()
+  }
+
+  test("sampleKPerStratum returns exactly k rows per stratum, deterministically") {
+    val rows = (0L until 3000L).map(i => (i, s"s${i % 5}")).toDF("rid", "st")
+    val a = Graft.sampleKPerStratum(rows, "st", "rid", 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.groupBy(_._2).forall(_._2.size == 40), "exactly 40 per stratum")
+    val b = Graft.sampleKPerStratum(rows.repartition(11), "st", "rid", 40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b, "reproducible across partitionings")
+    // k larger than a stratum keeps the whole stratum
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("rid", "st")
+    assert(Graft.sampleKPerStratum(tiny, "st", "rid", 10).count() === 2)
+  }
 }

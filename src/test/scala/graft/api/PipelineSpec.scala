@@ -190,6 +190,74 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("round-8 third-pass curation composes: NB spam gate → cross-corpus dedup → " +
+      "leakage-safe split → per-split sample → BPE tokenize → pack") {
+    import spark.implicits._
+    // plant separable spam: every 4th doc gets a spam-vocab suffix
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(" buy click free winner offer buy free click offer winner"))
+            .otherwise(lit(""))).as("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "spam").otherwise("good").as("cls"))
+
+    // 1. train the NB gate on half the corpus, score the rest, keep 'good'
+    val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val rest = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val model = Graft.nbTrain(train, "cls", "text", 512)
+    val scored = Graft.nbScore(rest, "doc_id", "text", model, 512)
+    val labeled = scored.join(docs.select(col("doc_id"), col("cls")), "doc_id")
+    val acc = labeled.filter(col("pred_label") === col("cls")).count().toDouble /
+      labeled.count()
+    assert(acc >= 0.9, s"NB gate accuracy $acc on planted spam")
+    val kept = rest.join(
+      scored.filter(col("pred_label") === "good").select(col("doc_id")), "doc_id")
+
+    // 2. cross-corpus dedup against the already-admitted half: any kept
+    //    doc near-duplicating an admitted one is dropped
+    val dupes = Graft.crossNearDup(kept, train, "doc_id", "text", 0.8)
+    val admitted = kept.join(dupes.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    assert(admitted.count() <= kept.count())
+
+    // 3. leakage-safe split keyed by a coarse domain group (doc_id mod 50):
+    //    near-dups in a group can never straddle train/eval
+    val grouped = admitted.withColumn("grp", pmod(col("doc_id"), lit(50)))
+    val split = Graft.splitByGroup(grouped, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    assert(split.select("grp", "split").distinct().count() ===
+      split.select("grp").distinct().count(), "a group straddled splits")
+
+    // 4. deterministic eval subset: exactly k docs per split (or the
+    //    whole split when smaller)
+    val sampled = Graft.sampleKPerStratum(split, "split", "doc_id", 20)
+    val perSplit = sampled.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSplit.values.forall(_ <= 20))
+
+    // 5. BPE trained on the train split only; encode the val docs
+    val trainSplit = split.filter(col("split") === "train")
+    val merges = graft.ops.Bpe.train(trainSplit, "text", 30)
+    assert(merges.nonEmpty)
+    val encoded = graft.ops.Bpe.encode(
+      split.filter(col("split") === "val"), "doc_id", "text", merges)
+    // round-trip safety inside the pipeline
+    val rt = encoded.join(split.select(col("doc_id"), col("text")), "doc_id")
+      .filter(replace(col("bpe_tokens"), lit(" "), lit("")) =!=
+              replace(col("text"), lit(" "), lit("")))
+    assert(rt.count() === 0, "BPE round-trip broke inside the pipeline")
+
+    // 6. pack the encoded val docs into training sequences
+    val packed = Graft.packSequences(
+      encoded.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens", 256)
+    val total = encoded.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val lastOff = packed.agg(max(col("stream_off") + col("n_tokens")))
+      .collect()(0).getLong(0)
+    assert(lastOff === total, "packing lost tokens")
+    split.unpersist()
+  }
+
   test("streaming pipeline: dis source → fingerprint64 dedup → dis sink, " +
       "duplicate-free and complete across a restart") {
     // The O18+O22 composition a streaming corpus build runs: documents

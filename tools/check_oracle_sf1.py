@@ -21,6 +21,7 @@ SKIP = {
     "q_ngram_jaccard",    # same
     "q_simhash_dupes",    # all-pairs hamming oracle
     "q_dup_clusters",     # recursive CTE over the all-pairs set
+    "q_cross_dedup",      # same inverted-index shingle join as minhash
 }
 
 con = duckdb.connect()
