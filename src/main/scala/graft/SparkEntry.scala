@@ -102,6 +102,7 @@ object SparkEntry {
     "q_bpe_encode"      -> Bpe.qBpeEncode,
     "q_split_groups"    -> CoreQueries.qSplitGroups,
     "q_sample_k"        -> CoreQueries.qSampleK,
+    "q_excise"          -> TextQueries.qExcise,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -364,6 +365,7 @@ object SparkEntry {
     "q_cross_dedup" -> DedupQueries.crossDedupOracle,
     "q_split_groups" -> CoreQueries.splitGroupsOracle,
     "q_sample_k" -> CoreQueries.sampleKOracle,
+    "q_excise" -> TextQueries.exciseOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -293,6 +293,48 @@ object Graft {
       .withColumn("contaminated", (col("n_hits") > 0).cast("long"))
   }
 
+  /** Span-level benchmark decontamination: instead of dropping a
+    * contaminated document wholesale ([[decontaminate]]), EXCISE every
+    * word position covered by an n-gram that appears in the benchmark
+    * corpus and keep the rest — the surgical variant (at 100 TB,
+    * dropping a whole 50k-token doc for one quoted test question
+    * wastes real data).
+    *
+    * Output: (id, cleaned, n_removed). Scale shape is
+    * [[decontaminate]]'s plus a position explode: gram equi-join (AQE
+    * broadcasts a small benchmark side), covered-position expansion is
+    * ≤ n rows per HIT (hits are rare by construction), and the
+    * positional re-agg shuffles each doc's surviving words once — the
+    * same order-preserving re-agg as [[dropBoilerplate]]. */
+  def exciseContamination(train: DataFrame, id: String, text: String,
+      bench: DataFrame, benchText: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val bGrams = bench.select(tokens(col(benchText)).as("__ts"))
+      .select(explode(wordGrams(col("__ts"), n)).as("__g"))
+      .distinct()
+    val tGramPos = train.select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), posexplode(wordGrams(col("__ts"), n)))
+      .toDF(id, "gpos", "__g")
+    val covered = tGramPos.join(bGrams, Seq("__g"))
+      .select(col(id),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = train.select(col(id), posexplode(tokens(col(text))))
+      .toDF(id, "pos", "word")
+    val kept = toks.join(covered, Seq(id, "pos"), "left_anti")
+    val keptAgg = kept.groupBy(col(id)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x("word"))).as("cleaned"),
+      count(lit(1)).as("__kept"))
+    val totals = toks.groupBy(col(id)).agg(count(lit(1)).as("__words"))
+    train.select(col(id)).join(totals, Seq(id), "left").join(keptAgg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        (coalesce(col("__words"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Exact-substring duplicate-span coverage — the char-level dedup
     * diagnostic from "Deduplicating Training Data Makes Language
     * Models Better" (Lee et al., 2022): for every doc, how many of its

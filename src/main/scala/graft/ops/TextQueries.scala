@@ -142,6 +142,52 @@ object TextQueries {
       |FROM documents d LEFT JOIN hits h USING (doc_id)
       |WHERE d.doc_id % 97 <> 0""".stripMargin
 
+  /** Span-level decontamination ([[graft.api.Graft.exciseContamination]]):
+    * every word position covered by a benchmark 4-gram is excised, the
+    * rest of the document survives. Bench side = doc_id % 23 (31 of
+    * 500 fixture docs carry a benchmark-overlapping span at sf0.01). */
+  def qExcise(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    graft.api.Graft.exciseContamination(
+      docs.filter(pmod(col("doc_id"), lit(23)) =!= 0), "doc_id", "text",
+      docs.filter(pmod(col("doc_id"), lit(23)) === 0), "text", 4)
+  }
+
+  val exciseOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(ts) - 3, 0)),
+      |    i -> array_to_string(ts[(i+1)::INT:(i+4)::INT], ' '))) AS g,
+      |    unnest(range(0, greatest(len(ts) - 3, 0))) AS gpos
+      |  FROM toks
+      |), bench AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0
+      |), covered AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform([0,1,2,3], k -> gpos + k)) AS pos
+      |  FROM grams WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench)
+      |), words AS (
+      |  SELECT doc_id, unnest(ts) AS word,
+      |    unnest(list_transform(ts, (x, i) -> i - 1)) AS pos
+      |  FROM toks WHERE doc_id % 23 <> 0
+      |), kept AS (
+      |  SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.pos) AS cleaned,
+      |    count(*) AS nk
+      |  FROM words w
+      |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+      |                    WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+      |  GROUP BY w.doc_id
+      |), totals AS (
+      |  SELECT doc_id, count(*) AS nw FROM words GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(k.cleaned, '') AS cleaned,
+      |  (coalesce(t.nw, 0) - coalesce(k.nk, 0))::BIGINT AS n_removed
+      |FROM documents d
+      |LEFT JOIN totals t USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)
+      |WHERE d.doc_id % 23 <> 0""".stripMargin
+
   /** Bloom-prefiltered decontamination — the identical gate to
     * [[qDecontaminate]] (same split, same 4-grams, bit-identical
     * output, same oracle) but with the corpus gram stream pruned

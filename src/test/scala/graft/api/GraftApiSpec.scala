@@ -591,6 +591,31 @@ class GraftApiSpec extends SparkTestBase {
     assert(exact.count(_._3 == 1L) === 12, "the 12 planted quotes are contaminated")
   }
 
+  test("exciseContamination removes exactly the quoted span, keeps the rest") {
+    val bench = Seq((1L, "what is the airspeed velocity of an unladen swallow"))
+      .toDF("bid", "btxt")
+    val train = Seq(
+      // quotes a 5-word bench span mid-document
+      (10L, "intro words here what is the airspeed velocity closing words"),
+      // clean doc sharing no 4-gram
+      (20L, "totally unrelated content about parquet files and shuffles"),
+      // the quote at the very start (boundary case)
+      (30L, "what is the airspeed velocity and then some trailing text"))
+      .toDF("tid", "ttxt")
+    val out = Graft.exciseContamination(train, "tid", "ttxt", bench, "btxt", 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 10: grams at 3,4 hit → words 3..7 excised (5 words)
+    assert(out(10L) === (("intro words here closing words", 5L)), out(10L))
+    assert(out(20L) === (("totally unrelated content about parquet files and shuffles", 0L)))
+    // doc 30: grams at 0,1 hit → words 0..4 excised
+    assert(out(30L) === (("and then some trailing text", 5L)), out(30L))
+    // whole-doc excision yields empty string, not a dropped row
+    val all = Seq((40L, "what is the airspeed velocity of an unladen swallow")).toDF("tid", "ttxt")
+    val gone = Graft.exciseContamination(all, "tid", "ttxt", bench, "btxt", 4)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(gone.toSeq === Seq(("", 9L)))
+  }
+
   test("splitByGroup: groups never straddle splits; fractions land near targets") {
     val rows = (0L until 5000L).map(i => (i, i % 617)).toDF("row_id", "grp")
     val out = Graft.splitByGroup(rows, "grp",
