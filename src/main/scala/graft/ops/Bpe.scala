@@ -29,8 +29,40 @@ object Bpe {
     * printable-token space so round-trips are unambiguous. */
   private[ops] val Eow = ""
 
-  private def wordSymbols(w: String): Array[String] =
-    w.split("").filter(_.nonEmpty) :+ Eow
+  /** One symbol per Unicode CODE POINT (not UTF-16 char — splitting
+    * surrogate pairs would make non-BMP merges byte-invalid), plus the
+    * end-of-word sentinel. */
+  private def wordSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += Eow
+    out.toArray
+  }
+
+  /** UTF-8 byte order — what Spark's UTF8String comparison (and so the
+    * distributed rounds' `orderBy`) uses. The local fast path MUST
+    * tie-break with the same ordering or the two paths diverge beyond
+    * ASCII (Java's String ordering compares UTF-16 code units, which
+    * sorts supplementary characters differently). */
+  private[ops] val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
 
   /** Learn `numMerges` merges from a text column. Returns the ranked
     * merge list (left symbol, right symbol), rank = list index.
@@ -42,10 +74,10 @@ object Bpe {
     * the IVF centroid sample — because numMerges Spark rounds over a
     * tiny table are pure scheduler latency (measured ~6 s for 24
     * merges over a 31-word vocab vs <50 ms local). Large vocabularies
-    * take the distributed rounds. Both paths share the tie-break
-    * (count desc, pair lex asc) and are pinned identical in BpeSpec
-    * (ASCII-safe; a non-BMP corpus would need a byte-order compare to
-    * match Spark's UTF8 ordering). */
+    * take the distributed rounds. Both paths share the tie-break —
+    * count desc, pair UTF-8-byte-order asc (the ordering Spark's
+    * UTF8String compare gives the distributed `orderBy`) — and are
+    * pinned identical in BpeSpec, including beyond-BMP input. */
   def train(df: DataFrame, text: String, numMerges: Int,
             maxLocalVocab: Int = 1 << 16): Seq[(String, String)] = {
     val wc = df.select(explode(filter(split(col(text), " "), t => t =!= "")).as("w"))
@@ -78,7 +110,10 @@ object Bpe {
           i += 1
         }
       }
-      val best = counts.toSeq.sortBy { case ((a, b), cnt) => (-cnt, a, b) }.headOption
+      implicit val pairOrder: Ordering[(String, String)] =
+        Ordering.Tuple2(Utf8Order, Utf8Order)
+      val best = counts.toSeq
+        .sortBy { case ((a, b), cnt) => (-cnt, (a, b)) }.headOption
       best match {
         case Some(((a, b), cnt)) if cnt >= 2 =>
           merges += ((a, b))
@@ -173,8 +208,10 @@ object Bpe {
   /** Encode a corpus with a trained merge list. Output: (id, n_tokens,
     * tokens as a space-joined string with the end-of-word sentinel
     * stripped — scalar so it can sit under the gate comparator).
-    * Shuffle-free: the ranked merges broadcast; each doc encodes where
-    * it lives. */
+    * The ranked merges broadcast; a wide input encodes where it
+    * lives, shuffle-free — only a narrow (single-split) input is first
+    * spread across the cluster ([[Spread.widen]]). NULL text encodes
+    * to zero tokens. */
   def encode(df: DataFrame, id: String, text: String,
              merges: Seq[(String, String)]): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(
@@ -182,8 +219,7 @@ object Bpe {
     val enc = Encoders.row(StructType(Seq(
       StructField(id, LongType), StructField("n_tokens", LongType),
       StructField("bpe_tokens", StringType))))
-    df.select(col(id), col(text))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Spread.widen(df.select(col(id), coalesce(col(text), lit(""))))
       .mapPartitions { it =>
         val rank = bc.value
         it.map { r =>

@@ -123,8 +123,9 @@ object Pq {
 
   /** Map-only encode: (id, code binary[m], nrm double). The norm rides
     * with the code so ADC can report approximate COSINE without ever
-    * re-reading the vector. The explicit repartition spreads the
-    * CPU-bound kernel when the input is a single parquet split. */
+    * re-reading the vector. A narrow (single-split) input is spread
+    * across the cluster before the CPU-bound kernel; a wide input
+    * encodes where it lives, shuffle-free ([[Spread.widen]]). */
   def encode(df: DataFrame, id: String, vec: String, cb: Codebooks): DataFrame = {
     val enc = Encoders.row(StructType(Seq(
       StructField(id, LongType),
@@ -132,8 +133,7 @@ object Pq {
       StructField("nrm", DoubleType))))
     val books = cb.books
     val dsub = cb.dsub
-    df.select(col(id).cast("long"), col(vec))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Spread.widen(df.select(col(id).cast("long"), col(vec)))
       .mapPartitions { rows =>
         rows.map { r =>
           val v = r.getSeq[Float](1).toArray.map(_.toDouble)

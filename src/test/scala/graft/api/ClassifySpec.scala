@@ -39,10 +39,12 @@ class ClassifySpec extends SparkTestBase {
     assert(acc >= 0.9, s"held-out accuracy $acc")
   }
 
-  test("nbTrain model is bounded at labels x (numFeatures + 2) and priors sum to 1") {
+  test("nbTrain model is bounded at labels x (numFeatures + 3) and priors sum to 1") {
     val docs = corpus(100)
     val model = Graft.nbTrain(docs, "cls", "body", numFeatures = 64).cache()
-    assert(model.count() <= 2L * (64 + 2))
+    assert(model.count() <= 2L * (64 + 3))
+    // the hash width rides in the model (feature = -3) for nbScore to check
+    assert(model.filter($"feature" === -3L && $"logprob" === 64d).count() === 2)
     // one prior row (feature = -1) and one unseen default (-2) per label
     val priors = model.filter($"feature" === -1L)
       .select($"label", exp($"logprob").as("p")).collect()
@@ -54,22 +56,36 @@ class ClassifySpec extends SparkTestBase {
     assert(model.filter($"feature" >= 0L && $"logprob" >= 0d).count() === 0)
   }
 
-  test("nbScore is partitioning-independent and scores empty docs by prior alone") {
+  test("nbScore rejects a numFeatures that differs from the trained width") {
+    val docs = corpus(40)
+    val model = Graft.nbTrain(docs, "cls", "body", numFeatures = 64)
+    for (wrong <- Seq(32, 128)) { // smaller would crash, larger would mis-hash
+      val e = intercept[IllegalArgumentException] {
+        Graft.nbScore(docs, "id", "body", model, wrong)
+      }
+      assert(e.getMessage.contains("numFeatures"))
+    }
+  }
+
+  test("nbScore is partitioning-independent and scores empty/null docs by prior alone") {
     val docs = corpus(60)
     val model = Graft.nbTrain(docs, "cls", "body", numFeatures = 128)
     val withEmpty = docs.select($"id", $"body")
       .union(Seq((999L, "")).toDF("id", "body"))
+      .union(Seq((998L, null.asInstanceOf[String])).toDF("id", "body"))
     val a = Graft.nbScore(withEmpty, "id", "body", model, 128)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     val b = Graft.nbScore(withEmpty.repartition(7), "id", "body", model, 128)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(a === b)
-    // empty doc: score == round(ln(prior of predicted class), 4)
+    // empty and NULL docs: score == round(ln(prior of predicted class), 4)
     val priors = model.filter($"feature" === -1L)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    val empty = a.find(_._1 == 999L).get
-    assert(math.abs(empty._3 -
-      BigDecimal(priors(empty._2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    for (docId <- Seq(999L, 998L)) {
+      val empty = a.find(_._1 == docId).get
+      assert(math.abs(empty._3 -
+        BigDecimal(priors(empty._2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
   }
 
   test("crossNearDup pairs only across sides and agrees with self-join dedup") {

@@ -112,6 +112,40 @@ class BpeSpec extends SparkTestBase {
     assert(enc < chars, s"no compression: $enc tokens vs $chars chars")
   }
 
+  test("non-BMP corpora: both training paths agree and symbols split on code points") {
+    // U+1F600 (4-byte UTF-8, surrogate pair in UTF-16) vs U+FF01
+    // (3-byte UTF-8, single UTF-16 unit): UTF-16 code-unit order and
+    // UTF-8 byte order DISAGREE on this pair (surrogates sort below
+    // U+E000.. in UTF-16, supplementary planes sort above in UTF-8),
+    // so the equal-count ties below expose any ordering divergence
+    // between the local fast path and the distributed rounds.
+    val emoji = "😀" // 😀
+    val bang = "！"        // ！
+    val words = Seq(s"a$emoji", s"a$bang", s"b$emoji", s"b$bang")
+    val corpus = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, Array.fill(3)(w).mkString(" ")) }
+    val df = corpus.toDF("id", "body")
+    val local = Bpe.train(df, "body", 6) // vocab ≪ default maxLocalVocab
+    val dist = Bpe.train(df, "body", 6, maxLocalVocab = 0)
+    assert(local === dist, "local and distributed merges diverge beyond ASCII")
+    // no merge symbol may contain a lone surrogate (code-point split)
+    local.flatMap(p => Seq(p._1, p._2)).foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        assert(!Character.isLowSurrogate(s.charAt(i)) || (i > 0 &&
+          Character.isHighSurrogate(s.charAt(i - 1))), s"split surrogate in '$s'")
+        i += 1
+      }
+    }
+    // encoding round-trips the supplementary characters losslessly
+    val out = Bpe.encode(df, "id", "body", local).collect()
+    out.foreach { r =>
+      val orig = corpus.find(_._1 == r.getLong(0)).get._2
+        .split(" ").filter(_.nonEmpty).mkString("")
+      assert(r.getString(2).split(" ").mkString("") === orig)
+    }
+  }
+
   test("training is partitioning-independent") {
     val corpus = randomCorpus(5, 40)
     val a = Bpe.train(corpus.toDF("id", "body"), "body", 15)

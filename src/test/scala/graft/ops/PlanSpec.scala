@@ -236,10 +236,20 @@ class PlanSpec extends SparkTestBase {
     assert(!pa.contains("Expand"), s"approx profile should be a single pass:\n$pa")
   }
 
-  test("q_nb_classify scoring is a shuffle-free kernel: one repartition exchange, no joins") {
+  test("q_nb_classify scoring is a broadcast kernel: at most the widen exchange, no joins") {
+    // the sf0.001 fixture is a single parquet split, so Spread.widen
+    // inserts its one repartition; a wide (cluster-scale) input gets none
     val p = plan(ClassifyQueries.qNbClassify(spark, dir))
-    assert("Exchange".r.findAllIn(p).size <= 1, s"scoring shuffles beyond the repartition:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"scoring shuffles beyond the widen:\n$p")
     assert(!p.contains("Join"), s"scoring joins instead of broadcasting the model:\n$p")
+  }
+
+  test("Spread.widen: narrow inputs spread to defaultParallelism, wide inputs untouched") {
+    val dp = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(100).toDF("id").coalesce(1)
+    assert(Spread.widen(narrow).rdd.getNumPartitions === dp)
+    val wide = spark.range(100).toDF("id").repartition(dp)
+    assert(Spread.widen(wide) eq wide, "a wide input must pass through un-shuffled")
   }
 
   test("q_cross_dedup: band equi-join across sides — no cartesian, no nested loop") {
