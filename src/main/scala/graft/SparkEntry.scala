@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, DedupQueries, MiningQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,14 @@ object SparkEntry {
     "q_split_groups"    -> CoreQueries.qSplitGroups,
     "q_sample_k"        -> CoreQueries.qSampleK,
     "q_excise"          -> TextQueries.qExcise,
+    "q_heavy_hitters"   -> MiningQueries.qHeavyHitters,
+    "q_winnow"          -> MiningQueries.qWinnow,
+    "q_pagerank"        -> MiningQueries.qPagerank,
+    "q_url_normalize"   -> MiningQueries.qUrlNormalize,
+    "q_readability"     -> MiningQueries.qReadability,
+    "q_decontaminate_embed" -> MiningQueries.qDecontaminateEmbed,
+    "q_ccnet_bucket"    -> MiningQueries.qCcnetBucket,
+    "q_hist_lengths"    -> MiningQueries.qHistLengths,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -366,6 +374,14 @@ object SparkEntry {
     "q_split_groups" -> CoreQueries.splitGroupsOracle,
     "q_sample_k" -> CoreQueries.sampleKOracle,
     "q_excise" -> TextQueries.exciseOracle,
+    "q_heavy_hitters" -> MiningQueries.heavyHittersOracle,
+    "q_winnow" -> MiningQueries.winnowOracle,
+    "q_pagerank" -> MiningQueries.pagerankOracle,
+    "q_url_normalize" -> MiningQueries.urlNormalizeOracle,
+    "q_readability" -> MiningQueries.readabilityOracle,
+    "q_decontaminate_embed" -> MiningQueries.decontaminateEmbedOracle,
+    "q_ccnet_bucket" -> MiningQueries.ccnetBucketOracle,
+    "q_hist_lengths" -> MiningQueries.histLengthsOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -472,25 +472,33 @@ object Graft {
     * distributed LM estimation; the only broadcast is the 1-row
     * vocabulary size. Count tables are vocabulary-sized, not
     * corpus-sized. */
-  def lmScore(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = df.select(col(id), tokens(col(text)).as("__ts"))
+  def lmScore(df: DataFrame, id: String, text: String): DataFrame =
+    lmScore(df, id, text, Nil)
+
+  /** [[lmScore]] carrying extra per-document columns (constant per id,
+    * e.g. a language tag) through to the output as grouping keys —
+    * free, since they ride the same per-id aggregation. */
+  def lmScore(df: DataFrame, id: String, text: String,
+              carry: Seq[String]): DataFrame = {
+    val keep = (col(id) +: carry.map(col)).toIndexedSeq
+    val toks = df.select(keep :+ tokens(col(text)).as("__ts"): _*)
     val uni = toks.select(explode(col("__ts")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
-    val bi = toks.select(col(id), explode(
+    val bi = toks.select(keep :+ explode(
         when(size(col("__ts")) >= 2,
           transform(sequence(lit(0), size(col("__ts")) - 2),
             i => struct(element_at(col("__ts"), i + 1).as("w1"),
               element_at(col("__ts"), i + 2).as("w2"))))
-          .otherwise(array())).as("__b"))
-      .select(col(id), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+          .otherwise(array())).as("__b"): _*)
+      .select(keep :+ col("__b.w1").as("w1") :+ col("__b.w2").as("w2"): _*)
     val bcnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
     bi.join(bcnt, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__term",
         -log2((col("__cb") + 1).cast("double") / (col("__c1") + col("__v")).cast("double")))
-      .groupBy(col(id))
+      .groupBy(keep: _*)
       .agg(round(sum(col("__term")) / count(lit(1)), 4).as("bits_per_token"))
   }
 
@@ -1465,4 +1473,354 @@ object Graft {
         (col("__total") - col("__nn")).as("n_nulls"), col("n_distinct"),
         col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
+
+  // ---------- URL canonicalization ----------
+
+  /** URL canonicalization — the normalize-before-dedup step of a crawl
+    * frontier (two fetches of the "same" page must collapse to one
+    * corpus row): lowercase scheme+host, strip userinfo, drop default
+    * ports (http:80, https:443), default the path to "/", drop the
+    * fragment, and rewrite the query with tracking parameters removed
+    * (utm_*, fbclid, gclid) and the survivors sorted so parameter
+    * order never splits a dedup key. Unparseable URLs normalize to ""
+    * — data, not exceptions. Output: (id, scheme, host, norm_url).
+    *
+    * Scale shape: a pure per-row codegen'd projection — regexes plus
+    * array sort over a handful of query params; shuffle-free, so it
+    * composes with exact dedup on `norm_url` as the key. ASCII params
+    * sort identically everywhere; non-ASCII param bytes would need a
+    * binary collation note. */
+  def urlNormalize(df: DataFrame, id: String, url: String): DataFrame = {
+    val u = coalesce(col(url), lit(""))
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]+)", 1))
+    val host = regexp_extract(hostport, "^([^:]*)", 1)
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rawPath = regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val params = filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val qnorm = array_join(array_sort(params), "&")
+    val norm = when(scheme === "" || host === "", "")
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(qnorm =!= "", concat(lit("?"), qnorm)).otherwise(lit(""))))
+    df.select(col(id), scheme.as("scheme"), host.as("host"),
+      norm.as("norm_url"))
+  }
+
+  // ---------- readability ----------
+
+  /** Flesch reading-ease — the classic rule-based readability gate
+    * (a quality-scoring sibling of [[lmScore]]'s statistical one):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * sentences counted as runs of [.!?] (min 1) and syllables
+    * approximated as vowel-group runs [aeiouy]+ per lowercased text,
+    * plus one for each vowel-less word so no word counts zero. Docs
+    * with no words get a NULL score. Output: (id, n_words,
+    * n_sentences, n_syllables, flesch rounded to 4 dp).
+    *
+    * Pure per-row codegen'd projection — regex counts only,
+    * shuffle-free, linear in input bytes. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = coalesce(col(text), lit(""))
+    val lowered = lower(t)
+    val nWords = size(tokens(t)).cast("long")
+    val nSentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+    val nSyllables = (
+      size(regexp_extract_all(lowered, lit("[aeiouy]+"), lit(0))).cast("long") +
+      size(filter(tokens(lowered), w => !w.rlike("[aeiouy]"))).cast("long"))
+    df.select(col(id), nWords.as("n_words"), nSentences.as("n_sentences"),
+      nSyllables.as("n_syllables"),
+      when(nWords > 0L,
+        round(lit(206.835)
+          - lit(1.015) * nWords.cast("double") / nSentences.cast("double")
+          - lit(84.6) * nSyllables.cast("double") / nWords.cast("double"), 4))
+        .as("flesch"))
+  }
+
+  // ---------- frequency mining ----------
+
+  /** Exact heavy hitters via Misra–Gries candidates + exact recount —
+    * the vocabulary/stopword/boilerplate-token miner that must never
+    * full-shuffle the token stream. Returns every word whose EXACT
+    * corpus count ≥ max(minCount, ⌊n/k⌋+1) (n = total tokens), as
+    * (word, cnt).
+    *
+    * Why exact: a per-partition Misra–Gries summary of k counters
+    * undercounts any word by < n_p/k, so by pigeonhole every word with
+    * global count > n/k survives in at least one partition's summary —
+    * the candidate set provably contains all qualifying words. The
+    * effective threshold is clamped to ⌊n/k⌋+1 so the guarantee always
+    * holds regardless of the caller's minCount.
+    *
+    * Scale shape: pass 1 is a map-only kernel emitting ≤ k candidate
+    * words + one token-count sentinel per partition (the tiny result is
+    * cached, never the corpus); pass 2 recounts ONLY candidate tokens —
+    * a broadcast semi-join drops everything else map-side, and partial
+    * aggregation bounds the shuffle at candidates × partitions. The
+    * token stream itself is never shuffled. */
+  def heavyHitters(df: DataFrame, text: String, k: Int,
+                   minCount: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    val enc = Encoders.row(StructType(Seq(
+      StructField("w", StringType), StructField("np", LongType))))
+    val summaries = df.select(coalesce(col(text), lit("")).as("t"))
+      .mapPartitions { rows =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var np = 0L
+        rows.foreach { r =>
+          val toks = r.getString(0).split(" ")
+          var i = 0
+          while (i < toks.length) {
+            val w = toks(i)
+            if (w.nonEmpty) {
+              np += 1
+              counters.get(w) match {
+                case Some(c) => counters.update(w, c + 1)
+                case None =>
+                  if (counters.size < k) counters.update(w, 1L)
+                  else { // decrement-all step of Misra–Gries
+                    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                    counters.foreach { case (cw, cc) =>
+                      if (cc == 1L) dead += cw else counters.update(cw, cc - 1)
+                    }
+                    dead.foreach(counters.remove)
+                  }
+              }
+            }
+            i += 1
+          }
+        }
+        counters.keysIterator.map(w => Row(w, 0L)) ++ Iterator(Row(null, np))
+      }(enc)
+      .persist() // bounded: ≤ (k+1) rows per partition
+    val n = summaries.agg(sum(col("np"))).head.getLong(0)
+    val threshold = math.max(minCount, n / k + 1)
+    val candidates = summaries.filter(col("w").isNotNull)
+      .select(col("w")).distinct()
+    df.select(explode(tokens(coalesce(col(text), lit("")))).as("w"))
+      .join(broadcast(candidates), "w")
+      .groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("word"), col("cnt"))
+  }
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * k-char gram ([[polyHash]] arithmetic, O(len) rolling update),
+    * slide a window of w gram-hashes, keep each window's minimum, and
+    * emit the distinct selected hashes as (id, fp) rows. Guarantee:
+    * any shared substring of length ≥ k+w−1 between two documents
+    * yields at least one shared fingerprint, while ~1/w of grams are
+    * kept — the standard plagiarism/near-dup index at a fraction of
+    * the gram volume. Docs shorter than k+w−1 chars emit nothing (no
+    * full window).
+    *
+    * Scale shape: a pure per-row kernel (rolling hash + monotonic
+    * deque, O(len) per doc, zero shuffle); the (id, fp) output is the
+    * posting-list input to an equi-join based match step, exactly like
+    * the MinHash band index. */
+  def winnow(df: DataFrame, id: String, text: String,
+             k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val projected = df.select(col(id), coalesce(col(text), lit("")).as("t"))
+    val enc = Encoders.row(StructType(Seq(
+      projected.schema.head, StructField("fp", LongType))))
+    projected.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idVal = if (r.isNullAt(0)) null else r.get(0)
+        val s = r.getString(1)
+        val nGrams = s.length - k + 1
+        if (nGrams < w) Iterator.empty
+        else {
+          // rolling position-weighted gram hashes: acc_i = Σ_j (j+1)·c_{i+j}
+          val hs = new Array[Long](nGrams)
+          var acc = 0L // position-weighted sum of current gram
+          var csum = 0L // plain char sum of current gram
+          var j = 0
+          while (j < k) {
+            acc += (j + 1).toLong * s.charAt(j).toLong
+            csum += s.charAt(j).toLong
+            j += 1
+          }
+          hs(0) = java.lang.Math.floorMod(acc * 48271L, 2147483647L)
+          var i = 1
+          while (i < nGrams) {
+            val outc = s.charAt(i - 1).toLong
+            val inc = s.charAt(i + k - 1).toLong
+            acc = acc - csum + k.toLong * inc
+            csum = csum - outc + inc
+            hs(i) = java.lang.Math.floorMod(acc * 48271L, 2147483647L)
+            i += 1
+          }
+          // sliding-window minima via monotonic deque; distinct per doc
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          val deque = new java.util.ArrayDeque[Int]()
+          var p = 0
+          while (p < nGrams) {
+            while (!deque.isEmpty && hs(deque.peekLast()) >= hs(p))
+              deque.pollLast()
+            deque.addLast(p)
+            if (deque.peekFirst() <= p - w) deque.pollFirst()
+            if (p >= w - 1) {
+              val m = hs(deque.peekFirst())
+              if (seen.add(m)) out += Row(idVal, m)
+            }
+            p += 1
+          }
+          out.iterator
+        }
+      }
+    }(enc)
+  }
+
+  // ---------- graph authority ----------
+
+  /** Distributed PageRank over an edge list — the domain/page
+    * authority signal crawl curation ranks sources by. Fixed
+    * `iters` power iterations of r ← (1−d)/N + d·Σ_in r/outdeg from a
+    * uniform start; nodes without out-edges contribute no mass (pass a
+    * symmetrized edge list if the graph has sinks). Output: (node,
+    * rank rounded to 7 dp — in-sums are float-order-sensitive in the
+    * last bits).
+    *
+    * Scale shape: the textbook distributed formulation — edges joined
+    * to ranks on src (both hash-partitioned on the join key), partial
+    * map-side aggregation of contributions per dst, broadcast of
+    * nothing but the 1-row node count. Per iteration: one shuffle on
+    * src + one on dst; lineage stays flat because ranks are
+    * re-derived from the cached nodes/edges each round. Hub skew is
+    * AQE's skew-join territory; d and iters are the usual 0.85/3. */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct().cache()
+    val nN = nodes.count().toDouble
+    val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).cast("double").as("__deg"))
+    val withDeg = e.join(outdeg, "__src").cache()
+    var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank"))
+    var it = 0
+    while (it < iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("__src") === ranks("node"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("rank") / col("__deg")).as("__in"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("__dst"), "left")
+        .select(nodes("node"),
+          (lit((1.0 - damping) / nN) +
+            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+      it += 1
+    }
+    ranks.select(col("node"), round(col("rank"), 7).as("rank"))
+  }
+
+  // ---------- perplexity bucketing (CCNet) ----------
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * corpus-trained bigram LM ([[lmScore]]) and, PER LANGUAGE, split
+    * into head/middle/tail at the ⅓ and ⅔ bits-per-token quantiles —
+    * the standard "keep the head, sample the middle, drop the tail"
+    * curation split. Output: (id, lang, bits_per_token, bucket).
+    *
+    * Scale shape: the cutpoints come from one per-language quantile
+    * AGGREGATION (languages × 2 values, broadcast back), never a
+    * per-language global sort or single-partition window — the
+    * corpus-sized side only ever sees a broadcast join on the language
+    * key. Docs with < 2 tokens carry no LM evidence and are omitted,
+    * as in [[lmScore]]. */
+  def perplexityBuckets(df: DataFrame, id: String, text: String,
+                        lang: String): DataFrame = {
+    val scored = lmScore(df, id, text, Seq(lang))
+    val cuts = scored.groupBy(col(lang))
+      .agg(round(expr(s"percentile(bits_per_token, ${1.0 / 3})"), 6).as("__c1"),
+           round(expr(s"percentile(bits_per_token, ${2.0 / 3})"), 6).as("__c2"))
+    scored.join(broadcast(cuts), lang)
+      .select(col(id), col(lang), col("bits_per_token"),
+        when(col("bits_per_token") <= col("__c1"), "head")
+          .when(col("bits_per_token") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  // ---------- embedding-space decontamination ----------
+
+  /** Benchmark decontamination in EMBEDDING space — the semantic
+    * sibling of the n-gram [[graft.ops.TextQueries]] decontaminate:
+    * flag every corpus vector whose cosine to ANY benchmark vector
+    * reaches `tau` (paraphrased eval questions that share no 8-gram
+    * still land next to the benchmark in embedding space). Output:
+    * (id, max_cos rounded to 12 dp, nearest_id — ties on the lower
+    * benchmark id, contaminated 0/1).
+    *
+    * Exact, not approximate: benchmark suites are 10³–10⁵ vectors —
+    * they broadcast, and each corpus vector scans them in a per-row
+    * kernel (dot products in index order, so the arithmetic is
+    * bit-reproducible). The corpus side is touched exactly once where
+    * it lives; only a narrow test input is first spread
+    * ([[graft.ops.Spread.widen]]). For benchmark sets too large to
+    * broadcast, prune with [[graft.ops.Ivf]] cells first. */
+  def embedDecontaminate(corpus: DataFrame, id: String, vec: String,
+                         bench: DataFrame, benchId: String, benchVec: String,
+                         tau: Double): DataFrame = {
+    val b = bench.select(col(benchId).cast("long"), col(benchVec)).collect()
+      .map { r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)) }
+      .sortBy(_._1)
+    val bNorms = b.map { case (_, v) =>
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i) * v(i); i += 1 }
+      math.sqrt(ss)
+    }
+    val bc = corpus.sparkSession.sparkContext.broadcast((b, bNorms))
+    val enc = Encoders.row(StructType(Seq(
+      StructField(id, LongType), StructField("max_cos", DoubleType),
+      StructField("nearest_id", LongType), StructField("contaminated", LongType))))
+    graft.ops.Spread.widen(corpus.select(col(id).cast("long"), col(vec)))
+      .mapPartitions { rows =>
+        val (benchVecs, norms) = bc.value
+        rows.map { r =>
+          val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+          var ss = 0.0; var i = 0
+          while (i < v.length) { ss += v(i) * v(i); i += 1 }
+          val vn = math.sqrt(ss)
+          var bestCos = Double.NegativeInfinity
+          var bestId = -1L
+          var bi = 0
+          while (bi < benchVecs.length) {
+            val (bid, bv) = benchVecs(bi)
+            var dot = 0.0; var j = 0
+            while (j < bv.length) { dot += v(j) * bv(j); j += 1 }
+            val cos = BigDecimal(dot / vn / norms(bi))
+              .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos > bestCos) { bestCos = cos; bestId = bid } // ties: lower id wins (sorted)
+            bi += 1
+          }
+          Row(r.getLong(0), bestCos, bestId, if (bestCos >= tau) 1L else 0L)
+        }
+      }(enc)
+  }
+
+  // ---------- length profiling ----------
+
+  /** Power-of-two length histogram per group — the doc-length
+    * distribution table every crawl report carries. Buckets on the
+    * BIT LENGTH of the value (bucket b covers [2^(b−1), 2^b)), which
+    * is exact integer arithmetic — no float log2 edge cases at the
+    * bucket boundaries. Output: (group, bucket, n_docs, total_len).
+    * One partially-aggregated groupBy: shuffle bounded at groups ×
+    * buckets rows. */
+  def lengthHistogram(df: DataFrame, group: String, value: String): DataFrame =
+    df.select(col(group), col(value).cast("long").as("__v"))
+      .filter(col("__v") >= 0L)
+      .groupBy(col(group), length(bin(col("__v"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__v")).as("total_len"))
 }

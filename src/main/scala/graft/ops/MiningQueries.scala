@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+
+/** Gate bindings for the round-9 corpus-mining / curation operators:
+  * heavy hitters, winnowing fingerprints, PageRank authority, URL
+  * canonicalization, readability, embedding decontamination, CCNet
+  * perplexity buckets, and length histograms. Each query pairs a
+  * [[graft.api.Graft]] operator with a DuckDB oracle over the same
+  * fixture tables.
+  */
+object MiningQueries {
+
+  // ----- heavy hitters -----
+
+  private val HhK = 16
+  private val HhMin = 1L
+
+  /** Exact heavy hitters over `documents.text` tokens: Misra–Gries
+    * candidates (k=16 — smaller than the fixture vocabulary, so the
+    * decrement path is actually exercised) + exact recount; threshold
+    * = max(1, ⌊n/k⌋+1). */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Graft.heavyHitters(
+      Tables.documents(spark, dir).select(col("text")), "text", HhK, HhMin)
+
+  val heavyHittersOracle: String =
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+       |  FROM documents
+       |), tot AS (SELECT count(*) AS n FROM t)
+       |SELECT w AS word, count(*)::BIGINT AS cnt
+       |FROM t, tot GROUP BY w, tot.n
+       |HAVING count(*) >= greatest($HhMin, tot.n // $HhK + 1)""".stripMargin
+
+  // ----- winnowing fingerprints -----
+
+  private val WinK = 8
+  private val WinW = 4
+
+  /** Winnowing fingerprint posting list over `documents.text`
+    * (k=8-char grams, window w=4). */
+  def qWinnow(spark: SparkSession, dir: String): DataFrame =
+    Graft.winnow(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", WinK, WinW)
+
+  val winnowOracle: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(length(text) - ${WinK - 2}, 1))) AS pos
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, pos,
+       |    ((list_sum(list_transform(string_split(substr(text, pos::INT, $WinK), ''),
+       |        (c, i) -> i * ascii(c))) * 48271) % 2147483647)::BIGINT AS hv
+       |  FROM g
+       |), w AS (
+       |  SELECT doc_id, pos,
+       |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN ${WinW - 1} PRECEDING AND CURRENT ROW) AS m
+       |  FROM h
+       |)
+       |SELECT DISTINCT doc_id, m AS fp FROM w WHERE pos >= $WinW""".stripMargin
+
+  // ----- PageRank authority -----
+
+  /** PageRank over the customer–supplier trade graph (orders ⋈
+    * lineitem, symmetrized so the bipartite graph has no sinks),
+    * 3 iterations at d = 0.85. Node ids are 'c<custkey>'/'s<suppkey>'. */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    Graft.pageRank(e, "src", "dst", iters = 3, damping = 0.85)
+  }
+
+  val pagerankOracle: String = {
+    def iter(prev: String, out: String): String =
+      s"""c$out AS (
+         |  SELECT e.dst AS node, sum($prev.rank / deg.d) AS s
+         |  FROM e JOIN deg ON e.src = deg.src JOIN $prev ON $prev.node = e.src
+         |  GROUP BY e.dst
+         |), $out AS (
+         |  SELECT nodes.node,
+         |    (1.0 - 0.85) / n.nn + 0.85 * coalesce(c$out.s, 0) AS rank
+         |  FROM nodes CROSS JOIN n LEFT JOIN c$out ON c$out.node = nodes.node
+         |)""".stripMargin
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), e AS (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+       |), nodes AS (SELECT DISTINCT src AS node FROM e),
+       |n AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+       |deg AS (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src),
+       |r0 AS (SELECT node, 1.0 / n.nn AS rank FROM nodes CROSS JOIN n),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node, round(rank, 7) AS rank FROM r3""".stripMargin
+  }
+
+  // ----- URL canonicalization -----
+
+  /** Deterministic messy-URL synthesis shared (in spirit) with the
+    * closed-form oracle: mixed-case scheme/host, userinfo, default and
+    * non-default ports, tracking params, unsorted query, fragment, and
+    * a malformed row every 11 ids. */
+  private def messyUrl = when(col("doc_id") % 11 === 0, lit("not a url"))
+    .otherwise(concat(
+      lit("HTTPS://User:pw@WWW"), col("doc_id") % 5,
+      lit(".Site"), col("doc_id") % 97, lit(".COM"),
+      when(col("doc_id") % 3 === 0, ":443")
+        .when(col("doc_id") % 3 === 1, ":8443").otherwise(""),
+      lit("/p/"), col("doc_id") % 7,
+      when(col("doc_id") % 2 === 0, "?utm_source=x&b=2&a=1#frag")
+        .otherwise("?z=9&a=0")))
+
+  def qUrlNormalize(spark: SparkSession, dir: String): DataFrame =
+    Graft.urlNormalize(
+      Tables.documents(spark, dir).select(col("doc_id"), messyUrl.as("url")),
+      "doc_id", "url")
+
+  /** Closed-form expected output of the synthesized URLs (the ground
+    * truth the normalizer must reach, not a re-implementation of it). */
+  val urlNormalizeOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN '' ELSE 'https' END AS scheme,
+      |  CASE WHEN doc_id % 11 = 0 THEN ''
+      |       ELSE 'www' || (doc_id % 5) || '.site' || (doc_id % 97) || '.com' END AS host,
+      |  CASE WHEN doc_id % 11 = 0 THEN ''
+      |       ELSE 'https://www' || (doc_id % 5) || '.site' || (doc_id % 97) || '.com'
+      |         || CASE WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END
+      |         || '/p/' || (doc_id % 7)
+      |         || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?a=0&z=9' END
+      |  END AS norm_url
+      |FROM documents""".stripMargin
+
+  // ----- readability -----
+
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    Graft.readability(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
+  val readabilityOracle: String =
+    """SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words > 0 THEN
+      |    round(206.835 - 1.015 * n_words / n_sentences
+      |                  - 84.6 * n_syllables / n_words, 4)
+      |  END AS flesch
+      |FROM (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+      |    (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |     + len(list_filter(list_filter(string_split(lower(text), ' '), w -> w <> ''),
+      |         w -> NOT regexp_matches(w, '[aeiouy]'))))::BIGINT AS n_syllables
+      |  FROM documents)""".stripMargin
+
+  // ----- embedding decontamination -----
+
+  private val EmbTau = 0.4
+
+  /** Embedding-space decontamination: benchmark = every 97th vector,
+    * corpus = the rest; flag corpus vectors with cosine ≥ 0.4 to any
+    * benchmark vector (the synthetic corpus tops out near 0.51, so the
+    * threshold separates). */
+  def qDecontaminateEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    Graft.embedDecontaminate(
+      emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", EmbTau)
+  }
+
+  val decontaminateEmbedOracle: String =
+    s"""WITH b AS (
+       |  SELECT vec_id AS bid, embedding AS bv FROM embeddings WHERE vec_id % 97 = 0
+       |), c AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0
+       |), scored AS (
+       |  SELECT c.vec_id, b.bid,
+       |    round(
+       |      list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * b.bv[i]::DOUBLE))
+       |      / sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+       |      / sqrt(list_sum(list_transform(range(1, 65), i -> b.bv[i]::DOUBLE * b.bv[i]::DOUBLE))),
+       |      12) AS cos
+       |  FROM c, b
+       |)
+       |SELECT vec_id, cos AS max_cos, bid AS nearest_id,
+       |  (cos >= $EmbTau)::BIGINT AS contaminated
+       |FROM (
+       |  SELECT vec_id, bid, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+       |  FROM scored)
+       |WHERE rn = 1""".stripMargin
+
+  // ----- CCNet perplexity buckets -----
+
+  def qCcnetBucket(spark: SparkSession, dir: String): DataFrame =
+    Graft.perplexityBuckets(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang")),
+      "doc_id", "text", "lang")
+
+  val ccnetBucketOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       |  FROM documents
+       |), uni AS (
+       |  SELECT w1, count(*) AS c1 FROM (
+       |    SELECT unnest(ts) AS w1 FROM toks
+       |  ) GROUP BY w1
+       |), v AS (SELECT count(*) AS v FROM uni),
+       |bi AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(0, greatest(len(ts) - 1, 0)),
+       |      i -> ts[(i+1)::INT])) AS w1,
+       |    unnest(list_transform(range(0, greatest(len(ts) - 1, 0)),
+       |      i -> ts[(i+2)::INT])) AS w2
+       |  FROM toks
+       |), bcnt AS (
+       |  SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2
+       |), scored AS (
+       |  SELECT bi.doc_id, bi.lang,
+       |    round(sum(-log2((bcnt.cb + 1) / (uni.c1 + v.v))) / count(*), 4)
+       |      AS bits_per_token
+       |  FROM bi JOIN bcnt USING (w1, w2) JOIN uni USING (w1), v
+       |  GROUP BY bi.doc_id, bi.lang
+       |), cuts AS (
+       |  SELECT lang,
+       |    round(quantile_cont(bits_per_token, ${1.0 / 3}), 6) AS c1,
+       |    round(quantile_cont(bits_per_token, ${2.0 / 3}), 6) AS c2
+       |  FROM scored GROUP BY lang
+       |)
+       |SELECT scored.doc_id, scored.lang, scored.bits_per_token,
+       |  CASE WHEN bits_per_token <= cuts.c1 THEN 'head'
+       |       WHEN bits_per_token <= cuts.c2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored JOIN cuts USING (lang)""".stripMargin
+
+  // ----- length histogram -----
+
+  def qHistLengths(spark: SparkSession, dir: String): DataFrame =
+    Graft.lengthHistogram(Tables.documents(spark, dir), "lang", "n_chars")
+
+  val histLengthsOracle: String =
+    """SELECT lang, length(bin(n_chars))::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_len
+      |FROM documents WHERE n_chars >= 0
+      |GROUP BY lang, length(bin(n_chars))""".stripMargin
+}

@@ -244,6 +244,39 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"scoring joins instead of broadcasting the model:\n$p")
   }
 
+  test("q_heavy_hitters: candidate filter is a broadcast join, token stream never sort-merge-shuffles") {
+    val p = plan(MiningQueries.qHeavyHitters(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"candidate semi-filter not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled for the candidate join:\n$p")
+  }
+
+  test("q_winnow / q_url_normalize / q_readability are shuffle-free per-row plans") {
+    for ((name, df) <- Seq(
+        "q_winnow" -> MiningQueries.qWinnow(spark, dir),
+        "q_url_normalize" -> MiningQueries.qUrlNormalize(spark, dir),
+        "q_readability" -> MiningQueries.qReadability(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("q_decontaminate_embed: broadcast kernel — at most the widen exchange, no join") {
+    val p = plan(MiningQueries.qDecontaminateEmbed(spark, dir))
+    assert("Exchange".r.findAllIn(p).size <= 1, s"scan shuffles beyond the widen:\n$p")
+    assert(!p.contains("Join"), s"benchmark joined instead of broadcast:\n$p")
+  }
+
+  test("q_pagerank: no cartesian/nested-loop anywhere in the iteration") {
+    val p = plan(MiningQueries.qPagerank(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("q_ccnet_bucket: the per-lang cutpoints broadcast back to the corpus side") {
+    val p = plan(MiningQueries.qCcnetBucket(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"cuts not broadcast:\n$p")
+  }
+
   test("Spread.widen: narrow inputs spread to defaultParallelism, wide inputs untouched") {
     val dp = spark.sparkContext.defaultParallelism
     val narrow = spark.range(100).toDF("id").coalesce(1)
