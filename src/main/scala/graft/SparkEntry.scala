@@ -111,6 +111,10 @@ object SparkEntry {
     "q_decontaminate_embed" -> MiningQueries.qDecontaminateEmbed,
     "q_ccnet_bucket"    -> MiningQueries.qCcnetBucket,
     "q_hist_lengths"    -> MiningQueries.qHistLengths,
+    "q_quality_gate"    -> MiningQueries.qQualityGate,
+    "q_entropy"         -> MiningQueries.qEntropy,
+    "q_mix_weights"     -> MiningQueries.qMixWeights,
+    "q_lr_classify"     -> ((s, dir) => graft.ops.LogReg.qLrClassify(s, dir)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -129,7 +133,9 @@ object SparkEntry {
     * q_fingerprint pins exact cross-engine hash semantics. Also
     * omitted: q_bpe_encode — iterative argmax BPE training is not
     * ANSI-SQL-expressible; BpeSpec pins it against a sequential
-    * reference implementation instead. */
+    * reference implementation instead. Also omitted: q_lr_classify —
+    * iterative float gradient descent has no SQL oracle; LogRegSpec
+    * pins local-reference parity and held-out accuracy instead. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" -> s"SELECT $evCols FROM events",
 
@@ -382,6 +388,9 @@ object SparkEntry {
     "q_decontaminate_embed" -> MiningQueries.decontaminateEmbedOracle,
     "q_ccnet_bucket" -> MiningQueries.ccnetBucketOracle,
     "q_hist_lengths" -> MiningQueries.histLengthsOracle,
+    "q_quality_gate" -> MiningQueries.qualityGateOracle,
+    "q_entropy" -> MiningQueries.entropyOracle,
+    "q_mix_weights" -> MiningQueries.mixWeightsOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

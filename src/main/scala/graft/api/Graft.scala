@@ -1526,6 +1526,14 @@ object Graft {
     * with no words get a NULL score. Output: (id, n_words,
     * n_sentences, n_syllables, flesch rounded to 4 dp).
     *
+    * The rounding is floor(x·10⁴ + 0.5)/10⁴ on the double, NOT
+    * decimal-perceived round(): Flesch values are decimal-rational
+    * (small-int ratios × 1.015/84.6) and routinely land EXACTLY on the
+    * .00005 tie, where decimal-string rounding (Spark round) and
+    * binary rounding (DuckDB/C round) disagree — pure double
+    * arithmetic is the only formulation every engine computes
+    * identically.
+    *
     * Pure per-row codegen'd projection — regex counts only,
     * shuffle-free, linear in input bytes. */
   def readability(df: DataFrame, id: String, text: String): DataFrame = {
@@ -1540,9 +1548,10 @@ object Graft {
     df.select(col(id), nWords.as("n_words"), nSentences.as("n_sentences"),
       nSyllables.as("n_syllables"),
       when(nWords > 0L,
-        round(lit(206.835)
+        floor((lit(206.835)
           - lit(1.015) * nWords.cast("double") / nSentences.cast("double")
-          - lit(84.6) * nSyllables.cast("double") / nWords.cast("double"), 4))
+          - lit(84.6) * nSyllables.cast("double") / nWords.cast("double"))
+          * 10000d + 0.5d).cast("double") / 10000d)
         .as("flesch"))
   }
 
@@ -1807,6 +1816,122 @@ object Graft {
           Row(r.getLong(0), bestCos, bestId, if (bestCos >= tau) 1L else 0L)
         }
       }(enc)
+  }
+
+  // ---------- rule-based quality gating (Gopher) ----------
+
+  /** Gopher-style rule gate — the deterministic keep/drop decision
+    * every crawl runs before the statistical filters: word-count
+    * bounds, mean-word-length bounds, alphabetic-word ratio, and a
+    * minimum stopword count. Emits (id, n_words, mean_word_len,
+    * alpha_frac, stop_hits, keep 0/1, reason) where reason names the
+    * FIRST failing rule ('' when kept) — flag-not-drop so rejects can
+    * be quarantined or sampled, and the reason column doubles as the
+    * funnel report. Pure per-row projection, shuffle-free.
+    *
+    * Defaults are the Gopher paper's shape scaled to short web docs;
+    * every bound is a parameter because real pipelines sweep them. */
+  def qualityGate(df: DataFrame, id: String, text: String,
+                  minWords: Int = 30, maxWords: Int = 90,
+                  minMeanLen: Double = 4.8, maxMeanLen: Double = 6.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+                  stopwords: Seq[String] =
+                    Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
+    val ts = tokens(coalesce(col(text), lit("")))
+    val nWords = size(ts).cast("long")
+    val meanLen = when(nWords > 0L,
+      aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .cast("double") / nWords.cast("double"))
+    val alphaFrac = when(nWords > 0L,
+      size(filter(ts, w => w.rlike("[a-zA-Z]"))).cast("double") /
+        nWords.cast("double"))
+    val stopHits = size(filter(ts, w => w.isin(stopwords: _*))).cast("long")
+    val reason =
+      when(nWords < minWords || nWords > maxWords, "word_count")
+        .when(meanLen.isNull || meanLen < minMeanLen || meanLen > maxMeanLen,
+          "word_length")
+        .when(alphaFrac < minAlphaFrac, "alpha_ratio")
+        .when(stopHits < minStopHits, "stopwords")
+        .otherwise("")
+    df.select(col(id), nWords.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"), stopHits.as("stop_hits"),
+      when(reason === "", 1L).otherwise(0L).as("keep"), reason.as("reason"))
+  }
+
+  // ---------- within-document entropy ----------
+
+  /** Per-document Shannon entropy of the document's OWN unigram
+    * distribution — the "word soup vs natural text" signal that
+    * complements [[lmScore]] (which scores against the corpus model):
+    * H = −Σ_w (c_w/n)·log2(c_w/n). Output: (id, n_tokens, entropy
+    * rounded to 4 dp — the per-doc sum is float-order-sensitive).
+    * Docs with no tokens are omitted.
+    *
+    * Shuffle-free per-row kernel: each doc's histogram fits in hand
+    * (docs are ≤ MBs, vocab per doc ≪ corpus vocab) and the sum runs
+    * in sorted-word order so the kernel is bit-deterministic under any
+    * partitioning. */
+  def tokenEntropy(df: DataFrame, id: String, text: String): DataFrame = {
+    val projected = df.select(col(id), coalesce(col(text), lit("")).as("t"))
+    val enc = Encoders.row(StructType(Seq(
+      projected.schema.head, StructField("n_tokens", LongType),
+      StructField("entropy", DoubleType))))
+    projected.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idVal = if (r.isNullAt(0)) null else r.get(0)
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[String, Long]
+          toks.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+          val n = toks.length.toDouble
+          var h = 0.0
+          counts.toArray.sortBy(_._1).foreach { case (_, c) =>
+            val p = c / n
+            h -= p * (math.log(p) / math.log(2.0))
+          }
+          val rounded = BigDecimal(h)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator(Row(idVal, toks.length.toLong, rounded))
+        }
+      }
+    }(enc)
+  }
+
+  // ---------- mixture weighting ----------
+
+  /** Temperature-weighted source mixing — the sampling-weight table of
+    * an LLM data recipe (LLaMA-style): per source s with token count
+    * t_s, weight_s ∝ (t_s/Σt)^alpha normalized to 1, and the expected
+    * epochs over that source when drawing `budgetTokens` total:
+    * budget·weight_s/t_s (>1 ⇒ the source repeats; α<1 upweights
+    * small sources). Output: (source, n_docs, n_tokens, weight,
+    * epochs).
+    *
+    * One corpus-pass keyed aggregation (map-side partial sums), then
+    * arithmetic on the sources-sized table — the corpus never
+    * shuffles, the totals ride two broadcast 1-row frames. The
+    * per-source aggregate is persisted (sources-bounded, tiny) so the
+    * total/normalizer derivations reuse it instead of re-scanning the
+    * corpus per reference. */
+  def mixtureWeights(df: DataFrame, source: String, text: String,
+                     alpha: Double = 0.5,
+                     budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = df.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(coalesce(col(text), lit(""))))).cast("long").as("n_tokens"))
+      .persist()
+    val total = perSource.agg(sum(col("n_tokens")).as("__total"))
+    val raw = perSource.crossJoin(broadcast(total))
+      .withColumn("__sraw",
+        pow(col("n_tokens").cast("double") / col("__total").cast("double"), alpha))
+    val z = raw.agg(sum(col("__sraw")).as("__z"))
+    raw.crossJoin(broadcast(z))
+      .select(col(source), col("n_docs"), col("n_tokens"),
+        round(col("__sraw") / col("__z"), 6).as("weight"),
+        round(lit(budgetTokens.toDouble) * (col("__sraw") / col("__z")) /
+          col("n_tokens").cast("double"), 4).as("epochs"))
   }
 
   // ---------- length profiling ----------

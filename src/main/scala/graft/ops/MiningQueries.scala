@@ -154,8 +154,8 @@ object MiningQueries {
   val readabilityOracle: String =
     """SELECT doc_id, n_words, n_sentences, n_syllables,
       |  CASE WHEN n_words > 0 THEN
-      |    round(206.835 - 1.015 * n_words / n_sentences
-      |                  - 84.6 * n_syllables / n_words, 4)
+      |    floor((206.835 - 1.015 * n_words / n_sentences
+      |                   - 84.6 * n_syllables / n_words) * 10000 + 0.5) / 10000
       |  END AS flesch
       |FROM (
       |  SELECT doc_id,
@@ -245,6 +245,83 @@ object MiningQueries {
        |       WHEN bits_per_token <= cuts.c2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM scored JOIN cuts USING (lang)""".stripMargin
+
+  // ----- Gopher quality gate -----
+
+  def qQualityGate(spark: SparkSession, dir: String): DataFrame =
+    Graft.qualityGate(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
+  val qualityGateOracle: String =
+    """SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+      |  round(alpha_frac, 6) AS alpha_frac, stop_hits,
+      |  CASE WHEN reason = '' THEN 1 ELSE 0 END::BIGINT AS keep, reason
+      |FROM (
+      |  SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+      |    CASE
+      |      WHEN n_words < 30 OR n_words > 90 THEN 'word_count'
+      |      WHEN mean_word_len IS NULL OR mean_word_len < 4.8
+      |        OR mean_word_len > 6.0 THEN 'word_length'
+      |      WHEN alpha_frac < 0.8 THEN 'alpha_ratio'
+      |      WHEN stop_hits < 2 THEN 'stopwords'
+      |      ELSE '' END AS reason
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(ts)::BIGINT AS n_words,
+      |      CASE WHEN len(ts) > 0 THEN
+      |        list_sum(list_transform(ts, w -> length(w))) * 1.0 / len(ts) END
+      |        AS mean_word_len,
+      |      CASE WHEN len(ts) > 0 THEN
+      |        len(list_filter(ts, w -> regexp_matches(w, '[a-zA-Z]'))) * 1.0 / len(ts) END
+      |        AS alpha_frac,
+      |      len(list_filter(ts, w -> w IN ('the','a','of','and','to','in')))::BIGINT
+      |        AS stop_hits
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |          FROM documents)))""".stripMargin
+
+  // ----- within-document entropy -----
+
+  def qEntropy(spark: SparkSession, dir: String): DataFrame =
+    Graft.tokenEntropy(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+
+  val entropyOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w, count(*) AS cnt FROM t GROUP BY doc_id, w
+      |), n AS (
+      |  SELECT doc_id, sum(cnt) AS nt FROM c GROUP BY doc_id
+      |)
+      |SELECT c.doc_id, n.nt::BIGINT AS n_tokens,
+      |  round(-sum((cnt * 1.0 / nt) * log2(cnt * 1.0 / nt)), 4) AS entropy
+      |FROM c JOIN n USING (doc_id)
+      |GROUP BY c.doc_id, n.nt""".stripMargin
+
+  // ----- temperature mixture weights -----
+
+  def qMixWeights(spark: SparkSession, dir: String): DataFrame =
+    Graft.mixtureWeights(
+      Tables.documents(spark, dir).select(col("source"), col("text")),
+      "source", "text", alpha = 0.5, budgetTokens = 1000000L)
+
+  val mixWeightsOracle: String =
+    """WITH s AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT
+      |      AS n_tokens
+      |  FROM documents GROUP BY source
+      |), t AS (SELECT sum(n_tokens) AS total FROM s),
+      |r AS (
+      |  SELECT s.*, pow(n_tokens * 1.0 / total, 0.5) AS sraw FROM s CROSS JOIN t
+      |), z AS (SELECT sum(sraw) AS z FROM r)
+      |SELECT source, n_docs, n_tokens, round(sraw / z.z, 6) AS weight,
+      |  round(1000000.0 * (sraw / z.z) / n_tokens, 4) AS epochs
+      |FROM r CROSS JOIN z""".stripMargin
 
   // ----- length histogram -----
 

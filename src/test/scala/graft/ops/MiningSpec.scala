@@ -185,7 +185,7 @@ class MiningSpec extends SparkTestBase {
     assert(r.getLong(3) === 9L)
     val want = 206.835 - 1.015 * (9.0 / 2.0) - 84.6 * (9.0 / 9.0)
     assert(math.abs(r.getDouble(4) -
-      BigDecimal(want).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      math.floor(want * 10000 + 0.5) / 10000) < 1e-12)
   }
 
   test("readability: vowel-less words count one syllable; empty/null docs -> NULL score") {
@@ -263,6 +263,83 @@ class MiningSpec extends SparkTestBase {
     out.filter(r => r._1 % 10 == 0).foreach { r =>
       assert(r._4 === "tail", s"soup doc ${r._1} in ${r._4}")
     }
+  }
+
+  // ----- quality gate -----
+
+  test("qualityGate: first failing rule wins; boundary docs keep") {
+    val stop6 = "the a of and to in" // 6 stopwords, mean len 2.0
+    val docs = Seq(
+      (1L, Seq.fill(5)(stop6).mkString(" ")),                // 30 words, meanLen 2 → word_length
+      (2L, ("worda " * 29).trim),                            // 29 words → word_count
+      (3L, ("words " * 91).trim),                            // 91 words → word_count
+      (4L, (("worda " * 28) + stop6).trim),                  // 34 words, no... meanLen check
+      (5L, ("12345 " * 29 + "abcde").trim),                  // meanLen 5 ok, alpha 1/30 → alpha_ratio
+      (6L, ("worda " * 30).trim),                            // 30 words meanLen 5, 0 stopwords → stopwords
+      (7L, (("fives " * 28) + "the a").trim),                // 30 words, 2 stop hits → keep
+      (8L, ""))                                              // 0 words → word_count
+      .toDF("id", "t")
+    val out = Graft.qualityGate(docs, "id", "t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(5), r.getString(6)))).toMap
+    assert(out(1L) === ((0L, "word_length")))
+    assert(out(2L) === ((0L, "word_count")))
+    assert(out(3L) === ((0L, "word_count")))
+    assert(out(5L) === ((0L, "alpha_ratio")))
+    assert(out(6L) === ((0L, "stopwords")))
+    assert(out(7L) === ((1L, "")))
+    assert(out(8L) === ((0L, "word_count")))
+  }
+
+  // ----- token entropy -----
+
+  test("tokenEntropy: uniform doc = log2(k); constant doc = 0; empty omitted") {
+    val docs = Seq(
+      (1L, "a b c d"),          // uniform over 4 → H = 2
+      (2L, "x x x x x"),        // constant → 0
+      (3L, "a a b"),            // H = -(2/3)log2(2/3) - (1/3)log2(1/3)
+      (4L, ""),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = Graft.tokenEntropy(docs, "id", "t").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((4L, 2.0)))
+    assert(out(2L) === ((5L, 0.0)))
+    val h3 = -(2.0 / 3) * math.log(2.0 / 3) / math.log(2) -
+      (1.0 / 3) * math.log(1.0 / 3) / math.log(2)
+    assert(out(3L)._2 ===
+      BigDecimal(h3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!out.contains(4L) && !out.contains(5L))
+  }
+
+  test("tokenEntropy is partitioning-independent (sorted-order sum)") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until 50).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    }.toDF("id", "t")
+    val a = Graft.tokenEntropy(docs, "id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Graft.tokenEntropy(docs.repartition(11), "id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b)
+  }
+
+  // ----- mixture weights -----
+
+  test("mixtureWeights: weights normalize to 1; alpha<1 upweights small sources") {
+    val docs =
+      (0 until 90).map(i => (s"big", "w " * 100)) ++
+      (0 until 10).map(i => (s"small", "w " * 100))
+    val out = Graft.mixtureWeights(docs.toDF("src", "t"), "src", "t",
+      alpha = 0.5, budgetTokens = 10000L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (_, bigToks, bigW, _) = out("big")
+    val (_, smallToks, smallW, smallEp) = out("small")
+    assert(math.abs(bigW + smallW - 1.0) < 1e-5)
+    // α=0.5: weight ratio = sqrt(9) = 3, not 9 — small source upweighted
+    assert(math.abs(bigW / smallW - 3.0) < 1e-3)
+    assert(bigToks === 9000L && smallToks === 1000L)
+    // epochs = budget·weight/tokens: small source repeats more
+    assert(smallEp > out("big")._4)
   }
 
   // ----- length histogram -----

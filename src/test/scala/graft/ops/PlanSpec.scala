@@ -277,6 +277,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"cuts not broadcast:\n$p")
   }
 
+  test("q_quality_gate / q_entropy are shuffle-free per-row plans") {
+    for ((name, df) <- Seq(
+        "q_quality_gate" -> MiningQueries.qQualityGate(spark, dir),
+        "q_entropy" -> MiningQueries.qEntropy(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+    }
+  }
+
+  test("q_mix_weights: the corpus is scanned once — totals derive from the cached per-source agg") {
+    val p = plan(MiningQueries.qMixWeights(spark, dir))
+    // every corpus reference must read the persisted per-source agg;
+    // FileScan lines inside InMemoryRelation definitions are prints of
+    // the (once-materialized) cache plan, so pair the counts up
+    assert("InMemoryTableScan".r.findAllIn(p).size >=
+      "FileScan parquet".r.findAllIn(p).size,
+      s"a totals branch re-scans the corpus instead of the per-source agg:\n$p")
+  }
+
   test("Spread.widen: narrow inputs spread to defaultParallelism, wide inputs untouched") {
     val dp = spark.sparkContext.defaultParallelism
     val narrow = spark.range(100).toDF("id").coalesce(1)

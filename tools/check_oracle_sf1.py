@@ -22,6 +22,9 @@ SKIP = {
     "q_simhash_dupes",    # all-pairs hamming oracle
     "q_dup_clusters",     # recursive CTE over the all-pairs set
     "q_cross_dedup",      # same inverted-index shingle join as minhash
+    "q_decontaminate_embed",  # corpus x benchmark cross join in SQL; the
+                              # benchmark side grows with sf so the oracle
+                              # (not the engine kernel) is quadratic
 }
 
 con = duckdb.connect()
