@@ -64,12 +64,11 @@ object DedupQueries {
   /** (doc_id, shingles, 128-perm MinHash signature), computed in a
     * single batched per-partition pass: sig_i = min over shingles of
     * ((2i+1)*h + i²+13) mod P with h = polyHashS(shingle). Shuffle-free
-    * except the explicit repartition that spreads the CPU-bound kernel
-    * across cores (the fixture is one parquet split). */
+    * on a wide input; only a narrow (single-split) input is first
+    * spread across the cluster ([[Spread.widen]]). */
   private[graft] def signatures(df: DataFrame, id: String, text: String): DataFrame = {
     val enc = Encoders.row(sigSchema)
-    df.select(col(id), col(text))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Spread.widen(df.select(col(id), col(text)))
       .mapPartitions { rows =>
         rows.map { r =>
           val sh = shinglesOf(r.getString(1))
@@ -200,8 +199,7 @@ object DedupQueries {
   def simhashOn(df: DataFrame, id: String, text: String): DataFrame = {
     val enc = Encoders.row(StructType(Seq(
       StructField(id, LongType), StructField("simhash", LongType))))
-    df.select(col(id), col(text))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Spread.widen(df.select(col(id), col(text)))
       .mapPartitions { rows =>
         rows.map { r =>
           val hs = r.getString(1).split(" ").filter(_.nonEmpty).map(polyHashS)
@@ -344,8 +342,7 @@ object DedupQueries {
       StructField("__id", LongType),
       StructField("n", IntegerType),
       StructField("h", ArrayType(LongType)))))
-    df.select(col(id), col(text))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Spread.widen(df.select(col(id), col(text)))
       .mapPartitions { rows =>
         rows.map { r =>
           val t = r.getString(1)

@@ -207,9 +207,9 @@ object Ivf {
 
   /** Explode each row to its `nprobe` nearest cells:
     * (id, vec, nrm, cell, cell_rank) with cell_rank 0 = nearest.
-    * Map-only (the centroid array rides in the task closure); the
-    * explicit repartition spreads the CPU-bound kernel across cores when
-    * the input is a single parquet split. */
+    * Map-only (the centroid array rides in the task closure);
+    * shuffle-free on a wide input — only a narrow (single-split) input
+    * is first spread across the cluster ([[Spread.widen]]). */
   def assign(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]], nprobe: Int): DataFrame =
     assignImpl(df, id, vec, centroids, angles =>
@@ -255,8 +255,7 @@ object Ivf {
       centroids: Array[Array[Double]],
       pick: Array[(Double, Int)] => Array[(Double, Int)]): DataFrame = {
     val enc = Encoders.row(assignSchema(id, vec))
-    df.select(col(id), col(vec))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Spread.widen(df.select(col(id), col(vec)))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val vf = r.getSeq[Float](1).toArray

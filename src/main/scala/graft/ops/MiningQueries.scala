@@ -154,8 +154,9 @@ object MiningQueries {
   val readabilityOracle: String =
     """SELECT doc_id, n_words, n_sentences, n_syllables,
       |  CASE WHEN n_words > 0 THEN
-      |    floor((206.835 - 1.015 * n_words / n_sentences
-      |                   - 84.6 * n_syllables / n_words) * 10000 + 0.5) / 10000
+      |    floor((206.835::DOUBLE - 1.015::DOUBLE * n_words / n_sentences
+      |                           - 84.6::DOUBLE * n_syllables / n_words)
+      |          * 10000 + 0.5) / 10000
       |  END AS flesch
       |FROM (
       |  SELECT doc_id,

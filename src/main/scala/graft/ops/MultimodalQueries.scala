@@ -234,7 +234,7 @@ object MultimodalQueries {
       StructField("doc_id", LongType), StructField("blob", BinaryType))))
     mediaTable(spark, dir).select(col("doc_id"), col("blob"))
       .filter(length(col("blob")) >= minBytes) // ImageIO needs w,h ≥ 1
-      .repartition(spark.sparkContext.defaultParallelism)
+      .transform(Spread.widen)
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)

@@ -258,6 +258,73 @@ class PipelineSpec extends SparkTestBase {
     split.unpersist()
   }
 
+  test("round-9 curation composes: URL gate → Gopher rules → winnow dedup → " +
+      "perplexity buckets → entropy floor → mixture weights → authority rank") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+
+    // 1. URL canonicalization + domain blocklist on synthesized URLs
+    val withUrl = docs.withColumn("url",
+      concat(lit("HTTP://u@Site"), pmod(col("doc_id"), lit(13)), lit(".COM:80/p")))
+    val urlGated = Graft.domainFilter(withUrl, "doc_id", "url",
+      Seq("site3.com", "site7.com").toDF("d"), "d")
+      .filter(col("blocked") === 0L).select("doc_id")
+      .join(withUrl, "doc_id")
+    assert(urlGated.count() < docs.count(), "blocklist dropped nothing")
+
+    // 2. Gopher rule gate (fixture-tuned bounds) — keep survivors
+    val gated = Graft.qualityGate(urlGated, "doc_id", "text",
+      minWords = 20, maxWords = 95, minMeanLen = 4.0, maxMeanLen = 7.0,
+      minStopHits = 1)
+      .filter(col("keep") === 1L).select("doc_id")
+      .join(urlGated, "doc_id").localCheckpoint(true) // truncate lineage:
+    // the chained self-referencing operators below would otherwise
+    // multiply the plan tree past what explainString can render
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated < docs.count())
+
+    // 3. winnowing near-dup candidates: shared fingerprints between
+    //    different docs, verified by exact jaccard, losers dropped
+    val fps = Graft.winnow(gated, "doc_id", "text", 8, 4)
+    val cand = fps.as("a").join(fps.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+    val verified = Graft.ngramJaccard(
+      gated.select(col("doc_id"), col("text")), "doc_id", "text", 8, 0.75)
+    val losers = verified.select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+    val deduped = gated.join(losers, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    val nDeduped = deduped.count()
+
+    // 4. per-language perplexity buckets; drop the tail third
+    val buckets = Graft.perplexityBuckets(deduped, "doc_id", "text", "lang")
+    val headMid = deduped.join(
+      buckets.filter(col("bucket") =!= "tail").select("doc_id"), "doc_id").localCheckpoint(true)
+    assert(headMid.count() < nDeduped, "tail third not dropped")
+
+    // 5. entropy floor: drop degenerate (low-entropy) docs
+    val ent = Graft.tokenEntropy(headMid, "doc_id", "text")
+    val kept = headMid.join(
+      ent.filter(col("entropy") >= 2.0).select("doc_id"), "doc_id").localCheckpoint(true)
+    assert(kept.count() > 0)
+
+    // 6. mixture weights over the surviving corpus
+    val mix = Graft.mixtureWeights(kept, "source", "text",
+      alpha = 0.5, budgetTokens = 100000L)
+    val wsum = mix.agg(sum(col("weight"))).collect()(0).getDouble(0)
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+
+    // 7. source authority from a doc-source bipartite co-occurrence
+    //    graph (every kept doc links its source both ways)
+    val e0 = kept.select(concat(lit("d"), col("doc_id")).as("src"),
+      col("source").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = Graft.pageRank(edges, "src", "dst", 2, 0.85)
+    val topSource = ranks.filter(!col("node").startsWith("d"))
+      .orderBy(col("rank").desc).limit(1).collect()
+    assert(topSource.nonEmpty && topSource(0).getDouble(1) > 0)
+  }
+
   test("streaming pipeline: dis source → fingerprint64 dedup → dis sink, " +
       "duplicate-free and complete across a restart") {
     // The O18+O22 composition a streaming corpus build runs: documents
