@@ -98,11 +98,13 @@ object SparkEntry {
     "q_compress_ratio"  -> TextQueries.qCompressRatio,
     "q_nb_classify"     -> ClassifyQueries.qNbClassify,
     "q_profile"         -> ClassifyQueries.qProfile,
+    "q_profile_approx"  -> ClassifyQueries.qProfileApprox,
     "q_cross_dedup"     -> DedupQueries.qCrossDedup,
     "q_bpe_encode"      -> Bpe.qBpeEncode,
     "q_split_groups"    -> CoreQueries.qSplitGroups,
     "q_sample_k"        -> CoreQueries.qSampleK,
     "q_excise"          -> TextQueries.qExcise,
+    "q_excise_spans"    -> TextQueries.qExciseSpans,
     "q_heavy_hitters"   -> MiningQueries.qHeavyHitters,
     "q_winnow"          -> MiningQueries.qWinnow,
     "q_pagerank"        -> MiningQueries.qPagerank,
@@ -125,9 +127,9 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ rows-only check): the
     * approximate operators whose sketch impls differ across engines —
-    * q_dedup_approx (HLL), q_similarity_ivf (IVF), q_percentiles
-    * (approx_percentile); each has a ScalaTest accuracy bound vs its
-    * exact counterpart instead. Also omitted: q_fingerprint64 — the
+    * q_dedup_approx (HLL), q_profile_approx (HLL), q_similarity_ivf
+    * (IVF), q_percentiles (approx_percentile); each has a ScalaTest
+    * accuracy bound vs its exact counterpart instead. Also omitted: q_fingerprint64 — the
     * production xxhash64 path (DuckDB has no xxhash64); its ScalaTest
     * pins collision-freedom vs exact text on the fixtures, and
     * q_fingerprint pins exact cross-engine hash semantics. Also
@@ -380,6 +382,7 @@ object SparkEntry {
     "q_split_groups" -> CoreQueries.splitGroupsOracle,
     "q_sample_k" -> CoreQueries.sampleKOracle,
     "q_excise" -> TextQueries.exciseOracle,
+    "q_excise_spans" -> TextQueries.exciseSpansOracle,
     "q_heavy_hitters" -> MiningQueries.heavyHittersOracle,
     "q_winnow" -> MiningQueries.winnowOracle,
     "q_pagerank" -> MiningQueries.pagerankOracle,

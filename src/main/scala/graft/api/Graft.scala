@@ -21,7 +21,7 @@ object Graft {
 
   // ---------- text analysis ----------
 
-  private def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
+  private[graft] def tokens(c: Column): Column = filter(split(c, " "), t => t =!= "")
 
   /** Lowercased, punctuation-stripped text + its length. */
   def cleanText(df: DataFrame, id: String, text: String): DataFrame =
@@ -221,7 +221,7 @@ object Graft {
     * the token array first). Empty when the doc has < n tokens —
     * explicit guard, because `sequence(0, negative)` DESCENDS instead
     * of returning empty. */
-  private def wordGrams(ts: Column, n: Int): Column =
+  private[graft] def wordGrams(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
@@ -357,50 +357,26 @@ object Graft {
     * measured 5.0 s vs 1.3 s at sf0.1), and what shuffles is the
     * 64-bit hash, never the L-char string: multiplicity is
     * hash-collision-exact (≪10⁻⁹ at billions of spans). Counts are a
-    * keyed agg (map-side partial); per-doc hits come from a left-semi
-    * join against the (much smaller) duplicated-hash set. Nothing is
-    * ever pairwise: a span duplicated k times costs k rows, not k²
-    * pairs. */
+    * keyed agg (map-side partial); global multiplicity and per-doc
+    * hits both derive from that one aggregated frame, so the kernel
+    * and the corpus scan run exactly once. Nothing is ever pairwise: a
+    * span duplicated k times costs k rows, not k² pairs. */
   def dupSpans(df: DataFrame, id: String, text: String, L: Int = 50): DataFrame = {
     require(L >= 1, s"span width must be >= 1, got $L")
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
-    val enc = Encoders.row(StructType(Seq(
-      StructField("__id", LongType), StructField("__s", LongType))))
-    // polynomial rolling hash over code points (matching Spark/DuckDB
-    // length/substr semantics): h(i+1) = (h(i) - c_i·B^(L-1))·B + c_{i+L}
-    // in wraparound 64-bit — one pass per doc, no substring allocation
-    val spans = df.select(col(id).cast("long").as("__id"), col(text))
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val cps = r.getString(1).codePoints().toArray
-          val n = cps.length - L + 1
-          if (n <= 0) Iterator.empty
-          else {
-            val B = 1000003L
-            var pow = 1L
-            var k = 1
-            while (k < L) { pow *= B; k += 1 }
-            var h = 0L
-            var i = 0
-            while (i < L) { h = h * B + cps(i); i += 1 }
-            val out = new Array[Long](n)
-            out(0) = h
-            var p = 1
-            while (p < n) {
-              h = (h - cps(p - 1) * pow) * B + cps(p + L - 1)
-              out(p) = h
-              p += 1
-            }
-            val idv = r.getLong(0)
-            out.iterator.map(x => Row(idv, x))
-          }
-        }
-      }(enc)
-    val dupHashes = spans.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val spans = spanStream(df, id, text, L)
+    // Single-kernel lineage: global span multiplicity comes from ONE
+    // window count over the hash — one shuffle+sort of the span stream
+    // — then per-doc hits are a small keyed re-agg. The earlier fork
+    // (groupBy hash → semi-join back against the raw span stream)
+    // re-ran the rolling-hash kernel AND the corpus scan whenever AQE
+    // broadcast the duplicated-hash set — the branch had no exchange
+    // to reuse. (A (hash, doc, count) pre-agg before the window costs
+    // a SECOND full-size shuffle and buys nothing: spans rarely repeat
+    // within one doc, so the partial combine doesn't shrink the
+    // stream — measured 2.30 s vs 1.55 s at sf0.1.)
+    val hits = spans
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__s"))))
       .filter(col("__n") > 1)
-      .select(col("__s"))
-    val hits = spans.join(dupHashes, Seq("__s"), "left_semi")
       .groupBy(col("__id")).agg(count(lit(1)).as("__d"))
       .withColumnRenamed("__id", id)
     df.select(col(id), greatest(length(col(text)) - (L - 1), lit(0)).cast("long").as("n_spans"))
@@ -409,6 +385,112 @@ object Graft {
         coalesce(col("__d"), lit(0L)).cast("long").as("dup_spans"))
       .withColumn("dup_frac", round(
         col("dup_spans").cast("double") / greatest(col("n_spans"), lit(1L)), 4))
+  }
+
+  /** The shared O(len)-per-doc rolling-hash span kernel behind
+    * [[dupSpans]] and [[exciseDupSpans]]: one output row per code-point
+    * position that starts an `L`-char span — (__id, __p, __s) with __s
+    * a polynomial rolling hash over code points (matching Spark/DuckDB
+    * length/substr semantics): h(i+1) = (h(i) − c_i·B^(L−1))·B +
+    * c_{i+L} in wraparound 64-bit — one pass per doc, no substring
+    * allocation. Null text contributes no spans. */
+  private def spanStream(df: DataFrame, id: String, text: String, L: Int): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("__id", LongType), StructField("__p", IntegerType),
+      StructField("__s", LongType))))
+    df.select(col(id).cast("long").as("__id"), col(text))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val cps = r.getString(1).codePoints().toArray
+            val n = cps.length - L + 1
+            if (n <= 0) Iterator.empty
+            else {
+              val B = 1000003L
+              var pow = 1L
+              var k = 1
+              while (k < L) { pow *= B; k += 1 }
+              var h = 0L
+              var i = 0
+              while (i < L) { h = h * B + cps(i); i += 1 }
+              val out = new Array[Long](n)
+              out(0) = h
+              var p = 1
+              while (p < n) {
+                h = (h - cps(p - 1) * pow) * B + cps(p + L - 1)
+                out(p) = h
+                p += 1
+              }
+              val idv = r.getLong(0)
+              Iterator.range(0, n).map(x => Row(idv, x, out(x)))
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Char-level duplicate-span REMOVAL — the transform from
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022) that [[dupSpans]] only diagnoses: every `L`-char
+    * span that occurs more than once in the corpus keeps ONE canonical
+    * occurrence (the globally first by (id, position) — the
+    * [[lineDedup]] keeper rule at char granularity) and every other
+    * occurrence's characters are excised; overlapping duplicated spans
+    * merge into one excised interval. Returns (id, cleaned,
+    * n_removed).
+    *
+    * Scale shape: the same single-run rolling-hash kernel as
+    * [[dupSpans]] (O(total chars) rows of 64-bit hashes — the
+    * corpus-linear footprint the paper's suffix array pays; never the
+    * L-char strings). Non-canonical occurrences fall out of ONE
+    * window: row_number over (hash) ordered by (id, pos) — a span with
+    * global multiplicity 1 is its own rn=1 keeper, so rn>1 is exactly
+    * "duplicated and not the keeper"; no join against a dup-hash set,
+    * so the kernel runs once. Per-doc excision start positions are a
+    * collect_list bounded by doc length, and the interval-merge +
+    * rebuild is an O(len) per-doc kernel — covered positions are never
+    * exploded row-per-char. */
+  def exciseDupSpans(df: DataFrame, id: String, text: String, L: Int = 50): DataFrame = {
+    require(L >= 1, s"span width must be >= 1, got $L")
+    val spans = spanStream(df, id, text, L)
+    val w = Window.partitionBy(col("__s")).orderBy(col("__id"), col("__p"))
+    val starts = spans.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__starts"))
+    val enc = Encoders.row(StructType(Seq(
+      StructField("__id", LongType), StructField("cleaned", StringType),
+      StructField("n_removed", LongType))))
+    val rebuilt = df.select(col(id).cast("long").as("__id"), col(text).as("__t"))
+      .join(starts, Seq("__id"), "left")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val txt = if (r.isNullAt(1)) "" else r.getString(1)
+          if (r.isNullAt(2)) Row(r.getLong(0), txt, 0L)
+          else {
+            val ss = r.getSeq[Int](2)
+            val cps = txt.codePoints().toArray
+            val keep = new java.lang.StringBuilder(cps.length)
+            var removed = 0L
+            var curEnd = -1
+            var si = 0
+            var i = 0
+            while (i < cps.length) {
+              while (si < ss.length && ss(si) <= i) {
+                val e = ss(si) + L
+                if (e > curEnd) curEnd = e
+                si += 1
+              }
+              if (i < curEnd) removed += 1
+              else keep.appendCodePoint(cps(i))
+              i += 1
+            }
+            Row(r.getLong(0), keep.toString, removed)
+          }
+        }
+      }(enc)
+    rebuilt.select(col("__id").as(id), col("cleaned"), col("n_removed"))
   }
 
   /** Compression-ratio quality signal — the cheap spam/boilerplate
@@ -1434,10 +1516,13 @@ object Graft {
   def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame =
     profileWith(df, numCols, strCols, c => count_distinct(col(c)))
 
-  /** [[profile]] with approx_count_distinct (HLL, rsd 1%): no Expand —
-    * one partial-agg pass whatever the column count. */
-  def profileApprox(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame =
-    profileWith(df, numCols, strCols, c => approx_count_distinct(col(c)))
+  /** [[profile]] with approx_count_distinct (HLL, rsd 1% by default —
+    * Spark's 5% default lets a single estimate miss by 8%+, observed
+    * on the sf0.001 fixture): no Expand — one partial-agg pass
+    * whatever the column count. */
+  def profileApprox(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+                    rsd: Double = 0.01): DataFrame =
+    profileWith(df, numCols, strCols, c => approx_count_distinct(col(c), rsd))
 
   private def profileWith(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
                           distinctOf: String => Column): DataFrame = {

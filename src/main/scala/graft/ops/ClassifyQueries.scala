@@ -85,6 +85,16 @@ object ClassifyQueries {
       numCols = Seq("event_id", "user_id", "value"),
       strCols = Seq("event_type"))
 
+  /** HLL variant of [[qProfile]] — the single-pass shape meant for wide
+    * 100 TB scans (no per-column exact-distinct shuffle). Rows-only
+    * gate (HLL cardinalities are engine-specific); ApproxOpsSpec pins
+    * the ≤5% error vs the exact profile on the same fixture. */
+  def qProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.profileApprox(
+      Tables.events(spark, dir),
+      numCols = Seq("event_id", "user_id", "value"),
+      strCols = Seq("event_type"))
+
   val profileOracle: String = {
     def num(c: String) =
       s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,

@@ -341,6 +341,44 @@ object TextQueries {
       |  round(coalesce(h.dups, 0) / greatest(length(d.text) - 19, 1), 4) AS dup_frac
       |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** Char-level duplicate-span removal over the fixtures — the
+    * transform [[qDupSpans]] diagnoses: every corpus-duplicated
+    * 20-char span keeps its globally-first occurrence, every other
+    * occurrence is excised (overlaps merged). */
+  def qExciseSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.exciseDupSpans(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 20)
+
+  val exciseSpansOracle: String =
+    """WITH spans AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 19, 0)),
+      |    i -> substr(text, (i+1)::INT, 20))) AS s,
+      |    unnest(range(0, greatest(length(text) - 19, 0))) AS pos
+      |  FROM documents
+      |), ranked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+      |  FROM spans
+      |), covered AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(0, 20), k -> pos + k)) AS cpos
+      |  FROM ranked WHERE rn > 1
+      |), chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch,
+      |    unnest(list_transform(string_split(text, ''), (x, i) -> i - 1)) AS cpos
+      |  FROM documents
+      |), kept AS (
+      |  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.cpos) AS cleaned,
+      |    count(*) AS nk
+      |  FROM chars c
+      |  WHERE NOT EXISTS (SELECT 1 FROM covered v
+      |                    WHERE v.doc_id = c.doc_id AND v.cpos = c.cpos)
+      |  GROUP BY c.doc_id
+      |)
+      |SELECT d.doc_id, coalesce(k.cleaned, '') AS cleaned,
+      |  (length(d.text) - coalesce(k.nk, 0))::BIGINT AS n_removed
+      |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** Compression-ratio quality signal over the fixtures (deflate bytes
     * / raw UTF-8 bytes per doc — engine-specific, rows-only gate;
     * bounds pinned in ApproxOpsSpec). */

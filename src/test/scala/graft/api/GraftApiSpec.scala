@@ -189,6 +189,32 @@ class GraftApiSpec extends SparkTestBase {
     assert(got(4L) === ((0L, 0L, 0.0)), got)
   }
 
+  test("exciseDupSpans keeps the globally-first occurrence, excises the " +
+      "rest, and merges overlapping duplicated spans") {
+    val docs = Seq(
+      (1L, "abcdeXYZWV"),   // keeper of "abcde" (lowest id)
+      (2L, "QQabcdeQQQ"),   // non-keeper "abcde" at pos 2 → chars 2..6 excised
+      (3L, "ppppppp"),      // "ppppp" at pos 0 (keeper), 1, 2: [1,6)∪[2,7) merge
+      (4L, "zzz")           // shorter than L: untouched
+    ).toDF("k", "body")
+    val got = Graft.exciseDupSpans(docs, "k", "body", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("abcdeXYZWV", 0L)), got)
+    assert(got(2L) === (("QQQQQ", 5L)), got)
+    assert(got(3L) === (("p", 6L)), got)   // merged [1,7) excised, pos 0 kept
+    assert(got(4L) === (("zzz", 0L)), got)
+  }
+
+  test("exciseDupSpans excises a within-doc repeat after its first " +
+      "occurrence even when the doc is the keeper") {
+    val docs = Seq((7L, "abcde12abcde")).toDF("k", "body")
+    // "abcde" at pos 0 (keeper) and pos 7 (rn=2) → [7,12) excised
+    val got = Graft.exciseDupSpans(docs, "k", "body", 5).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(1) === "abcde12")
+    assert(got(0).getLong(2) === 5L)
+  }
+
   test("tokenBudgetSample matches a single-machine reference and drops " +
       "unbudgeted strata") {
     val rows = (1L to 40L).map(i =>

@@ -24,6 +24,23 @@ class ApproxOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_profile_approx: HLL n_distinct within 5% of the exact profile, " +
+      "all other stats identical") {
+    val approx = ClassifyQueries.qProfileApprox(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = ClassifyQueries.qProfile(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(a.getLong(1) === e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) === e.getLong(2), s"$c n_nulls")
+      val (ad, ed) = (a.getLong(3), e.getLong(3))
+      assert(math.abs(ad - ed) <= math.max(1L, (ed * 0.05).toLong),
+        s"$c: approx distinct $ad vs exact $ed")
+    }
+  }
+
   test("q_percentiles: approx_percentile within ±2% RANK of the exact quantile per key") {
     // The sketch guarantees rank error (≤ 1/accuracy), not value error —
     // and approx_percentile returns a data value (nearest rank) while

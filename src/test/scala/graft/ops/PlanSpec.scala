@@ -158,11 +158,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"LM counts not partial:\n$p")
   }
 
-  test("q_dup_spans: span equi-join + keyed counts, no cartesian, no nested loop") {
+  test("q_dup_spans: keyed counts with ONE rolling-hash kernel run — the " +
+      "span stream is never recomputed for the multiplicity branch") {
     val p = plan(TextQueries.qDupSpans(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
     assert(p.contains("partial_count"), s"span counts not partial:\n$p")
+    assert("MapPartitions".r.findAllIn(p).size === 1,
+      s"rolling-hash kernel should appear exactly once:\n$p")
+  }
+
+  test("q_excise_spans: one span-kernel run, one rebuild kernel, no " +
+      "cartesian, no per-char explode") {
+    val p = plan(TextQueries.qExciseSpans(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert("MapPartitions".r.findAllIn(p).size === 2,
+      s"expected span kernel + rebuild kernel, nothing recomputed:\n$p")
+    assert(!p.contains("Generate explode"), s"per-char explode present:\n$p")
   }
 
   test("q_pii_redact is shuffle-free per-row projection") {

@@ -25,6 +25,9 @@ REF_PATH = Path(__file__).parent / "bench_reference.json"
 MIN_FLAG_SECONDS = 0.3
 
 
+FALLBACK = Path(__file__).parent.parent / "target" / "bench_last.json"
+
+
 def load_bench(path):
     d = json.load(open(path))
     if "queries" in d:  # a raw graft.Bench output line
@@ -32,9 +35,17 @@ def load_bench(path):
     if isinstance(d.get("parsed"), dict) and "queries" in d.get("parsed", {}):
         return d["parsed"]["queries"]
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
-    if not m:
-        raise SystemExit(f"no bench JSON line found in {path}")
-    return json.loads(m.group(0))["queries"]
+    if m:
+        try:
+            return json.loads(m.group(0))["queries"]
+        except json.JSONDecodeError:
+            pass  # tail-capture truncated the line mid-JSON
+    # Bench.scala persists the full line to target/bench_last.json for
+    # exactly this case: the 80+-query line exceeds tail capture.
+    if FALLBACK.exists():
+        print(f"(artifact {path} truncated/absent; using {FALLBACK})")
+        return json.load(open(FALLBACK))["queries"]
+    raise SystemExit(f"no bench JSON line found in {path} and no {FALLBACK}")
 
 
 def main():
