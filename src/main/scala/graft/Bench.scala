@@ -91,8 +91,10 @@ object Bench {
     println(line)
     // The stdout line is also persisted: at 80+ queries it exceeds the
     // driver's tail-capture window, so tools/check_bench_drift.py falls
-    // back to this file when the captured artifact is truncated.
-    try {
+    // back to this file when the captured artifact is truncated. Only
+    // full runs persist — a BENCH_ONLY isolation run must not clobber
+    // the full-run artifact the drift gate reads.
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

