@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, DedupQueries, MiningQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -117,6 +117,12 @@ object SparkEntry {
     "q_entropy"         -> MiningQueries.qEntropy,
     "q_mix_weights"     -> MiningQueries.qMixWeights,
     "q_lr_classify"     -> ((s, dir) => graft.ops.LogReg.qLrClassify(s, dir)),
+    "q_domain_cap"      -> CurationQueries.qDomainCap,
+    "q_url_dedup"       -> CurationQueries.qUrlDedup,
+    "q_bm25_search"     -> CurationQueries.qBm25Search,
+    "q_range_join"      -> CurationQueries.qRangeJoin,
+    "q_skew_join"       -> CurationQueries.qSkewJoin,
+    "q_semdedup"        -> CurationQueries.qSemDedup,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -394,6 +400,15 @@ object SparkEntry {
     "q_quality_gate" -> MiningQueries.qualityGateOracle,
     "q_entropy" -> MiningQueries.entropyOracle,
     "q_mix_weights" -> MiningQueries.mixWeightsOracle,
+    "q_domain_cap" -> CurationQueries.domainCapOracle,
+    "q_url_dedup" -> CurationQueries.urlDedupOracle,
+    "q_bm25_search" -> CurationQueries.bm25SearchOracle,
+    "q_range_join" -> CurationQueries.rangeJoinOracle,
+    "q_skew_join" -> CurationQueries.skewJoinOracle,
+    // q_semdedup has no oracle: the kept set depends on the k-means
+    // clustering (engine-specific by design); CurationSpec pins the
+    // witness/determinism properties and the subset relation vs the
+    // complete embedNearDup instead.
 
     "q_fingerprint" ->
       """SELECT doc_id,

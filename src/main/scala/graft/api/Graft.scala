@@ -2035,4 +2035,176 @@ object Graft {
       .filter(col("__v") >= 0L)
       .groupBy(col(group), length(bin(col("__v"))).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__v")).as("total_len"))
+
+  // ---------- corpus admission caps ----------
+
+  /** Per-domain document cap — the crawl-mix balancing rule (no single
+    * host may contribute more than `k` documents to the corpus). Keeps
+    * the `k` rows with the smallest `orderCol` per `domain` (ties are
+    * impossible when `orderCol` is a row id, the intended use) and
+    * returns the input columns plus the 1-based `rank` within the
+    * domain. Deterministic: the kept set depends only on values, never
+    * on scan or partition order.
+    *
+    * Scale shape: Catalyst rewrites the rank-filter window into
+    * WindowGroupLimit — every map task prunes its local rows to the
+    * top-k per domain BEFORE the exchange, so a monster domain with
+    * 10⁸ rows ships only tasks×k rows to its reducer instead of
+    * hot-spotting it. One shuffle on the domain key. */
+  def domainCap(df: DataFrame, domain: String, orderCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"domain cap must be >= 1, got $k")
+    val w = Window.partitionBy(col(domain)).orderBy(col(orderCol).asc)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Canonical-URL dedup — [[urlNormalize]] composed with a keep-first
+    * rule: one row per normalized URL (the smallest `id` wins), so two
+    * crawls of `HTTP://Site.com/a?b=2&a=1#x` and `http://site.com/a?a=1&b=2`
+    * collapse to one corpus row. Rows whose URL does not parse
+    * (norm_url = "") are all kept — distinct junk strings are not
+    * duplicates of each other. Output: (id, norm_url, kept).
+    *
+    * Scale shape: the normalizer is a shuffle-free projection; the
+    * keeper is a hash agg `min(id)` keyed on norm_url (map-side
+    * partial combine — a URL crawled 10⁹ times collapses per-task,
+    * no hot reducer) plus one equi-join co-partitioned with it.
+    * The malformed bypass never shuffles at all. */
+  def urlDedup(df: DataFrame, id: String, url: String): DataFrame = {
+    val n = urlNormalize(df, id, url).select(col(id), col("norm_url"))
+    val parsed = n.filter(col("norm_url") =!= "")
+    val keepers = parsed.groupBy(col("norm_url")).agg(min(col(id)).as("__kid"))
+    val kept = parsed.join(keepers, Seq("norm_url"))
+      .select(col(id), col("norm_url"), (col(id) === col("__kid")).as("kept"))
+    kept.unionByName(
+      n.filter(col("norm_url") === "").withColumn("kept", lit(true)))
+  }
+
+  // ---------- retrieval ----------
+
+  /** BM25 top-k retrieval: score every document against a bag of query
+    * terms (sum of per-term BM25, same arithmetic as [[bm25]]) and
+    * return the `k` best. Output: (id, score, rank), rank 1 = best;
+    * ties broken on id. Documents matching no query term score 0 and
+    * are not returned.
+    *
+    * Scale shape: corpus statistics (df, dl, avgdl) are one token
+    * aggregation; the posting list is then FILTERED to the query's
+    * terms before anything else happens, so the scored frame is
+    * |matching docs| rows, not |corpus|×|vocab|. Top-k is orderBy+limit
+    * → TakeOrderedAndProject (per-partition heaps, no global sort);
+    * the final rank window runs over k rows. */
+  def bm25Search(df: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val terms = df.select(col(id), explode(tokens(col(text))).as("term"))
+    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
+    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    val scored = qtf.join(dfreq, "term").join(dl, id).crossJoin(broadcast(corpus))
+      .withColumn("__s", round(
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))), 6))
+      .groupBy(col(id)).agg(round(sum(col("__s")), 4).as("score"))
+    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(id).asc)).cast("long"))
+      .select(col(id), col("score"), col("rank"))
+  }
+
+  // ---------- scale joins ----------
+
+  /** Interval join without the nested loop: `left` rows joined to every
+    * `right` interval containing their timestamp (inclusive bounds, SQL
+    * BETWEEN). Spark plans a raw `ts BETWEEN start AND end` join — no
+    * equi-key — as a BroadcastNestedLoopJoin: O(|left|·|right|) compares
+    * and a hard broadcast requirement. This operator buckets time into
+    * `bucketSeconds`-wide chunks, explodes each interval to the buckets
+    * it covers, and equi-joins on the bucket id, re-checking the exact
+    * bounds on the (bounded) candidates.
+    *
+    * Scale shape: one hash equi-join, shuffled (or AQE-broadcast) on
+    * the bucket id; interval replication is ⌈len/width⌉+1 rows — pick
+    * `bucketSeconds` near the median interval length so it stays O(1).
+    * Long-tail intervals degrade by their own length only, never by
+    * corpus size. Point events bucket to exactly one row. */
+  def rangeJoin(left: DataFrame, ts: String,
+      right: DataFrame, start: String, end: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val w = lit(bucketSeconds * 1000000L)
+    val l = left.withColumn("__b", floor(unix_micros(col(ts)) / w))
+    val r = right
+      .withColumn("__b", explode(sequence(
+        floor(unix_micros(col(start)) / w), floor(unix_micros(col(end)) / w))))
+    l.join(r, Seq("__b"))
+      .filter(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop("__b")
+  }
+
+  /** Salted equi-join for skewed keys: `big` rows carry a deterministic
+    * salt in [0, salts) derived from `saltCol` (a per-row id, NOT the
+    * join key), `small` is replicated `salts` times, and the join runs
+    * on (key, salt) — a hot key's rows spread over `salts` reducers
+    * instead of one. Result set is exactly `big ⋈ small` on `key`.
+    *
+    * When to reach for it: AQE's skew-join split already rebalances
+    * sort-merge joins by partition SIZE, but only after a skewed
+    * partition materializes, and not for shuffled-hash plans or
+    * non-AQE sessions. Salting bakes the balance into the key itself —
+    * deterministic layout, no runtime detection, works under every
+    * join strategy. Cost: `small` is shipped `salts`× (keep salts ≈
+    * executor fan-out, not thousands), so it fits the
+    * small-dim-too-big-to-broadcast gap between broadcast joins and
+    * AQE skew handling. The salt is value-derived (xxhash64 of
+    * `saltCol`), so retries and repartitionings reproduce the same
+    * layout. */
+  def skewJoin(big: DataFrame, small: DataFrame, key: String,
+      saltCol: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val b = big.withColumn("__salt", pmod(xxhash64(col(saltCol)), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** SemDeDup (Abbas et al., 2023): cluster-local semantic dedup — the
+    * cheap, intentionally incomplete sibling of [[embedNearDup]]. The
+    * corpus is k-means-clustered ([[graft.ops.Ivf]] spherical centroids,
+    * deterministic bounded-sample training), each vector lives in its
+    * single home cell, and within each cell any vector with a LOWER-id
+    * cell-mate at cosine ≥ `tau` is dropped; cross-cluster near-dups
+    * are out of scope by design (the paper's trade: O(Σ m_c²) work over
+    * cells of mean size n/nlist ≈ √n instead of a corpus-wide candidate
+    * join). Keep rule is pairwise-witnessed and deterministic, so the
+    * admitted set is reproducible across partitionings and retries.
+    * Output: the kept rows as (id, cell).
+    *
+    * Use [[embedNearDup]] + [[dupClusters]] when completeness matters
+    * more than cost; use this when the corpus is huge and the dedup
+    * budget is one equi-join. Within-cell pairing is an equi-join on
+    * the cell id — never a corpus-wide nested loop; the default
+    * nlist ≈ √n keeps expected per-cell work at O(n) total pairs. */
+  def semDedup(df: DataFrame, id: String, vec: String, tau: Double,
+      p: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    import graft.ops.Ivf
+    val centroids = Ivf.trainCentroids(df, id, vec, p)
+    val assigned = Ivf.assign(df, id, vec, centroids, 1)
+      .select(col(id), col(vec), col("nrm"), col("cell"))
+    val a = assigned.select(col(id).as("__ida"), col(vec).as("__va"),
+      col("nrm").as("__na"), col("cell"))
+    val bb = assigned.select(col(id).as("__idb"), col(vec).as("__vb"),
+      col("nrm").as("__nb"), col("cell"))
+    val dropped = a.join(bb, Seq("cell"))
+      .filter(col("__ida") < col("__idb") &&
+        float_dot(col("__va"), col("__vb")) / col("__na") / col("__nb") >= tau)
+      .select(col("__idb").as(id)).distinct()
+    assigned.select(col(id), col("cell"))
+      .join(dropped, Seq(id), "left_anti")
+  }
 }

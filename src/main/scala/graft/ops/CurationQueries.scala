@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+
+/** Gate bindings + DuckDB oracles for the round-9 third-pass operators:
+  * corpus admission caps (per-domain cap, canonical-URL dedup), BM25
+  * top-k retrieval, the scale-join family (bucketed interval join,
+  * salted skew join), and SemDeDup cluster-local embedding dedup.
+  *
+  * Reference scope note (SURVEY.md §2): the reference connector
+  * (`dis-spark-streaming/.../dis/`) implements none of these — they are
+  * the LLM-pipeline/scale surface this engine adds on top of reference
+  * parity, following the same query+oracle contract as every other
+  * gate entry.
+  */
+object CurationQueries {
+
+  // ----- per-domain document cap -----
+
+  /** ≤10 docs per source (20 sources × 25 docs at sf0.01 → the cap
+    * genuinely filters), smallest doc_id kept. */
+  def qDomainCap(spark: SparkSession, dir: String): DataFrame =
+    Graft.domainCap(Tables.documents(spark, dir), "source", "doc_id", 10)
+      .select(col("doc_id"), col("source"), col("rank"))
+
+  val domainCapOracle: String =
+    """SELECT doc_id, source, rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS rank
+      |  FROM documents)
+      |WHERE rank <= 10""".stripMargin
+
+  // ----- canonical-URL dedup -----
+
+  /** Deterministic messy-URL synthesis with SMALL moduli so canonical
+    * collisions actually occur (lcm(7,3,5,2) = 210 < 500 ids → every
+    * canonical class has 2-3 members): mixed case, userinfo, default
+    * (:443, dropped) and non-default (:8443, kept) ports, tracking
+    * params, unsorted query, fragment, malformed row every 11 ids. */
+  private def messyUrl = when(col("doc_id") % 11 === 0, lit("not a url"))
+    .otherwise(concat(
+      lit("HTTPS://u:p@Site"), col("doc_id") % 7, lit(".COM"),
+      when(col("doc_id") % 3 === 0, ":443")
+        .when(col("doc_id") % 3 === 1, ":8443").otherwise(""),
+      lit("/p/"), col("doc_id") % 5,
+      when(col("doc_id") % 2 === 0, "?utm_source=x&b=2&a=1#f")
+        .otherwise("?z=9&a=0")))
+
+  def qUrlDedup(spark: SparkSession, dir: String): DataFrame =
+    Graft.urlDedup(
+      Tables.documents(spark, dir).select(col("doc_id"), messyUrl.as("url")),
+      "doc_id", "url")
+
+  /** Closed-form canonical URL of the synthesis (:443 merges with the
+    * no-port class — two raw forms, one canonical key) + the keep-first
+    * rule; malformed rows are all kept. */
+  val urlDedupOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN ''
+      |         ELSE 'https://site' || (doc_id % 7) || '.com'
+      |           || CASE WHEN doc_id % 3 = 1 THEN ':8443' ELSE '' END
+      |           || '/p/' || (doc_id % 5)
+      |           || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?a=0&z=9' END
+      |    END AS norm_url
+      |  FROM documents)
+      |SELECT doc_id, norm_url,
+      |  (norm_url = '' OR doc_id = min(doc_id) OVER (PARTITION BY norm_url)) AS kept
+      |FROM n""".stripMargin
+
+  // ----- BM25 top-k retrieval -----
+
+  /** Top-25 documents for a three-term query over the corpus (terms
+    * chosen among the fixture's most frequent so every document family
+    * can score). */
+  def qBm25Search(spark: SparkSession, dir: String): DataFrame =
+    Graft.bm25Search(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("join", "hash", "vector"), 25)
+
+  val bm25SearchOracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), corpus AS (
+      |  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
+      |), scored AS (
+      |  SELECT tf.doc_id, round(sum(
+      |    ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))), 4) AS score
+      |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, corpus
+      |  WHERE tf.term IN ('join', 'hash', 'vector')
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, score,
+      |  row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
+      |FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+
+  // ----- bucketed interval join -----
+
+  /** 25 deterministic 18-hour "campaign" intervals striding 12 hours
+    * from the corpus's first event (consecutive intervals overlap 6 h,
+    * so boundary events match twice), joined to events through the
+    * 6-hour-bucket equi-join — the plan Spark would otherwise make a
+    * BroadcastNestedLoopJoin. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val t0 = ev.agg(min(col("ts")).as("__t0"))
+    val iv = Tables.nation(spark, dir)
+      .crossJoin(broadcast(t0))
+      .select(
+        col("n_nationkey").cast("long").as("iv_id"),
+        timestamp_micros(unix_micros(col("__t0"))
+          + col("n_nationkey").cast("long") * lit(12L * 3600L * 1000000L)).as("iv_start"),
+        timestamp_micros(unix_micros(col("__t0"))
+          + col("n_nationkey").cast("long") * lit(12L * 3600L * 1000000L)
+          + lit(18L * 3600L * 1000000L)).as("iv_end"))
+    Graft.rangeJoin(ev, "ts", iv, "iv_start", "iv_end", 6L * 3600L)
+      .select(col("event_id"), col("iv_id"))
+  }
+
+  val rangeJoinOracle: String =
+    """WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+      |iv AS (
+      |  SELECT n_nationkey::BIGINT AS iv_id,
+      |    t0 + (n_nationkey * 12) * INTERVAL '1 hour' AS iv_start,
+      |    t0 + (n_nationkey * 12) * INTERVAL '1 hour' + INTERVAL '18 hours' AS iv_end
+      |  FROM nation, t0)
+      |SELECT e.event_id, iv.iv_id
+      |FROM events e JOIN iv ON e.ts >= iv.iv_start AND e.ts <= iv.iv_end""".stripMargin
+
+  // ----- salted skew join -----
+
+  /** Events joined to per-user order statistics through the salted
+    * (key, salt) join — result identical to the plain equi-join the
+    * oracle runs. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+    val stats = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"), col("o_totalprice"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("user_spend"))
+    Graft.skewJoin(ev, stats, "user_id", "event_id", 8)
+      .select(col("event_id"), col("user_id"), col("n_orders"), col("user_spend"))
+  }
+
+  val skewJoinOracle: String =
+    """WITH s AS (
+      |  SELECT o_custkey AS user_id, count(*) AS n_orders,
+      |    round(sum(o_totalprice), 4) AS user_spend
+      |  FROM orders GROUP BY 1)
+      |SELECT event_id, e.user_id, n_orders, user_spend
+      |FROM events e JOIN s USING (user_id)""".stripMargin
+
+  // ----- SemDeDup -----
+
+  /** Cluster-local embedding dedup at cosine ≥ 0.45 (the
+    * q_embed_neardup threshold, so the two operators' keep decisions
+    * are directly comparable on the fixture). No SQL oracle — the kept
+    * set depends on the k-means clustering, which is engine-specific
+    * by design; CurationSpec pins the witness/determinism properties
+    * and the subset relation vs the complete [[Graft.embedNearDup]]. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Graft.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+}

@@ -323,6 +323,40 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
   }
 
+  test("q_domain_cap prunes to top-k per domain BEFORE the exchange (WindowGroupLimit)") {
+    val p = plan(CurationQueries.qDomainCap(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"no map-side top-k pruning:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one hash exchange on the domain key:\n$p")
+  }
+
+  test("q_range_join: bucket equi-join despite the interval predicate — the only " +
+      "nested loop is the 1-row min-ts broadcast") {
+    val p = plan(CurationQueries.qRangeJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"nested loop:\n$p")
+  }
+
+  test("q_skew_join: salted equi-join only — no cartesian, no nested loop") {
+    val p = plan(CurationQueries.qSkewJoin(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("q_semdedup: within-cell pairing is an equi-join on the cell id — " +
+      "never an all-pairs nested loop") {
+    val p = plan(CurationQueries.qSemDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("q_bm25_search filters the posting list to the query terms before scoring") {
+    val p = plan(CurationQueries.qBm25Search(spark, dir))
+    assert(p.contains("IN (join,hash,vector)") || p.contains("INSET"),
+      s"query-term filter missing from the posting scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
