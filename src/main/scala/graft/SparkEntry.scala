@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, SelectionQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -123,6 +123,10 @@ object SparkEntry {
     "q_range_join"      -> CurationQueries.qRangeJoin,
     "q_skew_join"       -> CurationQueries.qSkewJoin,
     "q_semdedup"        -> CurationQueries.qSemDedup,
+    "q_dsir"            -> SelectionQueries.qDsirWeights,
+    "q_weighted_sample" -> SelectionQueries.qWeightedSample,
+    "q_psi_drift"       -> SelectionQueries.qPsiDrift,
+    "q_unicode_norm"    -> SelectionQueries.qUnicodeNorm,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -405,6 +409,10 @@ object SparkEntry {
     "q_bm25_search" -> CurationQueries.bm25SearchOracle,
     "q_range_join" -> CurationQueries.rangeJoinOracle,
     "q_skew_join" -> CurationQueries.skewJoinOracle,
+    "q_dsir" -> SelectionQueries.dsirWeightsOracle,
+    "q_weighted_sample" -> SelectionQueries.weightedSampleOracle,
+    "q_psi_drift" -> SelectionQueries.psiDriftOracle,
+    "q_unicode_norm" -> SelectionQueries.unicodeNormOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

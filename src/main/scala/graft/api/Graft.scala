@@ -2207,4 +2207,164 @@ object Graft {
     assigned.select(col(id), col("cell"))
       .join(dropped, Seq(id), "left_anti")
   }
+
+  // ---------- data selection & corpus monitoring ----------
+
+  /** Unigram+bigram feature buckets of `text` as an array<long> column:
+    * whitespace tokens plus adjacent-token bigrams, each hashed by the
+    * base-31 polynomial over its characters mod 2³¹ and folded into
+    * `buckets`. Plain integer arithmetic end to end — no engine-native
+    * hash — so an external engine can replicate every bucket id. The
+    * token array must already be materialized as its own projected
+    * column (`toks`): HOF lambdas re-evaluate non-attribute subtrees
+    * per element. */
+  private def gramBuckets(toks: Column, buckets: Int): Column = {
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), g =>
+      pmod(aggregate(split(g, ""), lit(0L),
+        (acc, c) => (acc * 31L + ascii(c)) % 2147483648L), lit(buckets.toLong)))
+  }
+
+  private def bucketHist(df: DataFrame, text: String, buckets: Int): DataFrame =
+    df.select(tokens(coalesce(col(text), lit(""))).as("__t"))
+      .select(explode(gramBuckets(col("__t"), buckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** DSIR importance weights (Xie et al., 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram features are
+    * under a target corpus than under the raw corpus —
+    * log w(x) = Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)], with
+    * add-one smoothing over `buckets` feature buckets. High-weight
+    * documents resemble the target distribution; resample by weight to
+    * select pretraining data. Output: (id, log_w) for every raw row
+    * (empty documents score 0).
+    *
+    * Scale shape: both feature distributions are single aggregations
+    * whose output is bounded at `buckets` rows regardless of corpus
+    * size (map-side partial combine); the log-ratio table is assembled
+    * on ≤`buckets` rows and broadcast as ONE map row, so scoring is a
+    * shuffle-free per-row kernel — the whole-corpus pass touches each
+    * document wherever it already lives. Two corpus scans total (one
+    * for p̂_raw, one to score), the DSIR minimum. */
+  def dsirWeights(raw: DataFrame, id: String, text: String,
+      target: DataFrame, targetText: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val spark = raw.sparkSession
+    val b = buckets.toLong
+    val tgt = bucketHist(target, targetText, buckets)
+      .withColumnRenamed("n", "__ct")
+    val rw = bucketHist(raw, text, buckets).withColumnRenamed("n", "__cr")
+    val base = spark.range(b).select(col("id").as("bucket"))
+    // Totals come from the joined bucket table (<= `buckets` rows) via an
+    // unbounded window — re-aggregating tgt/rw here would replan both
+    // corpus histograms a second time (the join's isnotnull filter defeats
+    // ReuseExchange), doubling the corpus-sized shuffles.
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val lam = base
+      .join(tgt, Seq("bucket"), "left").join(rw, Seq("bucket"), "left")
+      .na.fill(0L, Seq("__ct", "__cr"))
+      .withColumn("__tt", sum(col("__ct")).over(w))
+      .withColumn("__tr", sum(col("__cr")).over(w))
+      .select(col("bucket"),
+        (log((col("__ct") + 1L).cast("double") / (col("__tt") + b).cast("double")) -
+         log((col("__cr") + 1L).cast("double") / (col("__tr") + b).cast("double"))).as("__lam"))
+    val m = lam.agg(
+      map_from_entries(collect_list(struct(col("bucket"), col("__lam")))).as("__m"))
+    raw.select(col(id), tokens(coalesce(col(text), lit(""))).as("__t"))
+      .select(col(id), gramBuckets(col("__t"), buckets).as("__bks"))
+      .crossJoin(broadcast(m))
+      .select(col(id),
+        round(aggregate(col("__bks"), lit(0.0d),
+          (acc, bk) => acc + element_at(col("__m"), bk)), 4).as("log_w"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * 2006): keep the `k` rows with the largest key ln(u_i)/w_i, where
+    * u_i ∈ (0,1) — inclusion probability proportional to the weight,
+    * exactly the A-Res scheme. The randomness is a DETERMINISTIC
+    * 31-bit LCG of the row id (overflow-folded, the engine-portable
+    * form used by every sampler here), so the sample is reproducible
+    * across engines, retries, and partitionings. Rows with
+    * non-positive weight are excluded (they can never be sampled).
+    * Output: (id, weight, rank), rank 1 = largest key.
+    *
+    * Scale shape: the key is a shuffle-free projection;
+    * top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    * heaps, no global sort); the rank window runs over k rows. */
+  def weightedSample(df: DataFrame, id: String, weight: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = ((pmod(col(id).cast("long"), lit(2147483648L)) * 1103515245L + 12345L)
+      % 2147483648L).cast("double")
+    val key = log((u + 0.5d) / 2147483648.0d) / col(weight).cast("double")
+    val top = df.filter(col(weight).cast("double") > 0.0d)
+      .select(col(id), col(weight), key.as("__key"))
+      .orderBy(col("__key").desc, col(id).asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("__key").desc, col(id).asc)).cast("long"))
+      .select(col(id), col(weight), col("rank"))
+  }
+
+  /** Population Stability Index between two corpus snapshots — the
+    * standard drift monitor for an ingest pipeline: for each category
+    * of `feature`, PSI_c = (p_a − p_b)·ln(p_a/p_b) with add-½
+    * smoothing over the union of categories (so a category present in
+    * only one snapshot contributes a finite term instead of ∞).
+    * Σ PSI_c < 0.1 is conventionally "no shift", > 0.25 "major shift".
+    * Output: one row per category — (feature value, n_a, n_b, psi) —
+    * so the report shows WHICH categories moved, not just the total.
+    *
+    * Scale shape: two aggregations bounded at |categories| rows, a
+    * full-outer join on the category, and two 1-row totals broadcast;
+    * the snapshots themselves are never joined row-to-row. */
+  def psiDrift(a: DataFrame, b: DataFrame, feature: String): DataFrame = {
+    val ca = a.groupBy(col(feature)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(feature)).agg(count(lit(1)).as("n_b"))
+    val cats = ca.join(cb, Seq(feature), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val nc = cats.agg(count(lit(1)).as("__c"))
+    val tots = cats.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    cats.crossJoin(broadcast(nc)).crossJoin(broadcast(tots))
+      .select(col(feature), col("n_a"), col("n_b"),
+        round((
+          (col("n_a") + 0.5d) / (col("__ta") + col("__c") * 0.5d) -
+          (col("n_b") + 0.5d) / (col("__tb") + col("__c") * 0.5d)) *
+          log(((col("n_a") + 0.5d) / (col("__ta") + col("__c") * 0.5d)) /
+              ((col("n_b") + 0.5d) / (col("__tb") + col("__c") * 0.5d))),
+          6).as("psi"))
+  }
+
+  /** Unicode normalization — the first transform of every multilingual
+    * ingest: NFC composition (byte-level dedup keys must not distinguish
+    * 'é' from 'e'+U+0301) and an accent-folded form (NFD, combining
+    * marks removed — the matching key for language-id and URL/domain
+    * comparisons). Characters without a combining-mark decomposition
+    * (ß, Ł, œ) pass through the fold unchanged, matching utf8proc-based
+    * engines. Output: (id, nfc_text, folded_text).
+    *
+    * Scale shape: a per-partition mapPartitions kernel (java.text
+    * .Normalizer has no Catalyst equivalent) — shuffle-free, one
+    * compiled regex per partition, streams rows without
+    * materializing the partition. */
+  def unicodeNormalize(df: DataFrame, id: String, text: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val marks = "\\p{M}+"
+    df.select(col(id).cast("long"), coalesce(col(text), lit("")).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import java.text.Normalizer
+        val re = marks.r
+        it.map { case (i, s) =>
+          val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+          val folded = re.replaceAllIn(Normalizer.normalize(s, Normalizer.Form.NFD), "")
+          (i, nfc, folded)
+        }
+      }
+      .toDF(id, "nfc_text", "folded_text")
+  }
 }

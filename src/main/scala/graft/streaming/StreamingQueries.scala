@@ -103,6 +103,56 @@ object StreamingQueries {
 
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 
+  final case class QuotaAdmit(domain: String, id: Long, rank: Long)
+
+  /** Streaming per-domain admission quota — the ingest-time form of
+    * [[graft.api.Graft.domainCap]]: across the WHOLE stream, at most
+    * `k` documents per domain are admitted; everything over quota is
+    * dropped at ingest instead of by a corpus-wide batch cap later.
+    * Emits only the admitted rows, each with its 1-based admission
+    * `rank` within the domain.
+    *
+    * Semantics: quota is consumed in arrival order across triggers
+    * (that is what an ingest gate means); WITHIN a trigger the batch's
+    * rows are ordered by id so replays of the same batch admit the
+    * same rows. The admitted set therefore depends on arrival order
+    * across batches — unlike the batch operator, which is
+    * order-independent — and the two agree whenever ids arrive in
+    * order (pinned in StreamingSpec).
+    *
+    * Scale shape: state is ONE long per domain (the count used), so
+    * the store stays O(|domains|) forever — no watermark needed, no
+    * per-document state. Each trigger shuffles only that batch on the
+    * domain key; a domain already at quota costs one state lookup per
+    * batch it appears in. Survives restart: the counts live in the
+    * checkpoint, so a recovered query keeps enforcing the same quota
+    * (also pinned). */
+  def domainQuota(spark: SparkSession, docs: DataFrame, domain: String,
+      id: String, k: Int): Dataset[QuotaAdmit] = {
+    require(k >= 1, s"quota must be >= 1, got $k")
+    import spark.implicits._
+    docs.select(col(domain).cast("string"), col(id).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, QuotaAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (dom, rows, state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[QuotaAdmit]
+          // sort the batch's ids so a replayed trigger admits identically
+          val ids = rows.map(_._2).toArray
+          java.util.Arrays.sort(ids)
+          var i = 0
+          while (i < ids.length && used < k) {
+            used += 1
+            out += QuotaAdmit(dom, ids(i), used)
+            i += 1
+          }
+          state.update(used)
+          out.result().iterator
+      }
+  }
+
   /** One open session in keyed state (all times epoch micros — sub-ms
     * precision survives the state round-trip, java.sql.Timestamp's
     * getTime would truncate). */
