@@ -2210,28 +2210,61 @@ object Graft {
 
   // ---------- data selection & corpus monitoring ----------
 
-  /** Unigram+bigram feature buckets of `text` as an array<long> column:
-    * whitespace tokens plus adjacent-token bigrams, each hashed by the
-    * base-31 polynomial over its characters mod 2³¹ and folded into
-    * `buckets`. Plain integer arithmetic end to end — no engine-native
-    * hash — so an external engine can replicate every bucket id. The
-    * token array must already be materialized as its own projected
-    * column (`toks`): HOF lambdas re-evaluate non-attribute subtrees
-    * per element. */
-  private def gramBuckets(toks: Column, buckets: Int): Column = {
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(toks, bigrams), g =>
-      pmod(aggregate(split(g, ""), lit(0L),
-        (acc, c) => (acc * 31L + ascii(c)) % 2147483648L), lit(buckets.toLong)))
+  /** Base-31 polynomial extension of `acc` over the UTF-16 units of
+    * `s`, mod 2³¹ — plain integer arithmetic, no engine-native hash,
+    * so an external engine replays every bucket id with
+    * `(acc*31 + ascii(c)) % 2147483648`. */
+  @inline private def polyExtend(acc0: Long, s: String): Long = {
+    var acc = acc0
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i).toInt) % 2147483648L; i += 1 }
+    acc
   }
 
-  private def bucketHist(df: DataFrame, text: String, buckets: Int): DataFrame =
-    df.select(tokens(coalesce(col(text), lit(""))).as("__t"))
-      .select(explode(gramBuckets(col("__t"), buckets)).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+  /** Streams the unigram+bigram feature buckets of a tokenized doc to
+    * `f`, unigrams first then bigrams — the order the SQL replay and
+    * the scoring sum both use. A bigram "a b" hashes identically to
+    * the concatenated string without allocating it (polynomial over a
+    * concatenation is sequential extension). */
+  private def gramBucketsForeach(toks: Array[String], buckets: Long)(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < toks.length) { f(polyExtend(0L, toks(i)) % buckets); i += 1 }
+    i = 1
+    while (i < toks.length) {
+      f(polyExtend(polyExtend(polyExtend(0L, toks(i - 1)), " "), toks(i)) % buckets)
+      i += 1
+    }
+  }
+
+  /** Whitespace tokens, empties dropped — the kernel twin of
+    * [[tokens]] (split on ' ', filter non-empty). */
+  @inline private def splitTokens(s: String): Array[String] =
+    s.split(" ").filter(_.nonEmpty)
+
+  /** (bucket, n) histogram of `df`'s gram buckets. The char loop lives
+    * in a mapPartitions kernel (the interpreted-HOF form re-split each
+    * gram per character — measured 20.7 s vs 0.9 s at sf0.1): each
+    * partition accumulates a dense `buckets`-sized count array and
+    * emits only its non-zero cells, so the exchange carries at most
+    * `buckets` rows per partition regardless of corpus size — map-side
+    * combine by construction. */
+  private def bucketHist(df: DataFrame, text: String, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    graft.ops.Spread.widen(df.select(coalesce(col(text), lit("")).cast("string")))
+      .as[String]
+      .mapPartitions { rows =>
+        val counts = new Array[Long](buckets)
+        rows.foreach { s =>
+          gramBucketsForeach(splitTokens(s), b)(bk => counts(bk.toInt) += 1L)
+        }
+        Iterator.range(0, buckets).filter(counts(_) > 0L)
+          .map(i => (i.toLong, counts(i)))
+      }
+      .toDF("bucket", "n")
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+  }
 
   /** DSIR importance weights (Xie et al., 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
@@ -2245,42 +2278,52 @@ object Graft {
     *
     * Scale shape: both feature distributions are single aggregations
     * whose output is bounded at `buckets` rows regardless of corpus
-    * size (map-side partial combine); the log-ratio table is assembled
-    * on ≤`buckets` rows and broadcast as ONE map row, so scoring is a
-    * shuffle-free per-row kernel — the whole-corpus pass touches each
-    * document wherever it already lives. Two corpus scans total (one
-    * for p̂_raw, one to score), the DSIR minimum. */
+    * size (per-partition dense count arrays — map-side combine by
+    * construction); the log-ratio table is assembled on the driver
+    * from those two bounded histograms (≤`buckets` doubles, capped at
+    * 2²² cells) and broadcast once, so scoring is a per-row
+    * mapPartitions kernel over the corpus wherever it already lives —
+    * only a narrow test-scale input is first spread across the
+    * cluster ([[graft.ops.Spread.widen]]). Two corpus scans total
+    * (one for p̂_raw, one to score), the DSIR minimum. The kernel sums
+    * lam in gram order (unigrams then bigrams), so the double result
+    * is reproducible across partitionings and engines. */
   def dsirWeights(raw: DataFrame, id: String, text: String,
       target: DataFrame, targetText: String, buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets must be in [2, ${1 << 22}], got $buckets")
     val spark = raw.sparkSession
+    import spark.implicits._
     val b = buckets.toLong
-    val tgt = bucketHist(target, targetText, buckets)
-      .withColumnRenamed("n", "__ct")
-    val rw = bucketHist(raw, text, buckets).withColumnRenamed("n", "__cr")
-    val base = spark.range(b).select(col("id").as("bucket"))
-    // Totals come from the joined bucket table (<= `buckets` rows) via an
-    // unbounded window — re-aggregating tgt/rw here would replan both
-    // corpus histograms a second time (the join's isnotnull filter defeats
-    // ReuseExchange), doubling the corpus-sized shuffles.
-    val w = Window.partitionBy().rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val lam = base
-      .join(tgt, Seq("bucket"), "left").join(rw, Seq("bucket"), "left")
-      .na.fill(0L, Seq("__ct", "__cr"))
-      .withColumn("__tt", sum(col("__ct")).over(w))
-      .withColumn("__tr", sum(col("__cr")).over(w))
-      .select(col("bucket"),
-        (log((col("__ct") + 1L).cast("double") / (col("__tt") + b).cast("double")) -
-         log((col("__cr") + 1L).cast("double") / (col("__tr") + b).cast("double"))).as("__lam"))
-    val m = lam.agg(
-      map_from_entries(collect_list(struct(col("bucket"), col("__lam")))).as("__m"))
-    raw.select(col(id), tokens(coalesce(col(text), lit(""))).as("__t"))
-      .select(col(id), gramBuckets(col("__t"), buckets).as("__bks"))
-      .crossJoin(broadcast(m))
-      .select(col(id),
-        round(aggregate(col("__bks"), lit(0.0d),
-          (acc, bk) => acc + element_at(col("__m"), bk)), 4).as("log_w"))
+    val ct = new Array[Long](buckets)
+    bucketHist(target, targetText, buckets).collect()
+      .foreach(r => ct(r.getLong(0).toInt) = r.getLong(1))
+    val cr = new Array[Long](buckets)
+    bucketHist(raw, text, buckets).collect()
+      .foreach(r => cr(r.getLong(0).toInt) = r.getLong(1))
+    val tt = ct.sum
+    val tr = cr.sum
+    val lam = new Array[Double](buckets)
+    var i = 0
+    while (i < buckets) {
+      lam(i) = math.log((ct(i) + 1L).toDouble / (tt + b).toDouble) -
+        math.log((cr(i) + 1L).toDouble / (tr + b).toDouble)
+      i += 1
+    }
+    val lamB = spark.sparkContext.broadcast(lam)
+    graft.ops.Spread.widen(
+        raw.select(col(id).cast("long"), coalesce(col(text), lit("")).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val l = lamB.value
+        it.map { case (docId, s) =>
+          var acc = 0.0d
+          gramBucketsForeach(splitTokens(s), b)(bk => acc += l(bk.toInt))
+          (docId, acc)
+        }
+      }
+      .toDF(id, "__lw")
+      .select(col(id), round(col("__lw"), 4).as("log_w"))
   }
 
   /** Weighted sampling without replacement (Efraimidis & Spirakis,
