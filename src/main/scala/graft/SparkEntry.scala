@@ -123,6 +123,8 @@ object SparkEntry {
     "q_range_join"      -> CurationQueries.qRangeJoin,
     "q_skew_join"       -> CurationQueries.qSkewJoin,
     "q_semdedup"        -> CurationQueries.qSemDedup,
+    "q_pmi"             -> MiningQueries.qPmi,
+    "q_blocklist"       -> TextQueries.qBlocklist,
     "q_dsir"            -> SelectionQueries.qDsirWeights,
     "q_weighted_sample" -> SelectionQueries.qWeightedSample,
     "q_psi_drift"       -> SelectionQueries.qPsiDrift,
@@ -409,6 +411,8 @@ object SparkEntry {
     "q_bm25_search" -> CurationQueries.bm25SearchOracle,
     "q_range_join" -> CurationQueries.rangeJoinOracle,
     "q_skew_join" -> CurationQueries.skewJoinOracle,
+    "q_pmi" -> MiningQueries.pmiOracle,
+    "q_blocklist" -> TextQueries.blocklistOracle,
     "q_dsir" -> SelectionQueries.dsirWeightsOracle,
     "q_weighted_sample" -> SelectionQueries.weightedSampleOracle,
     "q_psi_drift" -> SelectionQueries.psiDriftOracle,

@@ -2103,14 +2103,27 @@ object Graft {
     val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val corpus = dl.agg(count(lit(1)).as("__n"), avg(col("dl")).as("__avgdl"))
+    // explicit sum/count, not avg(): engines disagree in the last ulp of
+    // streaming means, and the per-term quantization below only removes
+    // fp risk if the raw doubles are bit-identical cross-engine
+    val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__dlsum"))
     val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    // Per-term score quantized to integer MICROS (floor(x*1e6 + 0.5) —
+    // the tie-safe rounding form, see the verify notes), summed exactly
+    // as longs (order-free), then cut to 4 decimals by integer
+    // arithmetic: round-4 of a sum of rounded-6 terms used to diverge
+    // from the oracle at the .00005 boundary once the sf1 corpus hit a
+    // tie (max-abs-diff exactly 1e-4).
     val scored = qtf.join(dfreq, "term").join(dl, id).crossJoin(broadcast(corpus))
-      .withColumn("__s", round(
+      .withColumn("__avgdl", col("__dlsum").cast("double") / col("__n").cast("double"))
+      .withColumn("__sl", floor((
         log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))), 6))
-      .groupBy(col(id)).agg(round(sum(col("__s")), 4).as("score"))
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))
+        ) * 1e6 + 0.5).cast("long"))
+      .groupBy(col(id)).agg(sum(col("__sl")).as("__sum"))
+      .select(col(id),
+        (floor((col("__sum") + 50L) / 100L).cast("double") / 10000.0d).as("score"))
     val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col(id).asc)).cast("long"))
@@ -2409,5 +2422,104 @@ object Graft {
         }
       }
       .toDF(id, "nfc_text", "folded_text")
+  }
+
+  // ---------- collocation mining ----------
+
+  /** Top-K collocations by pointwise mutual information — the classic
+    * corpus-mining pass (Church & Hanks, 1990) behind phrase
+    * vocabularies and tokenizer merge seeding: for each adjacent token
+    * pair seen ≥ `minCount` times, PMI = ln(p(w1,w2) / (p(w1)·p(w2)))
+    * with p over total token / bigram occurrences, ranked descending.
+    * Ties break on (w1, w2) byte order so the cut is deterministic
+    * (ASCII-identical across engines; see the BPE ordering note for
+    * the non-ASCII caveat). Output: (w1, w2, c12, pmi).
+    *
+    * Scale shape: unigram and bigram counts are keyed aggregations
+    * with map-side combine, persisted so the totals (which are sums
+    * OVER those bounded tables, not corpus re-scans) and the candidate
+    * join reuse them; the two unigram-count joins are plain equi-joins
+    * on the token key (AQE broadcasts a small vocabulary at runtime);
+    * the final rank is orderBy+limit → TakeOrderedAndProject
+    * (per-partition heaps, no global sort). The corpus is scanned
+    * twice (once per gram order), never joined row-to-row. The PMI
+    * arithmetic is pure double division/log in a fixed op order, so an
+    * external engine reproduces the exact ranking doubles. */
+  def pmiCollocations(df: DataFrame, text: String,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toksDf = df.select(tokens(coalesce(col(text), lit(""))).as("__t"))
+    val uni = toksDf.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__cu"))
+      .persist()
+    val biAll = toksDf.filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
+    val n = uni.agg(sum(col("__cu")).as("__n"))
+    val nb = biAll.agg(sum(col("c12")).as("__nb"))
+    val pmi =
+      log((col("c12").cast("double") / col("__nb").cast("double")) /
+        ((col("__c1").cast("double") / col("__n").cast("double")) *
+         (col("__c2").cast("double") / col("__n").cast("double"))))
+    biAll.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("__cu").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__cu").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("__pmi"))
+      .orderBy(col("__pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), round(col("__pmi"), 4).as("pmi"))
+  }
+
+  // ---------- term blocklist filtering ----------
+
+  /** Term-blocklist content filter — the bad-words curation gate
+    * (Jigsaw/LDNOOBW-style lists): count occurrences of blocklisted
+    * terms (single words and two-word phrases, case-insensitive, on
+    * token boundaries) and keep documents with at most `maxHits`.
+    * Flag, not drop — (id, n_tokens, n_bad, kept 0/1) — so the caller
+    * can quarantine or sample the rejects.
+    *
+    * Scale shape: blocklists are KBs — both term sets ride the task
+    * closure; matching is a per-row kernel (lowercase tokens → hash-set
+    * membership for singles, adjacent-pair lookup for phrases — the
+    * two-word-bounded form of an Aho-Corasick scan), shuffle-free over
+    * the corpus wherever it already lives; only a narrow test-scale
+    * input is first spread ([[graft.ops.Spread.widen]]). Never a
+    * per-row scan over the term list. */
+  def blocklistFilter(df: DataFrame, id: String, text: String,
+      terms: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(maxHits >= 0L, s"maxHits must be >= 0, got $maxHits")
+    val norm = terms.map(t =>
+      t.trim.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty).toSeq)
+    require(norm.forall(t => t.nonEmpty && t.size <= 2),
+      "each term must be one or two words")
+    val singles = norm.filter(_.size == 1).map(_.head).toSet
+    val pairs = norm.filter(_.size == 2).map(_.mkString(" ")).toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Spread.widen(
+        df.select(col(id).cast("long"), coalesce(col(text), lit("")).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, s) =>
+          val toks = s.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+          var bad = 0L
+          var i = 0
+          while (i < toks.length) {
+            if (singles.contains(toks(i))) bad += 1L
+            if (i >= 1 && pairs.contains(toks(i - 1) + " " + toks(i))) bad += 1L
+            i += 1
+          }
+          (docId, toks.length.toLong, bad, if (bad <= maxHits) 1L else 0L)
+        }
+      }
+      .toDF(id, "n_tokens", "n_bad", "kept")
   }
 }

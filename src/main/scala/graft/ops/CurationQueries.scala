@@ -80,6 +80,12 @@ object CurationQueries {
     Graft.bm25Search(Tables.documents(spark, dir), "doc_id", "text",
       Seq("join", "hash", "vector"), 25)
 
+  /** Term scores quantized to integer micros (floor(x*1e6 + 0.5)),
+    * summed as BIGINTs, cut to 4 decimals by integer arithmetic —
+    * byte-for-byte the engine's pipeline, so no float-sum order or
+    * cross-engine round() tie can split the comparison (the previous
+    * sum-then-round-4 form diverged by exactly 1e-4 at sf1). Every
+    * scalar is ::DOUBLE so DuckDB's decimal literal path never runs. */
   val bm25SearchOracle: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
@@ -91,18 +97,22 @@ object CurationQueries {
       |), dfreq AS (
       |  SELECT term, count(*) AS df FROM tf GROUP BY term
       |), corpus AS (
-      |  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM dl
+      |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dlsum FROM dl
       |), scored AS (
-      |  SELECT tf.doc_id, round(sum(
-      |    ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-      |      * (tf.tf * 2.2)
-      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))), 4) AS score
+      |  SELECT tf.doc_id, sum(floor((
+      |    ln(1.0::DOUBLE + ((corpus.n - dfreq.df)::DOUBLE + 0.5::DOUBLE)
+      |                     / (dfreq.df::DOUBLE + 0.5::DOUBLE))
+      |      * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE))
+      |      / (tf.tf::DOUBLE + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE * dl.dl::DOUBLE
+      |            / (corpus.dlsum::DOUBLE / corpus.n::DOUBLE)))
+      |    ) * 1000000.0::DOUBLE + 0.5::DOUBLE)::BIGINT)::BIGINT AS sl
       |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, corpus
       |  WHERE tf.term IN ('join', 'hash', 'vector')
       |  GROUP BY tf.doc_id)
-      |SELECT doc_id, score,
-      |  row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank
-      |FROM scored ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin
+      |SELECT doc_id, ((sl + 50) // 100)::DOUBLE / 10000.0::DOUBLE AS score,
+      |  row_number() OVER (ORDER BY (sl + 50) // 100 DESC, doc_id ASC)::BIGINT AS rank
+      |FROM scored ORDER BY (sl + 50) // 100 DESC, doc_id ASC LIMIT 25""".stripMargin
 
   // ----- bucketed interval join -----
 

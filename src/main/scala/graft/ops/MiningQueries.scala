@@ -334,4 +334,50 @@ object MiningQueries {
       |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_len
       |FROM documents WHERE n_chars >= 0
       |GROUP BY lang, length(bin(n_chars))""".stripMargin
+
+  // ----- PMI collocations -----
+
+  private val PmiMin = 5L
+  private val PmiK = 50
+
+  /** Top-50 adjacent-pair collocations over `documents.text` by PMI,
+    * min pair count 5. The fixture vocabulary is ASCII, so the
+    * (pmi, w1, w2) tie-break order is engine-identical. */
+  def qPmi(spark: SparkSession, dir: String): DataFrame =
+    Graft.pmiCollocations(
+      Tables.documents(spark, dir).select(col("text")), "text", PmiMin, PmiK)
+
+  val pmiOracle: String =
+    s"""WITH tok AS (
+       |  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS t
+       |  FROM documents
+       |), uni AS (
+       |  SELECT unnest(t) AS w FROM tok
+       |), uc AS (
+       |  SELECT w, count(*)::BIGINT AS cu FROM uni GROUP BY w
+       |), bi AS (
+       |  SELECT unnest(list_filter(
+       |    list_transform(t, (x, i) ->
+       |      CASE WHEN i < len(t) THEN struct_pack(w1 := x, w2 := t[i + 1]) END),
+       |    v -> v IS NOT NULL)) AS p
+       |  FROM tok
+       |), bc AS (
+       |  SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS c12 FROM bi GROUP BY 1, 2
+       |), n AS (SELECT sum(cu)::BIGINT AS n FROM uc),
+       |nb AS (SELECT sum(c12)::BIGINT AS nb FROM bc),
+       |scored AS (
+       |  SELECT bc.w1, bc.w2, bc.c12,
+       |    ln((bc.c12::DOUBLE / nb.nb::DOUBLE) /
+       |       ((u1.cu::DOUBLE / n.n::DOUBLE) * (u2.cu::DOUBLE / n.n::DOUBLE))) AS pmi
+       |  FROM bc
+       |  JOIN uc u1 ON u1.w = bc.w1
+       |  JOIN uc u2 ON u2.w = bc.w2
+       |  CROSS JOIN n CROSS JOIN nb
+       |  WHERE bc.c12 >= $PmiMin
+       |)
+       |, sel AS (
+       |  -- cut on the RAW pmi (as the engine does); rounding only the output
+       |  SELECT * FROM scored ORDER BY scored.pmi DESC, w1, w2 LIMIT $PmiK
+       |)
+       |SELECT w1, w2, c12, round(pmi, 4) AS pmi FROM sel""".stripMargin
 }

@@ -566,4 +566,33 @@ object TextQueries {
     * contention (round-5 bench). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =
     graft.api.Graft.charFingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  // ----- term blocklist filter -----
+
+  /** Blocklist of two fixture-vocabulary words and two adjacent-pair
+    * phrases, max 2 hits — "slow" is frequent in the synthesis, so
+    * both kept=1 and kept=0 rows appear at every scale. */
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.blocklistFilter(Tables.documents(spark, dir),
+      "doc_id", "text", Seq("slow", "legacy", "big table", "full scan"), maxHits = 2L)
+
+  val blocklistOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+      |      w -> lower(w)) AS t
+      |  FROM documents
+      |)
+      |SELECT doc_id, len(t)::BIGINT AS n_tokens,
+      |  (len(list_filter(t, w -> w IN ('slow', 'legacy'))) +
+      |   len(list_filter(
+      |     list_transform(t, (x, i) ->
+      |       CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+      |     v -> v IN ('big table', 'full scan'))))::BIGINT AS n_bad,
+      |  ((len(list_filter(t, w -> w IN ('slow', 'legacy'))) +
+      |    len(list_filter(
+      |      list_transform(t, (x, i) ->
+      |        CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+      |      v -> v IN ('big table', 'full scan')))) <= 2)::BIGINT AS kept
+      |FROM tok""".stripMargin
 }

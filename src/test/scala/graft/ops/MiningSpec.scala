@@ -357,4 +357,78 @@ class MiningSpec extends SparkTestBase {
     assert(out(("g2", 11L)) === ((1L, 1024L)))        // v=1024
     assert(out(("g2", 1L)) === ((1L, 0L)))            // v=0 shares bucket 1 (bin('0')='0')
   }
+
+  // ----- PMI collocations -----
+
+  test("pmiCollocations matches a local reference and ranks the planted pair first") {
+    // "san francisco" always adjacent; "the" everywhere — high-count,
+    // low-PMI filler the planted pair must outrank
+    val docs = (0L until 40L).map { i =>
+      val filler = Seq.fill(6)("the").mkString(" ")
+      (i, s"san francisco $filler word$i the city")
+    }.toDF("id", "text").repartition(5)
+    val out = Graft.pmiCollocations(docs, "text", minCount = 5L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    assert(out.head._1 === (("san", "francisco")), s"planted pair must rank first: ${out.toSeq}")
+    assert(out.head._2._1 === 40L)
+
+    // local replay of counts + the published formula
+    val texts = docs.collect().map(_.getString(1))
+    val toks = texts.map(_.split(" ").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bi = toks.flatMap(t => t.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val n = uni.values.sum.toDouble
+    val nb = bi.values.sum.toDouble
+    val expected = (bi(("san", "francisco")) / nb) /
+      ((uni("san") / n) * (uni("francisco") / n))
+    assert(math.abs(out.head._2._2 - BigDecimal(math.log(expected))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // every returned pair respects minCount and the descending order
+    val pmis = out.map(_._2._2).toSeq
+    assert(pmis === pmis.sorted.reverse)
+  }
+
+  test("pmiCollocations respects minCount and is partitioning-independent") {
+    val docs = (0L until 30L).map(i => (i, "a b c d a b")).toDF("id", "text")
+    val out = Graft.pmiCollocations(docs, "text", minCount = 31L, topK = 10).collect()
+    // every adjacent pair occurs at most 30 (a b occurs 60) — only (a,b) survives
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("a", "b")))
+    val a = Graft.pmiCollocations(docs, "text", minCount = 5L, topK = 20)
+    val b = Graft.pmiCollocations(docs.repartition(7), "text", minCount = 5L, topK = 20)
+    assert(a.collect().toSeq === b.collect().toSeq)
+  }
+
+  // ----- blocklist filter -----
+
+  test("blocklistFilter counts words and phrases on token boundaries, case-insensitive") {
+    val docs = Seq(
+      (0L, "the Slow query hit a big table twice big table"),
+      (1L, "clean document with nothing flagged"),
+      (2L, "slow slow slow"),
+      (3L, "bigger tables are not big_table and slowly is not slow-ish"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = Graft.blocklistFilter(docs, "id", "text",
+        Seq("slow", "legacy", "big table", "full scan"), maxHits = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) === ((10L, 3L, 0L))) // Slow + 2x "big table" -> over quota
+    assert(out(1L) === ((5L, 0L, 1L)))
+    assert(out(2L) === ((3L, 3L, 0L)))
+    // substrings must NOT match: bigger/slowly/big_table/slow-ish are clean
+    assert(out(3L)._2 === 0L && out(3L)._3 === 1L)
+    assert(out(4L) === ((0L, 0L, 1L)) && out(5L) === ((0L, 0L, 1L)))
+  }
+
+  test("blocklistFilter overlapping phrase occurrences each count") {
+    val docs = Seq((0L, "x y x y x")).toDF("id", "text")
+    val out = Graft.blocklistFilter(docs, "id", "text", Seq("x y", "y x"), maxHits = 10L)
+      .head()
+    assert(out.getLong(2) === 4L) // x y, y x, x y, y x
+    val bad = intercept[IllegalArgumentException] {
+      Graft.blocklistFilter(docs, "id", "text", Seq("three word phrase"))
+    }
+    assert(bad.getMessage.contains("one or two words"))
+  }
 }

@@ -357,6 +357,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("q_pmi: top-k is a TakeOrderedAndProject; unigram joins are equi-joins") {
+    val p = plan(MiningQueries.qPmi(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the only nested loops are the two 1-row totals broadcasts; the
+    // unigram-count joins must be hash equi-joins on the token key
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, s"nested loop:\n$p")
+    assert("HashJoin".r.findAllIn(p).size >= 2, s"expected equi-joins:\n$p")
+  }
+
+  test("q_blocklist: per-row kernel — no shuffle beyond the narrow-input spread") {
+    val p = plan(TextQueries.qBlocklist(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("Join"), s"unexpected join (terms must ride the closure):\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
