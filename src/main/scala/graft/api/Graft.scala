@@ -2377,9 +2377,20 @@ object Graft {
     * Scale shape: two aggregations bounded at |categories| rows, a
     * full-outer join on the category, and two 1-row totals broadcast;
     * the snapshots themselves are never joined row-to-row. */
-  def psiDrift(a: DataFrame, b: DataFrame, feature: String): DataFrame = {
-    val ca = a.groupBy(col(feature)).agg(count(lit(1)).as("n_a"))
-    val cb = b.groupBy(col(feature)).agg(count(lit(1)).as("n_b"))
+  def psiDrift(a: DataFrame, b: DataFrame, feature: String): DataFrame =
+    psiDriftFromCounts(
+      a.groupBy(col(feature)).agg(count(lit(1)).as("n_a")),
+      b.groupBy(col(feature)).agg(count(lit(1)).as("n_b")), feature)
+
+  /** The PSI arithmetic over two PRE-AGGREGATED category histograms —
+    * `ca` with (feature, n_a), `cb` with (feature, n_b). This is the
+    * form a per-batch stream monitor calls: aggregate the reference
+    * corpus ONCE, persist the (tiny) histogram, and compare each
+    * arriving micro-batch against it — never re-scan the reference per
+    * trigger ([[graft.streaming.StreamingQueries.psiMonitorBatch]]). */
+  def psiDriftFromCounts(ca: DataFrame, cb: DataFrame, feature: String): DataFrame = {
+    require(ca.columns.contains("n_a") && cb.columns.contains("n_b"),
+      "ca needs (feature, n_a), cb needs (feature, n_b)")
     val cats = ca.join(cb, Seq(feature), "full_outer")
       .na.fill(0L, Seq("n_a", "n_b"))
     val nc = cats.agg(count(lit(1)).as("__c"))

@@ -153,6 +153,35 @@ object StreamingQueries {
       }
   }
 
+  /** Per-micro-batch distribution drift vs a fixed reference histogram
+    * — the ops monitor of an ingest pipeline (alert when a crawl
+    * drop's language/source/domain mix shifts from the corpus it is
+    * joining). Designed for `foreachBatch`:
+    * {{{
+    *   val ref = refCorpus.groupBy(col("lang"))
+    *     .agg(count(lit(1)).as("n_a")).persist()   // aggregate ONCE
+    *   stream.writeStream.foreachBatch { (batch, id) =>
+    *     StreamingQueries.psiMonitorBatch(batch, id, "lang", ref)
+    *       .write.mode("append").parquet(reportDir)
+    *   }.option("checkpointLocation", ck).start()
+    * }}}
+    * Output: one row per category — (feature, n_a, n_b, psi,
+    * batch_id) — identical to [[graft.api.Graft.psiDrift]](ref, batch)
+    * by construction (pinned in PsiMonitorSpec), so thresholds tuned
+    * on batch reports transfer to corpus-level audits.
+    *
+    * Scale shape: state-free (each batch scores independently against
+    * the static reference), so restarts/replays reproduce their rows
+    * exactly — downstream dedup on (batch_id, feature) is all
+    * recovery needs. Per trigger: one bounded agg of the batch + a
+    * |categories|-row join against the persisted reference histogram;
+    * the reference corpus is never re-scanned. */
+  def psiMonitorBatch(batch: DataFrame, batchId: Long, feature: String,
+      refCounts: DataFrame): DataFrame =
+    graft.api.Graft.psiDriftFromCounts(refCounts,
+        batch.groupBy(col(feature)).agg(count(lit(1)).as("n_b")), feature)
+      .withColumn("batch_id", lit(batchId))
+
   /** One open session in keyed state (all times epoch micros — sub-ms
     * precision survives the state round-trip, java.sql.Timestamp's
     * getTime would truncate). */
