@@ -127,6 +127,7 @@ object SparkEntry {
     "q_blocklist"       -> TextQueries.qBlocklist,
     "q_dsir"            -> SelectionQueries.qDsirWeights,
     "q_weighted_sample" -> SelectionQueries.qWeightedSample,
+    "q_weighted_stratum" -> SelectionQueries.qWeightedStratum,
     "q_psi_drift"       -> SelectionQueries.qPsiDrift,
     "q_unicode_norm"    -> SelectionQueries.qUnicodeNorm,
   )
@@ -415,6 +416,7 @@ object SparkEntry {
     "q_blocklist" -> TextQueries.blocklistOracle,
     "q_dsir" -> SelectionQueries.dsirWeightsOracle,
     "q_weighted_sample" -> SelectionQueries.weightedSampleOracle,
+    "q_weighted_stratum" -> SelectionQueries.weightedStratumOracle,
     "q_psi_drift" -> SelectionQueries.psiDriftOracle,
     "q_unicode_norm" -> SelectionQueries.unicodeNormOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means

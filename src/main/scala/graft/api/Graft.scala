@@ -2352,17 +2352,47 @@ object Graft {
     * Scale shape: the key is a shuffle-free projection;
     * top-k is orderBy+limit → TakeOrderedAndProject (per-partition
     * heaps, no global sort); the rank window runs over k rows. */
+  /** The Efraimidis–Spirakis A-Res selection key ln(u)/w with the
+    * engine's deterministic 31-bit LCG as u — shared by
+    * [[weightedSample]], [[weightedSamplePerStratum]], and the
+    * incremental reservoir ([[graft.streaming.IncrementalReservoir]]),
+    * so their kept sets agree exactly by construction. */
+  private[graft] def aresKey(id: Column, weight: Column): Column = {
+    val u = ((pmod(id.cast("long"), lit(2147483648L)) * 1103515245L + 12345L)
+      % 2147483648L).cast("double")
+    log((u + 0.5d) / 2147483648.0d) / weight.cast("double")
+  }
+
   def weightedSample(df: DataFrame, id: String, weight: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val u = ((pmod(col(id).cast("long"), lit(2147483648L)) * 1103515245L + 12345L)
-      % 2147483648L).cast("double")
-    val key = log((u + 0.5d) / 2147483648.0d) / col(weight).cast("double")
     val top = df.filter(col(weight).cast("double") > 0.0d)
-      .select(col(id), col(weight), key.as("__key"))
+      .select(col(id), col(weight), aresKey(col(id), col(weight)).as("__key"))
       .orderBy(col("__key").desc, col(id).asc).limit(k)
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("__key").desc, col(id).asc)).cast("long"))
       .select(col(id), col(weight), col("rank"))
+  }
+
+  /** [[weightedSample]] per stratum — the language/source-balanced form
+    * of the selection step (draw k docs per language, inclusion odds ∝
+    * weight within each). Same key, same determinism guarantees; rank
+    * is 1-based within the stratum.
+    *
+    * Scale shape: the rank-filter window rewrites to WindowGroupLimit
+    * (map-side top-k per stratum before the exchange, the
+    * [[domainCap]] plan), so a monster stratum ships tasks×k rows,
+    * never its full population. One shuffle on the stratum key. */
+  def weightedSamplePerStratum(df: DataFrame, stratum: String, id: String,
+      weight: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("__key").desc, col(id).asc)
+    df.filter(col(weight).cast("double") > 0.0d)
+      .select(col(stratum), col(id), col(weight),
+        aresKey(col(id), col(weight)).as("__key"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(stratum), col(id), col(weight), col("rank").cast("long").as("rank"))
   }
 
   /** Population Stability Index between two corpus snapshots — the

@@ -93,6 +93,25 @@ object SelectionQueries {
       |  row_number() OVER (ORDER BY key DESC, doc_id)::BIGINT AS rank
       |FROM keyed ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
 
+  /** 20 docs per language, weight = n_chars — the language-balanced
+    * selection draw; same key as q_weighted_sample. */
+  def qWeightedStratum(spark: SparkSession, dir: String): DataFrame =
+    Graft.weightedSamplePerStratum(
+      Tables.documents(spark, dir).select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", "doc_id", "n_chars", k = 20)
+
+  val weightedStratumOracle: String =
+    """WITH keyed AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ln((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+      |        + 0.5) / 2147483648.0) / n_chars::DOUBLE AS key
+      |  FROM documents WHERE n_chars > 0
+      |)
+      |SELECT lang, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id)::BIGINT AS rank
+      |FROM keyed
+      |QUALIFY rank <= 20""".stripMargin
+
   // ----- PSI drift between two snapshots -----
 
   /** Snapshot A = even event ids, B = odd — a deterministic split whose

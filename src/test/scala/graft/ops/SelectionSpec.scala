@@ -74,10 +74,13 @@ class SelectionSpec extends SparkTestBase {
     val plan = Graft.dsirWeights(df, "id", "text",
       df.filter($"kind" === "tgt"), "text", buckets = 128)
       .queryExecution.executedPlan.toString
-    // the corpus-scoring subtree must only see broadcast exchanges; the
-    // only hash exchanges belong to the two bounded histogram aggs
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 3,
+    // the histograms run eagerly inside the call (driver-assembled lam
+    // table); the RETURNED plan is the scoring pass alone — a kernel
+    // over the corpus with no hash exchange at all (the only exchange
+    // Spread.widen may add for a narrow test input is round-robin)
+    assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected corpus shuffle in:\n$plan")
+    assert(plan.contains("MapPartitions"), s"expected kernel scoring:\n$plan")
   }
 
   // ----- weightedSample -----
@@ -104,6 +107,25 @@ class SelectionSpec extends SparkTestBase {
     val plan = Graft.weightedSample(df, "id", "w", 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("weightedSamplePerStratum: k per stratum, same key as the global sampler, " +
+    "WindowGroupLimit plan") {
+    val df = (0L until 300L)
+      .map(i => (s"s${i % 3}", i, (i % 7 + 1).toDouble)).toDF("g", "id", "w")
+    val out = Graft.weightedSamplePerStratum(df, "g", "id", "w", 15).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 45)
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == (1L to 15L) })
+    // within one stratum the kept set equals the global sampler run on
+    // that stratum alone (shared key => shared selection)
+    val s0global = Graft.weightedSample(df.filter($"g" === "s0"), "id", "w", 15)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._1 == "s0").map(_._2).toSet === s0global)
+    val plan = Graft.weightedSamplePerStratum(df, "g", "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected map-side top-k:\n$plan")
   }
 
   // ----- psiDrift -----

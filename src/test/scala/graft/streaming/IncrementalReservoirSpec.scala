@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.api.Graft
+
+/** Incremental weighted reservoir ([[IncrementalReservoir]]): after
+  * every batch the store equals the batch
+  * [[Graft.weightedSamplePerStratum]] over everything admitted so far
+  * (exact, not approximate), replays are idempotent, and a crashed
+  * store-swap rolls forward. */
+class IncrementalReservoirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(from: Long, until: Long) =
+    (from until until)
+      .map(i => (s"l${i % 3}", i, (i % 11 + 1).toDouble))
+      .toDF("lang", "doc_id", "w")
+
+  private def sampleSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("store equals the batch sampler over all arrivals, after every batch") {
+    val store = Files.createTempDirectory("resv-").toString
+    IncrementalReservoir.init(spark, store)
+    val batches = Seq(docs(0, 50), docs(50, 120), docs(120, 200))
+    var seen = docs(0, 0)
+    for (b <- batches) {
+      seen = seen.unionByName(b)
+      val got = sampleSet(
+        IncrementalReservoir.admitBatch(b, "lang", "doc_id", "w", 10, store))
+      val want = sampleSet(
+        Graft.weightedSamplePerStratum(seen, "lang", "doc_id", "w", 10)
+          .toDF("stratum", "id", "weight", "rank"))
+      assert(got === want, "incremental store must equal the batch sampler")
+    }
+  }
+
+  test("replayed batch leaves the store unchanged (at-least-once safety)") {
+    val store = Files.createTempDirectory("resv-replay-").toString
+    IncrementalReservoir.init(spark, store)
+    IncrementalReservoir.admitBatch(docs(0, 80), "lang", "doc_id", "w", 7, store)
+    val after1 = sampleSet(IncrementalReservoir.current(spark, store))
+    IncrementalReservoir.admitBatch(docs(0, 80), "lang", "doc_id", "w", 7, store)
+    assert(sampleSet(IncrementalReservoir.current(spark, store)) === after1)
+    // evicted rows can never re-enter: offering them again changes nothing
+    IncrementalReservoir.admitBatch(docs(0, 40), "lang", "doc_id", "w", 7, store)
+    assert(sampleSet(IncrementalReservoir.current(spark, store)) === after1)
+  }
+
+  test("a crash between the swap renames rolls forward on next entry") {
+    val store = Files.createTempDirectory("resv-crash-").toString
+    IncrementalReservoir.init(spark, store)
+    IncrementalReservoir.admitBatch(docs(0, 60), "lang", "doc_id", "w", 5, store)
+    val before = sampleSet(IncrementalReservoir.current(spark, store))
+    // simulate: live moved aside, new dir never swapped in
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$store/sample"),
+      new org.apache.hadoop.fs.Path(s"$store/__old_sample")))
+    assert(sampleSet(IncrementalReservoir.current(spark, store)) === before,
+      "recover() must restore the moved-aside store")
+    // and the next admit proceeds normally
+    val got = sampleSet(
+      IncrementalReservoir.admitBatch(docs(60, 100), "lang", "doc_id", "w", 5, store))
+    val want = sampleSet(
+      Graft.weightedSamplePerStratum(docs(0, 100), "lang", "doc_id", "w", 5)
+        .toDF("stratum", "id", "weight", "rank"))
+    assert(got === want)
+  }
+
+  test("zero and negative weights are never admitted") {
+    val store = Files.createTempDirectory("resv-w-").toString
+    IncrementalReservoir.init(spark, store)
+    val b = Seq(("a", 1L, 0.0), ("a", 2L, -3.0), ("a", 3L, 1.0)).toDF("lang", "doc_id", "w")
+    val got = IncrementalReservoir.admitBatch(b, "lang", "doc_id", "w", 5, store)
+    assert(got.select(col("id")).collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+}
