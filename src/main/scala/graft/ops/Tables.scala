@@ -14,14 +14,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and truncate to
-    * micros (lossless here: the generator emits micro-precision values)
-    * so `ts` is a regular TimestampType for windows/watermarks. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (older
+    * fixture generations — Spark's vectorized reader rejects it unless
+    * nanos are read as long) and TIMESTAMP(MICROS) (current). Dispatch
+    * on the type the scan actually produced so both generations load:
+    * nanos-as-long → truncate to micros (lossless: the generator emits
+    * micro-precision values); native timestamp / NTZ → cast to the
+    * session-zoned TimestampType (a numeric no-op under the UTC session
+    * timezone every entrypoint pins). Downstream always sees a regular
+    * TimestampType for windows/watermarks. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

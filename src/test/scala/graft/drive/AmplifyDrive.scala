@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *    (copy 0 = identity): within-copy inner products are bit-preserved
   *    (⟨D·a, D·b⟩ = ⟨a,b⟩), cross-copy cosines concentrate near 0, so
   *    kNN/near-dup candidate structure replicates per copy;
-  *  - `events.ts` is kept as raw nanos LONG (read with nanosAsLong) so
-  *    the amplified dir round-trips through `Tables.events` unchanged;
+  *  - `events.ts` is copied as whatever physical type the fixture
+  *    carries (nanos-as-long on older generations, TIMESTAMP(MICROS)
+  *    on current ones) — `Tables.events` dispatches on the scanned
+  *    type, so the amplified dir round-trips unchanged;
   *    timestamps are NOT shifted — ×10 rows per window models a ×10
   *    event rate, which is what a bigger deployment looks like.
   */
