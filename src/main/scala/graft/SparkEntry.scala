@@ -84,6 +84,7 @@ object SparkEntry {
     "q_multimodal_png" -> MultimodalQueries.qMultimodalPng,
     "q_multimodal_resize" -> MultimodalQueries.qMultimodalResize,
     "q_multimodal_resize2d" -> MultimodalQueries.qMultimodalResize2d,
+    "q_multimodal_jpeg" -> MultimodalQueries.qMultimodalJpeg,
     "q_drop_boilerplate_lines" -> TextQueries.qDropBoilerplateLines,
     "q_decontaminate"   -> TextQueries.qDecontaminate,
     "q_lm_bits"         -> TextQueries.qLmBits,
@@ -376,6 +377,7 @@ object SparkEntry {
     "q_multimodal_png" -> MultimodalQueries.pngOracle,
     "q_multimodal_resize" -> MultimodalQueries.resizeOracle,
     "q_multimodal_resize2d" -> MultimodalQueries.resize2dOracle,
+    "q_multimodal_jpeg" -> MultimodalQueries.jpegOracle,
     "q_drop_boilerplate" -> TextQueries.dropBoilerplateOracle,
     "q_drop_boilerplate_lines" -> TextQueries.dropBoilerplateLinesOracle,
     "q_decontaminate" -> TextQueries.decontaminateOracle,

@@ -50,9 +50,18 @@ object MultimodalQueries {
       blob.length >= PngMagic.length && java.util.Arrays.equals(
         java.util.Arrays.copyOf(blob, PngMagic.length), PngMagic)
 
-    private def readPng(blob: Array[Byte]): java.awt.image.BufferedImage = {
+    /** JPEG/JFIF sniff: every JPEG stream starts SOI (FF D8) followed by
+      * a marker byte FF — three bytes are enough to dispatch and short
+      * enough to never false-positive on the ASCII fixtures. */
+    def isJpeg(blob: Array[Byte]): Boolean =
+      blob.length >= 3 && blob(0) == 0xff.toByte && blob(1) == 0xd8.toByte &&
+        blob(2) == 0xff.toByte
+
+    def isImage(blob: Array[Byte]): Boolean = isPng(blob) || isJpeg(blob)
+
+    private def readImage(blob: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
-      require(img != null, "ImageIO could not decode PNG blob")
+      require(img != null, "ImageIO could not decode image blob")
       img
     }
 
@@ -76,17 +85,17 @@ object MultimodalQueries {
       out
     }
 
-    def decodePng(blob: Array[Byte]): Array[Int] = luminance(readPng(blob))
+    def decodePng(blob: Array[Byte]): Array[Int] = luminance(readImage(blob))
 
     def decode(blob: Array[Byte]): Array[Int] =
-      if (isPng(blob)) decodePng(blob) else blob.map(b => (b & 0xff))
+      if (isImage(blob)) luminance(readImage(blob)) else blob.map(b => (b & 0xff))
 
-    /** Decode keeping true dimensions: PNGs report the codec's (w, h);
-      * raw byte blobs are a 1-row stream (len, 1). Row-major pixels.
-      * One codec pass — dims come from the same decoded image. */
+    /** Decode keeping true dimensions: PNGs/JPEGs report the codec's
+      * (w, h); raw byte blobs are a 1-row stream (len, 1). Row-major
+      * pixels. One codec pass — dims come from the same decoded image. */
     def decodeWithDims(blob: Array[Byte]): (Int, Int, Array[Int]) =
-      if (isPng(blob)) {
-        val img = readPng(blob)
+      if (isImage(blob)) {
+        val img = readImage(blob)
         (img.getWidth, img.getHeight, luminance(img))
       } else (blob.length, 1, blob.map(b => (b & 0xff)))
 
@@ -244,6 +253,87 @@ object MultimodalQueries {
         }
       }(enc)
   }
+
+  /** Row-major gray JPEG of `bytes` at explicit quality 0.92. Same
+    * TYPE_INT_RGB gray trick as [[encodeGrayPng]]; unlike PNG the codec
+    * is LOSSY, so only the geometry survives bit-exactly — which is
+    * exactly what [[qMultimodalJpeg]] grades. Quality is pinned
+    * MODE_EXPLICIT (not the writer default) so the encoded stream is
+    * stable against JDK default changes. */
+  private def encodeGrayJpeg(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < w * h) {
+      val v = bytes(i) & 0xff
+      img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.92f)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  /** Fixture bytes → real 64-wide gray JPEGs (h = len/64, trailing
+    * partial row dropped — same geometry contract as the 2-D PNG
+    * table). Encode is CPU-bound per row → conditional widen off the
+    * single fixture split. */
+  def jpegMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+    mediaTable(spark, dir).select(col("doc_id"), col("blob"))
+      .filter(length(col("blob")) >= 64)
+      .transform(Spread.widen)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), encodeGrayJpeg(bytes, 64, bytes.length / 64))
+        }
+      }(enc)
+  }
+
+  private val jpegSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_px", LongType)))
+
+  /** The graded JPEG entry: encode fixtures as genuine 64×h JPEGs,
+    * sniff-dispatch into the ImageIO decode path, and emit the
+    * codec-reported geometry. JPEG is lossy so pixel VALUES can't sit
+    * under a cross-engine hash oracle (and are codec-version
+    * sensitive) — but the geometry is lossless and deterministic from
+    * the fixture length, so dims + pixel count get the full hash
+    * check; pixel-error bounds live in MultimodalSpec. */
+  def qMultimodalJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(jpegSchema)
+    jpegMediaTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](1)
+        require(DecodeStub.isJpeg(blob), "jpegMediaTable emitted a non-JPEG blob")
+        val (w, h, px) = DecodeStub.decodeWithDims(blob)
+        Row(r.getLong(0), w.toLong, h.toLong, px.length.toLong)
+      }
+    }(enc)
+  }
+
+  val jpegOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    octet_length(encode(regexp_replace(text, '[^ -~]', '', 'g'))) AS len
+      |  FROM documents
+      |)
+      |SELECT doc_id, 64::BIGINT AS width, (len // 64)::BIGINT AS height,
+      |  (64 * (len // 64))::BIGINT AS n_px
+      |FROM n WHERE len >= 64""".stripMargin
 
   /** The graded real-codec entry: encode fixtures as actual PNGs, decode
     * them back through [[DecodeStub.decodePng]] (magic-byte dispatch

@@ -78,6 +78,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(DecodeStub.resizeNearest(bpx, bw, bh, 2, 1).toSeq === Seq(10, 30))
   }
 
+  test("JPEG blobs sniff-dispatch into ImageIO with true dims and bounded " +
+      "pixel error") {
+    // smooth gradient: lossy DCT error stays small on low-frequency content
+    val w = 32; val h = 8
+    val src = Array.tabulate(h, w)((y, x) => ((x * 8 + y * 4) % 256))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = src(y)(x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    val blob = out.toByteArray
+    assert(MultimodalQueries.DecodeStub.isJpeg(blob) && !MultimodalQueries.DecodeStub.isPng(blob))
+    val (dw, dh, px) = MultimodalQueries.DecodeStub.decodeWithDims(blob)
+    assert((dw, dh) === (w, h))
+    val flat = src.flatten
+    val mae = px.indices.map(i => math.abs(px(i) - flat(i))).sum.toDouble / px.length
+    assert(mae <= 6.0, s"JPEG decode mean abs error $mae above bound on a smooth gradient")
+  }
+
+  test("q_multimodal_jpeg: fixture blobs are genuine JPEGs; geometry is " +
+      "lossless and pixel error bounded even on high-frequency text bytes") {
+    val dir = "/root/testdata/sf0.001"
+    val media = MultimodalQueries.jpegMediaTable(spark, dir).collect()
+    assert(media.nonEmpty)
+    assert(media.forall(r => MultimodalQueries.DecodeStub.isJpeg(r.getAs[Array[Byte]](1))),
+      "jpegMediaTable emitted a non-JPEG blob")
+    val srcBytes = MultimodalQueries.mediaTable(spark, dir)
+      .select("doc_id", "blob").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // geometry: codec-reported dims equal the 64-wide layout of the
+    // source bytes — the exact contract the DuckDB hash oracle states
+    media.take(25).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, px) = MultimodalQueries.DecodeStub.decodeWithDims(r.getAs[Array[Byte]](1))
+      val n = srcBytes(id).length
+      assert((w, h) === (64, n / 64), s"doc $id: JPEG geometry diverged")
+      // lossy values, bounded error: printable-ASCII text bytes are
+      // high-frequency content, so the bound is loose but must hold
+      val flat = srcBytes(id).take(64 * (n / 64)).map(_ & 0xff)
+      val mae = px.indices.map(i => math.abs(px(i) - flat(i))).sum.toDouble / px.length
+      assert(mae <= 24.0, s"doc $id: JPEG decode MAE $mae above bound")
+    }
+    // the gate query's output equals the oracle's arithmetic
+    val gate = MultimodalQueries.qMultimodalJpeg(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    gate.foreach { case (id, (w, h, npx)) =>
+      val n = srcBytes(id).length
+      assert((w, h, npx) === ((64L, (n / 64).toLong, (64L * (n / 64)))), s"doc $id gate row")
+    }
+  }
+
   test("q_multimodal_png: fixture-derived blobs are genuine PNGs and decode " +
       "round-trips to the source bytes exactly") {
     val dir = "/root/testdata/sf0.001"
