@@ -131,6 +131,9 @@ object SparkEntry {
     "q_weighted_stratum" -> SelectionQueries.qWeightedStratum,
     "q_psi_drift"       -> SelectionQueries.qPsiDrift,
     "q_unicode_norm"    -> SelectionQueries.qUnicodeNorm,
+    "q_soft_dedup"      -> CurationQueries.qSoftDedup,
+    "q_novelty"         -> CurationQueries.qNovelty,
+    "q_zipf"            -> MiningQueries.qZipf,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -421,6 +424,9 @@ object SparkEntry {
     "q_weighted_stratum" -> SelectionQueries.weightedStratumOracle,
     "q_psi_drift" -> SelectionQueries.psiDriftOracle,
     "q_unicode_norm" -> SelectionQueries.unicodeNormOracle,
+    "q_soft_dedup" -> CurationQueries.softDedupOracle,
+    "q_novelty" -> CurationQueries.noveltyOracle,
+    "q_zipf" -> MiningQueries.zipfOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -2563,4 +2563,143 @@ object Graft {
       }
       .toDF(id, "n_tokens", "n_bad", "kept")
   }
+
+  // ---------- soft dedup / novelty / vocabulary spectrum ----------
+
+  /** Tie-safe 4-decimal cut used by the operators below: floor(x·1e4 +
+    * 0.5) in doubles on BOTH engines — Spark round() (decimal-string
+    * HALF_UP) and DuckDB round() (binary) disagree exactly at the
+    * .00005 ties these small-integer ratios land on. */
+  private def cut4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Soft deduplication — reweight common content instead of dropping
+    * it (the SoftDeDup/SlimPajama curation move): a document whose word
+    * n-grams each appear in many other documents is "common" and gets a
+    * proportionally smaller sampling weight; pristine-unique content
+    * keeps weight 1.0. Commonness = mean corpus document-frequency of
+    * the doc's DISTINCT n-grams (≥ 1); weight = 1/commonness ∈ (0, 1].
+    * Unlike hard dedup ([[dedupExact]], minhash) nothing is removed —
+    * the weight column feeds [[weightedSample]]/[[mixtureWeights]]-style
+    * downstream sampling, which is how you keep one Wikipedia while not
+    * training on it 8000 times.
+    *
+    * Scale shape: distinct-per-doc grams are exploded once
+    * (array_distinct BEFORE the explode — the dedup is map-side), the
+    * gram document-frequency table is a keyed agg with map-side partial
+    * combine, and the df lookup is an equi-join on the gram hash
+    * partitioning Catalyst already produced for the agg (exchange
+    * reuse) — linear rows, no pairwise term anywhere. The (sum_df,
+    * n_grams) pair aggregates as exact longs; the ratio is cut to 4
+    * decimals with the tie-safe floor form on both engines. */
+  def softDedupWeights(df: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    // tokens() is projected to an attribute BEFORE wordGrams (a HOF
+    // lambda re-evaluates any non-attribute subtree per element — the
+    // fused form re-splits the text once per gram, measured 2.7× at
+    // sf0.1), and what shuffles to the df agg + join is the gram's
+    // 64-bit hash, never the n-word string (the q_dup_spans rule:
+    // hash-collision-exact at ≪10⁻⁹ for billions of grams)
+    val grams = df.select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), explode(array_distinct(wordGrams(col("__ts"), n))).as("__s"))
+      .select(col(id), xxhash64(col("__s")).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(dfreq, Seq("__g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__ng"), sum(col("__df")).as("__sumdf"))
+    df.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__ng"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(cut4(col("__sumdf").cast("double") / col("__ng").cast("double")),
+          lit(1.0)).as("commonness"),
+        coalesce(cut4(col("__ng").cast("double") / col("__sumdf").cast("double")),
+          lit(1.0)).as("weight"))
+  }
+
+  /** n-gram novelty — the inverse lens of [[softDedupWeights]]: the
+    * fraction of a document's distinct word n-grams that occur in NO
+    * other document (global document frequency exactly 1). High-novelty
+    * docs carry content the corpus has nowhere else — the "keep at any
+    * cost" tail of a curation pass; near-zero novelty means the doc is
+    * reconstructible from the rest of the corpus (boilerplate, mirrors,
+    * template spam). Docs too short to form a single n-gram report
+    * (0, 0, 0.0).
+    *
+    * Scale shape: identical lineage to [[softDedupWeights]] — one
+    * map-side-distinct gram explode, one df agg, one exchange-reused
+    * equi-join, one per-doc re-agg; the novelty ratio is exact-long
+    * arithmetic until the final tie-safe 4-decimal cut. */
+  def ngramNovelty(df: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    // same tokens-to-attribute projection + 64-bit gram hashing as
+    // softDedupWeights (HOF lambdas re-evaluate non-attribute subtrees
+    // per element; hashes shuffle, strings don't)
+    val grams = df.select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), explode(array_distinct(wordGrams(col("__ts"), n))).as("__s"))
+      .select(col(id), xxhash64(col("__s")).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(dfreq, Seq("__g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__df") === 1L, lit(1L)).otherwise(lit(0L))).as("__nov"))
+    df.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__ng"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("__nov"), lit(0L)).cast("long").as("novel_grams"),
+        coalesce(cut4(col("__nov").cast("double") / col("__ng").cast("double")),
+          lit(0.0)).as("novelty"))
+  }
+
+  /** Zipf rank–frequency spectrum — the corpus-health diagnostic: OLS
+    * slope of log10(freq) against log10(rank) over the top-`topK`
+    * vocabulary (natural text sits near −1; slope drifting toward 0
+    * flags template/boilerplate floods, much steeper flags vocabulary
+    * collapse). One row: (slope, intercept, top_k, n_types, n_tokens).
+    *
+    * Cross-engine determinism: each per-rank OLS component
+    * (log10 r, log10 f, and their products) is quantized to integer
+    * MICROS (floor(x·1e6 + 0.5) — the tie-safe form) and summed as
+    * exact longs, so the driver-side arithmetic sees bit-identical
+    * inputs regardless of summation order; the slope itself is then cut
+    * to 4 decimals. Tied frequencies make the (rank, freq) multiset —
+    * and hence every sum — invariant to HOW ties are broken, so engine
+    * collation differences can't shift the answer, including at the
+    * top-K cutoff.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (a keyed agg
+    * with map-side combine over the corpus scan), the top-K cut is a
+    * distributed TakeOrderedAndProject (never a global sort of the
+    * vocabulary), and the window that assigns ranks runs over exactly
+    * `topK` surviving rows. */
+  def zipfSlope(df: DataFrame, text: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val freq = df.select(explode(tokens(col(text))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val totals = freq.agg(count(lit(1)).cast("long").as("n_types"),
+      sum(col("__c")).cast("long").as("n_tokens"))
+    val top = freq.orderBy(col("__c").desc, col("__w").asc).limit(topK)
+    val ranked = top.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c").desc, col("__w").asc))
+        .cast("double"))
+    val lx = log10(col("__r"))
+    val ly = log10(col("__c").cast("double"))
+    def micros(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val s = ranked.select(micros(lx).as("__x"), micros(ly).as("__y"),
+        micros(lx * lx).as("__xx"), micros(lx * ly).as("__xy"))
+      .agg(count(lit(1)).as("__k"), sum(col("__x")).as("__sxl"),
+        sum(col("__y")).as("__syl"), sum(col("__xx")).as("__sxxl"),
+        sum(col("__xy")).as("__sxyl"))
+    val k = col("__k").cast("double")
+    val sx = col("__sxl").cast("double") / lit(1e6)
+    val sy = col("__syl").cast("double") / lit(1e6)
+    val sxx = col("__sxxl").cast("double") / lit(1e6)
+    val sxy = col("__sxyl").cast("double") / lit(1e6)
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    s.crossJoin(broadcast(totals))
+      .select(cut4(slope).as("slope"),
+        cut4((sy - slope * sx) / k).as("intercept"),
+        col("__k").cast("long").as("top_k"),
+        col("n_types"), col("n_tokens"))
+  }
 }

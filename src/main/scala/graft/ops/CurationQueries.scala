@@ -181,4 +181,67 @@ object CurationQueries {
     * and the subset relation vs the complete [[Graft.embedNearDup]]. */
   def qSemDedup(spark: SparkSession, dir: String): DataFrame =
     Graft.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+
+  // ----- soft deduplication weights -----
+
+  /** Per-doc sampling weight discounting 3-gram commonness
+    * ([[Graft.softDedupWeights]]): duplicated/templated docs weigh
+    * toward 1/copies, pristine-unique docs stay at 1.0. */
+  def qSoftDedup(spark: SparkSession, dir: String): DataFrame =
+    Graft.softDedupWeights(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 3)
+
+  val softDedupOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(ts) - 2, 0)),
+      |    i -> array_to_string(ts[(i+1)::INT:(i+3)::INT], ' ')))) AS g
+      |  FROM toks
+      |), dfreq AS (
+      |  SELECT g, count(*)::BIGINT AS df FROM g GROUP BY g
+      |), per AS (
+      |  SELECT doc_id, count(*)::BIGINT AS ng, sum(df)::BIGINT AS sumdf
+      |  FROM g JOIN dfreq USING (g) GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(p.ng, 0)::BIGINT AS n_grams,
+      |  coalesce(floor((p.sumdf::DOUBLE / p.ng::DOUBLE) * 1e4 + 0.5::DOUBLE)
+      |    / 1e4, 1.0::DOUBLE) AS commonness,
+      |  coalesce(floor((p.ng::DOUBLE / p.sumdf::DOUBLE) * 1e4 + 0.5::DOUBLE)
+      |    / 1e4, 1.0::DOUBLE) AS weight
+      |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  // ----- n-gram novelty -----
+
+  /** Fraction of each doc's distinct 3-grams found nowhere else in the
+    * corpus ([[Graft.ngramNovelty]]) — the keep-at-any-cost lens. */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    Graft.ngramNovelty(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 3)
+
+  val noveltyOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(ts) - 2, 0)),
+      |    i -> array_to_string(ts[(i+1)::INT:(i+3)::INT], ' ')))) AS g
+      |  FROM toks
+      |), dfreq AS (
+      |  SELECT g, count(*)::BIGINT AS df FROM g GROUP BY g
+      |), per AS (
+      |  SELECT doc_id, count(*)::BIGINT AS ng,
+      |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS nov
+      |  FROM g JOIN dfreq USING (g) GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(p.ng, 0)::BIGINT AS n_grams,
+      |  coalesce(p.nov, 0)::BIGINT AS novel_grams,
+      |  coalesce(floor((p.nov::DOUBLE / p.ng::DOUBLE) * 1e4 + 0.5::DOUBLE)
+      |    / 1e4, 0.0::DOUBLE) AS novelty
+      |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
 }

@@ -380,4 +380,48 @@ object MiningQueries {
        |  SELECT * FROM scored ORDER BY scored.pmi DESC, w1, w2 LIMIT $PmiK
        |)
        |SELECT w1, w2, c12, round(pmi, 4) AS pmi FROM sel""".stripMargin
+
+  // ----- Zipf rank–frequency spectrum -----
+
+  /** OLS slope of the log-log rank–frequency curve over the top-1000
+    * vocabulary ([[Graft.zipfSlope]]); natural text sits near −1. */
+  def qZipf(spark: SparkSession, dir: String): DataFrame =
+    Graft.zipfSlope(Tables.documents(spark, dir).select(col("text")),
+      "text", 1000)
+
+  val zipfOracle: String =
+    """WITH f AS (
+      |  SELECT w, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY w
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens FROM f
+      |), top AS (
+      |  SELECT c, r FROM (
+      |    SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM f)
+      |  WHERE r <= 1000
+      |), q AS (
+      |  SELECT
+      |    floor(log10(r::DOUBLE) * 1e6 + 0.5::DOUBLE)::BIGINT AS x,
+      |    floor(log10(c::DOUBLE) * 1e6 + 0.5::DOUBLE)::BIGINT AS y,
+      |    floor(log10(r::DOUBLE) * log10(r::DOUBLE) * 1e6 + 0.5::DOUBLE)::BIGINT AS xx,
+      |    floor(log10(r::DOUBLE) * log10(c::DOUBLE) * 1e6 + 0.5::DOUBLE)::BIGINT AS xy
+      |  FROM top
+      |), s AS (
+      |  SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |    sum(xx)::BIGINT AS sxx, sum(xy)::BIGINT AS sxy
+      |  FROM q
+      |)
+      |SELECT
+      |  floor(((k::DOUBLE * (sxy::DOUBLE / 1e6) - (sx::DOUBLE / 1e6) * (sy::DOUBLE / 1e6))
+      |    / (k::DOUBLE * (sxx::DOUBLE / 1e6) - (sx::DOUBLE / 1e6) * (sx::DOUBLE / 1e6)))
+      |    * 1e4 + 0.5::DOUBLE) / 1e4 AS slope,
+      |  floor((((sy::DOUBLE / 1e6)
+      |    - ((k::DOUBLE * (sxy::DOUBLE / 1e6) - (sx::DOUBLE / 1e6) * (sy::DOUBLE / 1e6))
+      |       / (k::DOUBLE * (sxx::DOUBLE / 1e6) - (sx::DOUBLE / 1e6) * (sx::DOUBLE / 1e6)))
+      |      * (sx::DOUBLE / 1e6)) / k::DOUBLE)
+      |    * 1e4 + 0.5::DOUBLE) / 1e4 AS intercept,
+      |  k AS top_k, n_types, n_tokens
+      |FROM s CROSS JOIN tot""".stripMargin
 }

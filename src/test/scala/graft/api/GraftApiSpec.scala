@@ -668,6 +668,53 @@ class GraftApiSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("softDedupWeights: duplicated docs weigh toward 1/copies, unique docs " +
+      "keep 1.0, short docs report no grams") {
+    val tpl = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, tpl), (2L, tpl), (3L, tpl),           // 3 exact copies
+      (4L, "one two three four five six seven"), // unique
+      (5L, "hi")                                 // too short for a 3-gram
+    ).toDF("k", "body")
+    val got = Graft.softDedupWeights(docs, "k", "body", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // every 3-gram of the template appears in all 3 copies → df = 3
+    assert(got(1L) === ((4L, 3.0, 0.3333)))
+    assert(got(2L) === got(1L) && got(3L) === got(1L))
+    assert(got(4L) === ((5L, 1.0, 1.0)))
+    assert(got(5L) === ((0L, 1.0, 1.0)))
+  }
+
+  test("ngramNovelty: shared grams aren't novel, unique docs are fully novel, " +
+      "short docs report zero") {
+    val docs = Seq(
+      (1L, "a b c d e"),   // grams: "a b c","b c d","c d e"
+      (2L, "a b c x y z"), // shares "a b c" with doc 1
+      (3L, "p q r s"),     // fully novel
+      (4L, "hi")           // no grams
+    ).toDF("k", "body")
+    val got = Graft.ngramNovelty(docs, "k", "body", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 0.6667))) // "a b c" has df 2
+    assert(got(2L) === ((4L, 3L, 0.75)))
+    assert(got(3L) === ((2L, 2L, 1.0)))
+    assert(got(4L) === ((0L, 0L, 0.0)))
+  }
+
+  test("zipfSlope recovers ~-1 on a synthetic 1/r corpus and reports exact " +
+      "type/token counts") {
+    // freq(w_r) = round(120/r): 120 60 40 30 24 20 ... near-perfect Zipf
+    val words = (1 to 12).map(r => (s"w$r", math.round(120.0 / r).toInt))
+    val text = words.flatMap { case (w, c) => Seq.fill(c)(w) }.mkString(" ")
+    val docs = Seq(Tuple1(text)).toDF("body")
+    val row = Graft.zipfSlope(docs, "body", 1000).collect().head
+    val (slope, k, types, toks) =
+      (row.getDouble(0), row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope")
+    assert(k === 12L && types === 12L)
+    assert(toks === words.map(_._2.toLong).sum)
+  }
+
   test("sampleKPerStratum returns exactly k rows per stratum, deterministically") {
     val rows = (0L until 3000L).map(i => (i, s"s${i % 5}")).toDF("rid", "st")
     val a = Graft.sampleKPerStratum(rows, "st", "rid", 40)

@@ -373,6 +373,31 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"unexpected join (terms must ride the closure):\n$p")
   }
 
+  test("q_soft_dedup / q_novelty: the df lookup is a hash equi-join on the " +
+      "gram hash — no cartesian, tokens split exactly once per branch") {
+    for (df <- Seq(CurationQueries.qSoftDedup(spark, dir),
+        CurationQueries.qNovelty(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join:\n$p")
+      // the HOF trap pin: tokens() must be projected to an attribute
+      // before the gram lambda references it — a fused form shows the
+      // split() call nested inside transform()'s lambda
+      assert(!p.matches("(?s).*transform\\([^,]*split\\(.*"),
+        s"split re-evaluated inside the gram lambda:\n$p")
+      // grams shuffle as xxhash64 longs, never n-word strings
+      assert(p.contains("xxhash64"), s"gram hashing missing:\n$p")
+    }
+  }
+
+  test("q_zipf: top-K vocabulary cut is a TakeOrderedAndProject, never a " +
+      "global vocabulary sort; counts aggregate map-side") {
+    val p = plan(MiningQueries.qZipf(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
