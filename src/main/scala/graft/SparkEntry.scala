@@ -134,6 +134,10 @@ object SparkEntry {
     "q_soft_dedup"      -> CurationQueries.qSoftDedup,
     "q_novelty"         -> CurationQueries.qNovelty,
     "q_zipf"            -> MiningQueries.qZipf,
+    "q_html_extract"    -> TextQueries.qHtmlExtract,
+    "q_oov_rate"        -> CurationQueries.qOovRate,
+    "q_knn_classify"    -> ClassifyQueries.qKnnClassify,
+    "q_cluster_dedup"   -> DedupQueries.qClusterDedup,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -427,6 +431,10 @@ object SparkEntry {
     "q_soft_dedup" -> CurationQueries.softDedupOracle,
     "q_novelty" -> CurationQueries.noveltyOracle,
     "q_zipf" -> MiningQueries.zipfOracle,
+    "q_html_extract" -> TextQueries.htmlExtractOracle,
+    "q_oov_rate" -> CurationQueries.oovRateOracle,
+    "q_knn_classify" -> ClassifyQueries.knnClassifyOracle,
+    "q_cluster_dedup" -> DedupQueries.clusterDedupOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -1010,6 +1010,35 @@ object Graft {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** k-NN label propagation: classify each `unlabeled` row by the
+    * majority label among its `k` nearest `labeled` neighbors by
+    * cosine (the embedding-space analog of [[nbScore]]'s token-space
+    * classification — pseudo-labeling / label spreading for corpus
+    * annotation). Vote ties break to the smallest label, neighbor
+    * rank ties to the smallest neighbor id (on `round(cos, 12)`, the
+    * [[knn]] contract), so the prediction is bit-stable across
+    * engines and partitionings. Output: (query_id, label_pred, votes).
+    *
+    * Scale shape: inherits [[knn]]'s broadcast-queries/corpus-stays-put
+    * contract — the labeled corpus is scanned once and never shuffled;
+    * the vote resolution runs over |queries|·k rows, which AQE
+    * broadcasts back against nothing (it is the final frame). For
+    * huge query sets, swap the inner [[knn]] for [[ivfKnn]] — the
+    * voting logic is identical. */
+  def knnClassify(labeled: DataFrame, id: String, vec: String, label: String,
+      unlabeled: DataFrame, queryId: String, queryVec: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nn = knn(labeled, id, vec, unlabeled, queryId, queryVec, k)
+    val votes = nn
+      .join(labeled.select(col(id).as("neighbor_id"), col(label).as("__l")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__n").desc, col("__l").asc)
+    votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__l").as("label_pred"), col("__n").cast("long").as("votes"))
+  }
+
   /** Skew-resistant aggregation: two-phase sum/count with an explicit
     * salt derived from a high-cardinality column. A hot key's rows
     * spread over `buckets` reducers in phase 1; phase 2 combines the
@@ -1164,6 +1193,31 @@ object Graft {
       prevSum = s
     }
     (labels, rounds)
+  }
+
+  /** End-to-end near-duplicate corpus dedup: resolve `pairs` (any
+    * near-dup detector's output — minhash/simhash/embedding) into
+    * connected components via [[dupClusters]], then mark one canonical
+    * keeper per cluster — the smallest id, matching every other
+    * keep-first rule in this API. Docs that appear in no pair are
+    * their own singleton cluster and are kept. Output:
+    * (id, cluster_id, kept) over the FULL corpus, so the caller
+    * filters `kept` to dedup or joins `cluster_id` to group.
+    *
+    * Scale shape: the component label table is bounded by the
+    * DUPLICATED doc count (nodes that appear in some pair), ≪ corpus
+    * for any real near-dup rate, so the left join back is an
+    * AQE-broadcast and the corpus itself never shuffles; the expensive
+    * parts (candidate generation, CC rounds) happen on the pair/label
+    * tables, never all-pairs. */
+  def clusterDedup(df: DataFrame, id: String,
+      pairs: DataFrame, idA: String, idB: String): DataFrame = {
+    val cc = dupClusters(pairs, idA, idB)
+      .select(col("id").as("__ccid"), col("cluster_id").as("__cc"))
+    df.select(col(id))
+      .join(cc, col(id) === col("__ccid"), "left")
+      .select(col(id), coalesce(col("__cc"), col(id).cast("long")).as("cluster_id"))
+      .withColumn("kept", col(id) === col("cluster_id"))
   }
 
   // ---------- sampling ----------
@@ -1600,6 +1654,37 @@ object Graft {
         when(qnorm =!= "", concat(lit("?"), qnorm)).otherwise(lit(""))))
     df.select(col(id), scheme.as("scheme"), host.as("host"),
       norm.as("norm_url"))
+  }
+
+  // ---------- HTML main-content extraction ----------
+
+  /** Crawl-to-corpus HTML → text extraction (the trafilatura-class
+    * first step of every web-scale pipeline): strips comments,
+    * `<script>`/`<style>` blocks WITH their contents, then all
+    * remaining tags; decodes the core named entities (`&amp;` last,
+    * so double-encoded text decodes exactly one level); collapses
+    * whitespace. Also reports the outbound link count (`<a` tags seen
+    * before stripping) — the fan-out signal link-graph builders
+    * ([[pageRank]]) consume. Null HTML → empty text, 0 links.
+    *
+    * The regex chain is restricted to the Java/RE2-identical subset
+    * (the [[piiRedact]] rule: no backrefs, no lookaround) so an
+    * external SQL engine replays it byte-for-byte. Everything is a
+    * codegen'd per-row projection — shuffle-free, corpus scanned
+    * exactly once wherever it already lives. Output:
+    * (id, text, n_links). */
+  def htmlExtract(df: DataFrame, id: String, html: String): DataFrame = {
+    val h = coalesce(col(html), lit(""))
+    val noComments = regexp_replace(h, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComments, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    df.select(col(id),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text"),
+      size(regexp_extract_all(h, lit("(?i)<a[\\s>]"), lit(0))).cast("long").as("n_links"))
   }
 
   // ---------- readability ----------
@@ -2649,6 +2734,43 @@ object Graft {
         coalesce(col("__nov"), lit(0L)).cast("long").as("novel_grams"),
         coalesce(cut4(col("__nov").cast("double") / col("__ng").cast("double")),
           lit(0.0)).as("novelty"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary rate: build the corpus's
+    * top-`vocabK` token vocabulary (by total frequency, ties to the
+    * lexicographically smaller token so the cutoff is deterministic),
+    * then score every document by the fraction of its token
+    * OCCURRENCES outside that vocabulary — the tokenizer-fit /
+    * domain-mismatch signal (a doc full of OOV tokens is boilerplate,
+    * another language, or markup the cleaner missed). Output:
+    * (id, n_tokens, oov_tokens, oov_rate) over the full corpus
+    * (token-less docs score 0.0).
+    *
+    * Scale shape: one (doc, token) hash agg over the corpus scan, a
+    * vocabulary-sized total agg cut by a distributed
+    * TakeOrderedAndProject (never a global vocabulary sort), and the
+    * `vocabK`-bounded vocab BROADCAST back against the per-doc term
+    * table — the corpus shuffles only as (doc, token, count) rows,
+    * and the final per-doc agg is keyed on the id. */
+  def oovRate(df: DataFrame, id: String, text: String, vocabK: Int = 100): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val tf = df.select(col(id).as("__id"), explode(tokens(col(text))).as("__w"))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+    val vocab = tf.groupBy(col("__w")).agg(sum(col("__c")).as("__g"))
+      .orderBy(col("__g").desc, col("__w").asc).limit(vocabK)
+      .select(col("__w").as("__v"))
+    val per = tf.join(broadcast(vocab), col("__w") === col("__v"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        sum(when(col("__v").isNull, col("__c")).otherwise(lit(0L))).cast("long").as("oov_tokens"))
+      .withColumnRenamed("__id", "__pid")
+    df.select(col(id))
+      .join(per, col(id) === col("__pid"), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"))
+      .withColumn("oov_rate", cut4(col("oov_tokens").cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double")))
   }
 
   /** Zipf rank–frequency spectrum — the corpus-health diagnostic: OLS

@@ -113,4 +113,48 @@ object ClassifyQueries {
     Seq(num("event_id"), num("user_id"), num("value"), str("event_type"))
       .mkString("\nUNION ALL\n")
   }
+
+  /** k-NN label propagation over the embedding space
+    * ([[graft.api.Graft.knnClassify]]): every 5th vector plays the
+    * unlabeled pseudo-labeling target, classified by majority label
+    * of its 5 nearest labeled neighbors by cosine. */
+  def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.Graft.knnClassify(
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding", "label",
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding", 5)
+  }
+
+  /** The [[SimilarityQueries.knnOracle]] scoring arithmetic
+    * (round(cos, 12), neighbor-id rank ties) restricted to the labeled
+    * side, plus the vote resolution: votes DESC, label ASC. */
+  val knnClassifyOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 5 = 0),
+      |c AS (
+      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))),
+      |      12) AS cos
+      |  FROM c, q WHERE c.vec_id <> q.query_id),
+      |topk AS (
+      |  SELECT query_id, label FROM (
+      |    SELECT query_id, label,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, neighbor_id ASC) AS r
+      |    FROM scored)
+      |  WHERE r <= 5),
+      |votes AS (
+      |  SELECT query_id, label, count(*)::BIGINT AS votes
+      |  FROM topk GROUP BY query_id, label)
+      |SELECT query_id, label AS label_pred, votes FROM (
+      |  SELECT query_id, label, votes,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY votes DESC, label ASC) AS r
+      |  FROM votes)
+      |WHERE r = 1""".stripMargin
 }

@@ -244,4 +244,36 @@ object CurationQueries {
       |  coalesce(floor((p.nov::DOUBLE / p.ng::DOUBLE) * 1e4 + 0.5::DOUBLE)
       |    / 1e4, 0.0::DOUBLE) AS novelty
       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  // ----- out-of-vocabulary rate -----
+
+  /** Per-doc fraction of token occurrences outside the corpus's
+    * top-100 vocabulary ([[Graft.oovRate]]) — the tokenizer-fit /
+    * domain-mismatch lens (100 of the fixture's ~180 distinct tokens,
+    * so the cutoff genuinely splits the vocabulary). */
+  def qOovRate(spark: SparkSession, dir: String): DataFrame =
+    Graft.oovRate(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 100)
+
+  val oovRateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, count(*)::BIGINT AS c FROM t GROUP BY doc_id, w
+      |), vocab AS (
+      |  SELECT w FROM (SELECT w, sum(c)::BIGINT AS g FROM tf GROUP BY w)
+      |  ORDER BY g DESC, w ASC LIMIT 100
+      |), per AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |    sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE c END)::BIGINT AS oov_tokens
+      |  FROM tf GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+      |  coalesce(p.oov_tokens, 0)::BIGINT AS oov_tokens,
+      |  coalesce(floor((p.oov_tokens::DOUBLE
+      |      / greatest(p.n_tokens, 1)::DOUBLE) * 1e4 + 0.5::DOUBLE) / 1e4,
+      |    0.0::DOUBLE) AS oov_rate
+      |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
 }

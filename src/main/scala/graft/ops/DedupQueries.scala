@@ -191,6 +191,35 @@ object DedupQueries {
        |)
        |SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  /** The full dedup TRANSFORM over the whole corpus
+    * ([[graft.api.Graft.clusterDedup]]): minhash pairs → connected
+    * components → one kept canonical (min id) per cluster, singletons
+    * kept as themselves. */
+  def qClusterDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.clusterDedup(
+      Tables.documents(spark, dir), "doc_id",
+      minhashDupesOn(Tables.documents(spark, dir), "doc_id", "text", 0.8),
+      "id_a", "id_b")
+
+  /** [[dupClustersOracle]]'s reachability fixpoint, left-joined back
+    * over the full corpus with the keep-min rule. */
+  val clusterDedupOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |${minhashOracle}
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+       |), cc AS (
+       |  SELECT id, min(r)::BIGINT AS cid FROM reach GROUP BY id
+       |)
+       |SELECT d.doc_id, coalesce(cc.cid, d.doc_id)::BIGINT AS cluster_id,
+       |  (d.doc_id = coalesce(cc.cid, d.doc_id)) AS kept
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.id""".stripMargin
+
   private val SimBits = 62
 
   /** 62-bit SimHash fingerprint per document: bit b set iff the sum of

@@ -595,4 +595,63 @@ object TextQueries {
       |        CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
       |      v -> v IN ('big table', 'full scan')))) <= 2)::BIGINT AS kept
       |FROM tok""".stripMargin
+
+  /** Deterministic messy-HTML synthesis for [[graft.api.Graft
+    * .htmlExtract]]: comment, title, style and script blocks (the
+    * script contains a BARE `<` that must vanish with the block, not
+    * leak into the text), entity-encoded punctuation every 2nd doc,
+    * an outbound link every 3rd doc, and the real fixture text as the
+    * body paragraph. */
+  private def messyHtml = concat(
+    lit("<html><!-- crawl "), col("doc_id"), lit(" --><head><title>Doc "),
+    col("doc_id"), lit("</title><style type=\"text/css\">p { color: red; }</style>"),
+    lit("<script>var x = 1; if (x < 2) { x = 3; }</script></head><body><h1>Doc "),
+    col("doc_id"), lit("</h1><p>"), col("text"), lit("</p>"),
+    when(col("doc_id") % 2 === 0,
+      lit("<p>a &amp; b &lt;tag&gt; &quot;q&quot;&nbsp;end</p>")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<a href=\"https://ex.com/"), col("doc_id"), lit("\">more</a>")))
+      .otherwise(lit("")),
+    lit("</body></html>"))
+
+  def qHtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.htmlExtract(
+      Tables.documents(spark, dir).select(col("doc_id"), messyHtml.as("html")),
+      "doc_id", "html")
+
+  /** The same synthesis and the same RE2-subset regex chain replayed
+    * in SQL ('g' flag — DuckDB replaces first-match-only by default,
+    * Spark replaces all). */
+  val htmlExtractOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><!-- crawl ' || doc_id || ' --><head><title>Doc ' || doc_id ||
+      |    '</title><style type="text/css">p { color: red; }</style>' ||
+      |    '<script>var x = 1; if (x < 2) { x = 3; }</script></head><body><h1>Doc ' ||
+      |    doc_id || '</h1><p>' || text || '</p>' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '<p>a &amp; b &lt;tag&gt; &quot;q&quot;&nbsp;end</p>' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN '<a href="https://ex.com/' || doc_id || '">more</a>' ELSE '' END ||
+      |    '</body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(regexp_replace(
+      |      html,
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+      |      '<[^>]+>', ' ', 'g'),
+      |      '&lt;', '<', 'g'),
+      |      '&gt;', '>', 'g'),
+      |      '&quot;', '"', 'g'),
+      |      '&#39;', '''', 'g'),
+      |      '&nbsp;', ' ', 'g'),
+      |      '&amp;', '&', 'g'),
+      |    '\s+', ' ', 'g')) AS text,
+      |  len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT AS n_links
+      |FROM h""".stripMargin
 }

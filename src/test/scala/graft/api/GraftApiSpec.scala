@@ -727,4 +727,86 @@ class GraftApiSpec extends SparkTestBase {
     val tiny = Seq((1L, "x"), (2L, "x")).toDF("rid", "st")
     assert(Graft.sampleKPerStratum(tiny, "st", "rid", 10).count() === 2)
   }
+
+  test("htmlExtract strips blocks with contents, decodes entities once, counts links") {
+    val docs = Seq(
+      (1L, "<html><!-- hidden --><head><style>p{x:1}</style>" +
+        "<script>if (1 < 2) { bad(); }</script></head>" +
+        "<body><h1>Title</h1><p>hello   world</p>" +
+        "<a href=\"http://a\">x</a><A HREF=\"http://b\">y</A></body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "&amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;done"),
+      (4L, null)
+    ).toDF("k", "page")
+    val out = Graft.htmlExtract(docs, "k", "page")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === ("Title hello world x y", 2L)) // script's bare < gone with the block
+    assert(out(2L) === ("plain text, no markup", 0L))
+    // one decode level only: &amp;amp; -> &amp;, never the double-decode &
+    assert(out(3L) === ("&amp; <b> \"q\" 's' done", 0L))
+    assert(out(4L) === ("", 0L))
+  }
+
+  test("oovRate scores occurrences outside the top-K vocabulary; deterministic cutoff ties") {
+    // freq: aa=4, bb=3, cc=2, dd=1 -> vocab(2) = {aa, bb}
+    val docs = Seq(
+      (1L, "aa aa bb cc"),   // 4 tokens, 1 oov (cc)
+      (2L, "aa bb bb cc dd"),// 5 tokens, 2 oov
+      (3L, "aa"),            // 1 token, 0 oov
+      (4L, "")               // token-less
+    ).toDF("k", "body")
+    val out = Graft.oovRate(docs, "k", "body", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 1L, 0.25)))
+    assert(out(2L) === ((5L, 2L, 0.4)))
+    assert(out(3L) === ((1L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    // cutoff tie: cc and dd both freq 1 with K=3 -> lexicographically
+    // smaller cc enters, same answer on any partitioning
+    val t = Seq((1L, "aa cc"), (2L, "aa dd")).toDF("k", "body")
+    val tied = Graft.oovRate(t, "k", "body", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tied === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("knnClassify predicts the dominant cluster label and breaks vote ties to the smaller label") {
+    // two tight clusters in 4-d: label 1 around e1, label 2 around e2
+    val labeled = (0 until 12).map { i =>
+      val lab = if (i < 6) 1 else 2
+      val v = Array.tabulate(4)(d => if (d == lab - 1) 1.0f + 0.01f * i else 0.02f * d)
+      (100L + i, v, lab)
+    }.toDF("rid", "v", "lab")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.05f, 0f, 0f)), // e1-ish -> label 1
+      (2L, Array(0.05f, 1.0f, 0f, 0f))  // e2-ish -> label 2
+    ).toDF("rid", "v")
+    val out = Graft.knnClassify(labeled, "rid", "v", "lab", queries, "rid", "v", 5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L) === ((1, 5L)))
+    assert(out(2L) === ((2, 5L)))
+    // exactly symmetric neighbors, k=2 -> 1 vote each, tie -> smaller label
+    val sym = Seq(
+      (101L, Array(1.0f, 0f, 0f, 0f), 2), (102L, Array(0f, 1.0f, 0f, 0f), 1),
+      (103L, Array(0f, 0f, 1.0f, 0f), 1), (104L, Array(0f, 0f, 0f, 1.0f), 2)
+    ).toDF("rid", "v", "lab")
+    val mid = Seq((9L, Array(1.0f, 1.0f, 0f, 0f))).toDF("rid", "v")
+    val tie = Graft.knnClassify(sym, "rid", "v", "lab", mid, "rid", "v", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).head
+    assert(tie === ((1, 1L)))
+  }
+
+  test("clusterDedup keeps one canonical per component and every singleton") {
+    val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("k", "body")
+    // components: {1,2,3} (chain), {5,7}; singletons 4, 6, 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("a", "b")
+    val out = Graft.clusterDedup(corpus, "k", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((5L, true)), 6L -> ((6L, true)),
+      7L -> ((5L, false)), 8L -> ((8L, true))))
+    // no pairs at all: everything is its own kept singleton
+    val none = Graft.clusterDedup(corpus, "k", pairs.filter($"a" < 0), "a", "b")
+    assert(none.filter($"kept").count() === 8)
+  }
 }

@@ -398,6 +398,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
   }
 
+  test("q_html_extract is a shuffle-free per-row regex projection") {
+    val p = plan(TextQueries.qHtmlExtract(spark, dir))
+    assert(!p.contains("Exchange"), s"html extraction must not shuffle:\n$p")
+    assert(!p.contains("props"), s"unused columns not pruned:\n$p")
+  }
+
+  test("q_oov_rate: the vocabulary cut is a TakeOrderedAndProject and the " +
+      "vocab joins back as a broadcast — the term table never re-shuffles on the word") {
+    val p = plan(CurationQueries.qOovRate(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k vocab cut:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join:\n$p")
+  }
+
+  test("q_knn_classify: scoring inherits knn's broadcast-queries shape; " +
+      "vote resolution adds no cartesian") {
+    val p = plan(ClassifyQueries.qKnnClassify(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries must broadcast against the unshuffled corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.toLowerCase.contains("floatvecdot"), s"native dot product missing:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase
