@@ -138,6 +138,8 @@ object SparkEntry {
     "q_oov_rate"        -> CurationQueries.qOovRate,
     "q_knn_classify"    -> ClassifyQueries.qKnnClassify,
     "q_cluster_dedup"   -> DedupQueries.qClusterDedup,
+    "q_anchor_extract"  -> TextQueries.qAnchorExtract,
+    "q_chunk_windows"   -> TextQueries.qChunkWindows,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -435,6 +437,8 @@ object SparkEntry {
     "q_oov_rate" -> CurationQueries.oovRateOracle,
     "q_knn_classify" -> ClassifyQueries.knnClassifyOracle,
     "q_cluster_dedup" -> DedupQueries.clusterDedupOracle,
+    "q_anchor_extract" -> TextQueries.anchorExtractOracle,
+    "q_chunk_windows" -> TextQueries.chunkWindowsOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -1360,6 +1360,42 @@ object Graft {
         col("seq_off"), col("n_seqs"))
   }
 
+  /** Stride-overlapped token-window chunking — the context-window prep
+    * that turns documents into training/retrieval chunks (RAG indexing,
+    * long-doc pretraining): chunk `c` covers tokens
+    * `[c·stride, c·stride + width)`, consecutive chunks overlap by
+    * `width − stride`, and the LAST chunk starts before the text runs
+    * out, so every token lands in ≥1 chunk and no empty chunks are
+    * emitted (chunk count = 1 + ⌈max(n−width, 0)/stride⌉; token-less
+    * docs produce no rows). Output:
+    * (id, chunk_no 0-based, chunk_tokens, chunk_text).
+    *
+    * Scale shape: a per-row generator — tokenization is projected to an
+    * attribute ONCE per document (the HOF re-evaluation trap), the
+    * chunk index explodes from a bounded `sequence`, and the slice runs
+    * on the duplicated attribute; shuffle-free, output ≈ n/stride rows
+    * per doc. */
+  def chunkWindows(df: DataFrame, id: String, text: String,
+      width: Int = 256, stride: Int = 128): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    require(stride >= 1 && stride <= width,
+      s"stride must be in [1, width], got $stride (width $width)")
+    val toks = df.select(col(id), tokens(col(text)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .filter(col("__n") > 0)
+      // sequence(0, nch-1) — nch >= 1 exactly because __n > 0 rows were
+      // kept (sequence runs DESCENDING on start > stop, never empty)
+      .withColumn("__nch", lit(1L) +
+        ((greatest(col("__n") - width, lit(0L)) + (stride - 1)) / stride).cast("long"))
+    toks.select(col(id), col("__t"),
+        explode(sequence(lit(0L), col("__nch") - 1)).as("__c"))
+      .select(col(id), col("__c").as("chunk_no"),
+        slice(col("__t"), (col("__c") * stride + 1).cast("int"), lit(width)).as("__w"))
+      .select(col(id), col("chunk_no"),
+        size(col("__w")).cast("long").as("chunk_tokens"),
+        array_join(col("__w"), " ").as("chunk_text"))
+  }
+
   // ---------- sessionization / events ----------
 
   /** Gap-based sessions per key (batch). Output: key, session_start,
@@ -1685,6 +1721,34 @@ object Graft {
     df.select(col(id),
       trim(regexp_replace(decoded, "\\s+", " ")).as("text"),
       size(regexp_extract_all(h, lit("(?i)<a[\\s>]"), lit(0))).cast("long").as("n_links"))
+  }
+
+  /** Outbound-link extraction — the companion to [[htmlExtract]] that
+    * feeds the link graph ([[pageRank]], [[urlDomains]], crawl
+    * frontier scheduling): one row per `<a>` block carrying a
+    * double-quoted `href`, with the block's 1-based position among
+    * ALL `<a>` blocks of the document (`link_no` keeps gaps where
+    * href-less anchors sat, so it is a stable document position).
+    * Anchor text is the block's inner content with tags stripped and
+    * whitespace collapsed — entities stay raw; run an
+    * [[htmlExtract]]-style decode downstream if needed. Output:
+    * (id, link_no, href, anchor).
+    *
+    * Scale shape: per-row regex extraction + one generator (posexplode
+    * over the match array) — shuffle-free, output bounded by the
+    * document's anchor count, and the href/anchor projections run on
+    * the exploded ATTRIBUTE (computed once per anchor, never re-parsing
+    * the document per link). */
+  def anchorLinks(df: DataFrame, id: String, html: String): DataFrame = {
+    val h = coalesce(col(html), lit(""))
+    val blocks = regexp_extract_all(h, lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0))
+    df.select(col(id), posexplode(blocks).as(Seq("__p", "__a")))
+      .select(col(id), (col("__p") + 1).cast("long").as("link_no"),
+        regexp_extract(col("__a"), "(?is)href=\"([^\"]*)\"", 1).as("href"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(col("__a"), "(?is)^<a\\b[^>]*>(.*)</a>$", 1),
+          "<[^>]+>", " "), "\\s+", " ")).as("anchor"))
+      .filter(col("href") =!= "")
   }
 
   // ---------- readability ----------

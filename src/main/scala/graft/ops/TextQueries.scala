@@ -654,4 +654,82 @@ object TextQueries {
       |    '\s+', ' ', 'g')) AS text,
       |  len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT AS n_links
       |FROM h""".stripMargin
+
+  /** Deterministic link-rich HTML synthesis for
+    * [[graft.api.Graft.anchorLinks]]: an absolute link with nested
+    * markup in its anchor text (always), a relative link (every 2nd
+    * doc), an href-LESS named anchor (always — must be dropped but
+    * still occupy a `link_no` position), and an uppercase
+    * `<A HREF=...>` (every 4th doc). */
+  private def linkHtml = concat(
+    lit("<div><p>Doc "), col("doc_id"), lit(" intro</p><a href=\"https://site"),
+    col("doc_id") % 5, lit(".com/p/"), col("doc_id") % 7,
+    lit("\">go <b>deep</b> now</a>"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("<a href=\"/rel/"), col("doc_id") % 3,
+        lit("\">relative &amp; local</a>"))).otherwise(lit("")),
+    lit("<a name=\"top\">no href here</a>"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit("<A HREF=\"HTTPS://UP"), col("doc_id") % 5,
+        lit(".COM/X\">caps</A>"))).otherwise(lit("")),
+    lit("</div>"))
+
+  def qAnchorExtract(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.anchorLinks(
+      Tables.documents(spark, dir).select(col("doc_id"), linkHtml.as("html")),
+      "doc_id", "html")
+
+  /** Same synthesis; the zip-unnest (positions × blocks) replays
+    * posexplode, and the per-block href/anchor regexes are identical. */
+  val anchorExtractOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<div><p>Doc ' || doc_id || ' intro</p><a href="https://site' ||
+      |    (doc_id % 5) || '.com/p/' || (doc_id % 7) ||
+      |    '">go <b>deep</b> now</a>' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '<a href="/rel/' || (doc_id % 3) || '">relative &amp; local</a>'
+      |      ELSE '' END ||
+      |    '<a name="top">no href here</a>' ||
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN '<A HREF="HTTPS://UP' || (doc_id % 5) || '.COM/X">caps</A>'
+      |      ELSE '' END ||
+      |    '</div>' AS html
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(regexp_extract_all(html, '(?is)<a\b[^>]*>.*?</a>')) + 1)) AS link_no,
+      |    unnest(regexp_extract_all(html, '(?is)<a\b[^>]*>.*?</a>')) AS a
+      |  FROM h)
+      |SELECT doc_id, link_no::BIGINT AS link_no,
+      |  regexp_extract(a, '(?is)href="([^"]*)"', 1) AS href,
+      |  trim(regexp_replace(regexp_replace(
+      |    regexp_extract(a, '(?is)^<a\b[^>]*>(.*)</a>$', 1),
+      |    '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor
+      |FROM b
+      |WHERE regexp_extract(a, '(?is)href="([^"]*)"', 1) <> ''""".stripMargin
+
+  /** Stride-overlapped context-window chunking
+    * ([[graft.api.Graft.chunkWindows]]): width 20, stride 10 over the
+    * fixture docs (~40-110 tokens → 3-10 overlapping chunks each). */
+  def qChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.chunkWindows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 20, 10)
+
+  val chunkWindowsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, ts, len(ts)::BIGINT AS n,
+      |    1 + (greatest(len(ts) - 20, 0) + 9) // 10 AS nch
+      |  FROM toks WHERE len(ts) > 0
+      |), p AS (
+      |  SELECT doc_id, ts, unnest(range(0, nch)) AS s FROM c
+      |)
+      |SELECT doc_id, s::BIGINT AS chunk_no,
+      |  len(ts[(s*10+1)::INT:(s*10+20)::INT])::BIGINT AS chunk_tokens,
+      |  array_to_string(ts[(s*10+1)::INT:(s*10+20)::INT], ' ') AS chunk_text
+      |FROM p""".stripMargin
 }

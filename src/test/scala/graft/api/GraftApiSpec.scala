@@ -809,4 +809,37 @@ class GraftApiSpec extends SparkTestBase {
     val none = Graft.clusterDedup(corpus, "k", pairs.filter($"a" < 0), "a", "b")
     assert(none.filter($"kept").count() === 8)
   }
+
+  test("anchorLinks keeps document positions, drops href-less anchors, cleans anchor text") {
+    val docs = Seq(
+      (1L, "<p>x</p><a href=\"http://a\">one <b>bold</b></a>" +
+        "<a name=\"t\">skip me</a><A HREF=\"http://b\" class=\"z\">two</A>"),
+      (2L, "no links at all"),
+      (3L, null)
+    ).toDF("k", "page")
+    val out = Graft.anchorLinks(docs, "k", "page")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // href-less anchor occupies position 2 but is dropped
+    assert(out.toSet === Set(
+      (1L, 1L, "http://a", "one bold"),
+      (1L, 3L, "http://b", "two")))
+  }
+
+  test("chunkWindows: stride overlap, clipped tail, every token covered, no empty chunks") {
+    val docs = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (2L, "a b"),                                    // single short chunk
+      (3L, "")                                        // no rows
+    ).toDF("k", "body")
+    val out = Graft.chunkWindows(docs, "k", "body", width = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // n=11, width=4, stride=2 -> 1 + ceil(7/2) = 5 chunks; last starts at 8, 3 tokens
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(d1.head._4 === "t1 t2 t3 t4")
+    assert(d1(1)._4 === "t3 t4 t5 t6") // overlap of width - stride = 2
+    assert(d1.last === ((1L, 4L, 3L, "t9 t10 t11")))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2L, "a b")))
+    assert(!out.exists(_._1 == 3L))
+  }
 }

@@ -422,6 +422,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("floatvecdot"), s"native dot product missing:\n$p")
   }
 
+  test("q_anchor_extract / q_chunk_windows are shuffle-free per-row generators") {
+    for (df <- Seq(TextQueries.qAnchorExtract(spark, dir),
+        TextQueries.qChunkWindows(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row generator must not shuffle:\n$p")
+      assert(p.contains("Generate"), s"expected a generator (explode):\n$p")
+    }
+    // the HOF/re-evaluation trap: the token split must feed the chunk
+    // generator as a projected attribute, not re-split per chunk
+    val p = plan(TextQueries.qChunkWindows(spark, dir))
+    assert(!p.matches("(?s).*slice\\([^,]*split\\(.*"),
+      s"split re-evaluated inside the chunk slice:\n$p")
+  }
+
   test("FloatVecDot is planned natively and supports codegen") {
     val df = SimilarityQueries.qSimilarityKnn(spark, dir)
     val p = plan(df).toLowerCase

@@ -25,6 +25,8 @@ SKIP = {
     "q_decontaminate_embed",  # corpus x benchmark cross join in SQL; the
                               # benchmark side grows with sf so the oracle
                               # (not the engine kernel) is quadratic
+    "q_knn_classify",     # exhaustive n x q scoring in SQL (q_similarity_knn rule)
+    "q_cluster_dedup",    # recursive CTE over the all-pairs set (q_dup_clusters rule)
 }
 
 con = duckdb.connect()
@@ -34,11 +36,17 @@ for t in "region nation customer supplier part orders lineitem events documents 
     if src is None:
         continue
     if t == "events":
-        # amplified events carry ts as raw nanos INT64 (AmplifyDrive keeps
-        # the fixture's nanos-as-long round-trip); rebuild the timestamp
-        # for the oracles, exactly as Tables.events does on the Spark side
-        con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
-                    f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+        # amplified events carry ts as whatever the source fixture had:
+        # raw nanos INT64 on pre-regeneration fixtures, TIMESTAMP(MICROS)
+        # after the 2026-08-13 regeneration. Dispatch on the scanned type,
+        # exactly as Tables.events does on the Spark side.
+        ts_type = str(con.sql(f"SELECT ts FROM {src} LIMIT 0").types[
+            [c.lower() for c in con.sql(f"SELECT ts FROM {src} LIMIT 0").columns].index("ts")])
+        if ts_type.upper().startswith("BIGINT"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     else:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
