@@ -140,6 +140,7 @@ object SparkEntry {
     "q_cluster_dedup"   -> DedupQueries.qClusterDedup,
     "q_anchor_extract"  -> TextQueries.qAnchorExtract,
     "q_chunk_windows"   -> TextQueries.qChunkWindows,
+    "q_code_detect"     -> TextQueries.qCodeDetect,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -439,6 +440,7 @@ object SparkEntry {
     "q_cluster_dedup" -> DedupQueries.clusterDedupOracle,
     "q_anchor_extract" -> TextQueries.anchorExtractOracle,
     "q_chunk_windows" -> TextQueries.chunkWindowsOracle,
+    "q_code_detect" -> TextQueries.codeDetectOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

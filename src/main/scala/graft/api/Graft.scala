@@ -2095,6 +2095,47 @@ object Graft {
       when(reason === "", 1L).otherwise(0L).as("keep"), reason.as("reason"))
   }
 
+  // ---------- code / prose routing ----------
+
+  /** Code-vs-prose detection — the mixture-routing signal that sends a
+    * document to the code pipeline (different dedup granularity,
+    * different quality rules) or the prose one. Pure surface signals,
+    * all SQL-replicable: code-symbol density (`{}();=[]<>` per char),
+    * indented-line ratio (2-space or tab starts), code-EOL ratio
+    * (lines ending `;`/`{`/`}`), and reserved-word token hits. The
+    * `is_code` rule (eol_ratio ≥ 0.5 AND symbol_ratio ≥ 0.02, OR ≥ 3
+    * keyword hits) is deliberately simple — the signals are the
+    * product; route on your own cut if the corpus needs one. Null or
+    * empty text → all zeros, prose. Output: (id, n_lines,
+    * symbol_ratio, indent_ratio, eol_ratio, keyword_hits, is_code).
+    *
+    * Scale shape: shuffle-free per-row projection; the line and token
+    * arrays are projected to attributes once (the HOF re-evaluation
+    * trap), then every ratio is a filter/size over the attribute. */
+  def codeDetect(df: DataFrame, id: String, text: String): DataFrame = {
+    val keywords = Seq("def", "class", "return", "import", "function",
+      "var", "const", "if", "else", "for", "while")
+    val t = coalesce(col(text), lit(""))
+    val base = df.select(col(id), t.as("__t"))
+      .withColumn("__lines", filter(split(col("__t"), "\n"), l => l =!= ""))
+      .withColumn("__toks", tokens(regexp_replace(col("__t"), "\\s+", " ")))
+    val nLines = size(col("__lines")).cast("long")
+    val nChars = length(col("__t")).cast("long")
+    val symbols = size(regexp_extract_all(col("__t"), lit("[{}();=\\[\\]<>]"), lit(0))).cast("long")
+    val indented = size(filter(col("__lines"),
+      l => l.startsWith("  ") || l.startsWith("\t"))).cast("long")
+    val eol = size(filter(col("__lines"), l => l.rlike("[;{}]\\s*$"))).cast("long")
+    val kw = size(filter(col("__toks"), w => w.isInCollection(keywords))).cast("long")
+    base.select(col(id), nLines.as("n_lines"),
+        cut4(symbols.cast("double") / greatest(nChars, lit(1L)).cast("double")).as("symbol_ratio"),
+        cut4(indented.cast("double") / greatest(nLines, lit(1L)).cast("double")).as("indent_ratio"),
+        cut4(eol.cast("double") / greatest(nLines, lit(1L)).cast("double")).as("eol_ratio"),
+        kw.as("keyword_hits"))
+      .withColumn("is_code",
+        ((col("eol_ratio") >= 0.5 && col("symbol_ratio") >= 0.02) ||
+          col("keyword_hits") >= 3).cast("long"))
+  }
+
   // ---------- within-document entropy ----------
 
   /** Per-document Shannon entropy of the document's OWN unigram

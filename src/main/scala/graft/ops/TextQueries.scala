@@ -709,6 +709,56 @@ object TextQueries {
       |FROM b
       |WHERE regexp_extract(a, '(?is)href="([^"]*)"', 1) <> ''""".stripMargin
 
+  /** Mixed code/prose synthesis for [[graft.api.Graft.codeDetect]]:
+    * every 3rd doc is wrapped as a function body (brace/semicolon
+    * lines, two indented, three reserved words) with the fixture text
+    * as a trailing comment; the rest stay raw prose. The fixture
+    * vocabulary contains none of the reserved words, so the prose
+    * side's keyword_hits is genuinely 0. */
+  private def mixedSource = when(col("doc_id") % 3 === 0,
+    concat(lit("def f_"), col("doc_id"), lit("(x) {\n  var y = x + "),
+      col("doc_id") % 7, lit(";\n  return y;\n}\n// "), col("text")))
+    .otherwise(col("text"))
+
+  def qCodeDetect(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.codeDetect(
+      Tables.documents(spark, dir).select(col("doc_id"), mixedSource.as("text")),
+      "doc_id", "text")
+
+  /** Same synthesis; ratios are floor(x·1e4 + 0.5)/1e4 on both sides
+    * and the is_code rule thresholds the CUT ratios, so the decision
+    * can't split across engines at a rounding boundary. */
+  val codeDetectOracle: String =
+    """WITH src AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+      |    'def f_' || doc_id || '(x) {' || chr(10) || '  var y = x + ' ||
+      |    (doc_id % 7) || ';' || chr(10) || '  return y;' || chr(10) || '}' ||
+      |    chr(10) || '// ' || text
+      |  ELSE text END AS t
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, t,
+      |    list_filter(string_split(t, chr(10)), l -> l <> '') AS lines,
+      |    list_filter(string_split(regexp_replace(t, '\s+', ' ', 'g'), ' '),
+      |      w -> w <> '') AS toks
+      |  FROM src
+      |), r AS (
+      |  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+      |    floor((len(regexp_extract_all(t, '[{}();=\[\]<>]'))::DOUBLE
+      |      / greatest(length(t), 1)::DOUBLE) * 1e4 + 0.5::DOUBLE) / 1e4 AS symbol_ratio,
+      |    floor((len(list_filter(lines, l -> l LIKE '  %' OR l LIKE chr(9) || '%'))::DOUBLE
+      |      / greatest(len(lines), 1)::DOUBLE) * 1e4 + 0.5::DOUBLE) / 1e4 AS indent_ratio,
+      |    floor((len(list_filter(lines, l -> regexp_matches(l, '[;{}]\s*$')))::DOUBLE
+      |      / greatest(len(lines), 1)::DOUBLE) * 1e4 + 0.5::DOUBLE) / 1e4 AS eol_ratio,
+      |    len(list_filter(toks, w -> w IN ('def','class','return','import',
+      |      'function','var','const','if','else','for','while')))::BIGINT AS keyword_hits
+      |  FROM f
+      |)
+      |SELECT doc_id, n_lines, symbol_ratio, indent_ratio, eol_ratio, keyword_hits,
+      |  ((eol_ratio >= 0.5 AND symbol_ratio >= 0.02)
+      |    OR keyword_hits >= 3)::BIGINT AS is_code
+      |FROM r""".stripMargin
+
   /** Stride-overlapped context-window chunking
     * ([[graft.api.Graft.chunkWindows]]): width 20, stride 10 over the
     * fixture docs (~40-110 tokens → 3-10 overlapping chunks each). */

@@ -825,6 +825,24 @@ class GraftApiSpec extends SparkTestBase {
       (1L, 3L, "http://b", "two")))
   }
 
+  test("codeDetect separates code from prose on surface signals; null text is prose") {
+    val docs = Seq(
+      (1L, "def add(a, b) {\n  var s = a + b;\n  return s;\n}"),
+      (2L, "plain english prose about nothing in particular with many words"),
+      (3L, "x = 1;\ny = 2;"),   // symbol + eol signals without keywords
+      (4L, null)
+    ).toDF("k", "body")
+    val out = Graft.codeDetect(docs, "k", "body")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4), r.getLong(5), r.getLong(6))).toMap
+    // (n_lines, eol_ratio, keyword_hits, is_code)
+    assert(out(1L)._4 === 1L)
+    assert(out(1L)._3 >= 3L, s"keywords: ${out(1L)}") // def, var, return
+    assert(out(2L) === ((1L, 0.0, 0L, 0L)))
+    assert(out(3L) === ((2L, 1.0, 0L, 1L)))
+    assert(out(4L) === ((0L, 0.0, 0L, 0L)))
+  }
+
   test("chunkWindows: stride overlap, clipped tail, every token covered, no empty chunks") {
     val docs = Seq(
       (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens

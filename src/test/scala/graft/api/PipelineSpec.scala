@@ -325,6 +325,64 @@ class PipelineSpec extends SparkTestBase {
     assert(topSource.nonEmpty && topSource(0).getDouble(1) > 0)
   }
 
+  test("round-9 crawl chain composes: HTML extract → link-graph pageRank → " +
+      "cluster dedup → context-window chunks") {
+    // A synthetic 60-page crawl: page i carries its id only inside a
+    // <script> block (stripped with the block), body text identical
+    // within each of 20 three-page families, and two outbound links
+    // i → (2i+1) mod n, i → (i+7) mod n.
+    val n = 60
+    val pages = spark.range(n).select(col("id").as("page_id"),
+      concat(
+        lit("<html><body><script>var page = "), col("id"), lit(";</script><p>family "),
+        pmod(col("id"), lit(20)),
+        lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        lit(" tempor incididunt ut labore</p><a href=\"https://crawl.test/p/"),
+        pmod(col("id") * 2 + 1, lit(n.toLong)),
+        lit("\">next</a><a href=\"https://crawl.test/p/"),
+        pmod(col("id") + 7, lit(n.toLong)),
+        lit("\">hop</a></body></html>")).as("html"))
+
+    // 1. the SAME pages yield text for curation and edges for authority
+    val text = Graft.htmlExtract(pages, "page_id", "html")
+    val links = Graft.anchorLinks(pages, "page_id", "html")
+    assert(text.filter(col("n_links") === 2).count() === n)
+    assert(links.count() === 2L * n)
+    // the page id lives only in the stripped script block: extracted
+    // text is identical within a family
+    assert(text.select(col("text")).distinct().count() === 20)
+
+    // 2. link-graph authority over the parsed targets
+    val edges = links.select(col("page_id").as("src"),
+      regexp_extract(col("href"), "(\\d+)$", 1).cast("long").as("dst"))
+    val pr = Graft.pageRank(edges, "src", "dst", iters = 3)
+    assert(pr.count() === n)
+    val prSum = pr.agg(sum(col("rank"))).collect()(0).getDouble(0)
+    assert(math.abs(prSum - 1.0) < 1e-6, s"rank mass $prSum")
+
+    // 3. near-dup cluster dedup: exactly one canonical page per family
+    //    (cross-family jaccard ~0.78 sits under the 0.8 verify bar)
+    val pairs = Graft.minhashDupes(text, "page_id", "text", 0.8)
+    val dedup = Graft.clusterDedup(text, "page_id", pairs, "id_a", "id_b")
+    val kept = dedup.filter(col("kept"))
+    assert(kept.count() === 20)
+    // canonical = min page id of each family = pages 0..19
+    assert(kept.select(col("page_id")).collect().map(_.getLong(0)).sorted
+      === (0L until 20L).toArray)
+
+    // 4. context-window chunks over the kept corpus: 18 tokens at
+    //    width 8 / stride 4 → 4 chunks per page, tail clipped to 6
+    val chunks = Graft.chunkWindows(
+      text.join(kept.select("page_id"), "page_id"), "page_id", "text", 8, 4)
+    assert(chunks.count() === 20L * 4)
+    val perDoc = chunks.filter(col("page_id") === 0)
+      .orderBy(col("chunk_no")).collect()
+    assert(perDoc.map(_.getLong(2)).toSeq === Seq(8L, 8L, 8L, 6L))
+    // stride overlap: chunk c starts at token c*4
+    assert(perDoc(1).getString(3).startsWith(
+      perDoc(0).getString(3).split(" ").drop(4).mkString(" ")))
+  }
+
   test("streaming pipeline: dis source → fingerprint64 dedup → dis sink, " +
       "duplicate-free and complete across a restart") {
     // The O18+O22 composition a streaming corpus build runs: documents

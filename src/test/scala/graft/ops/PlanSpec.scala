@@ -422,6 +422,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("floatvecdot"), s"native dot product missing:\n$p")
   }
 
+  test("q_code_detect is a shuffle-free per-row signal projection") {
+    val p = plan(TextQueries.qCodeDetect(spark, dir))
+    assert(!p.contains("Exchange"), s"code detection must not shuffle:\n$p")
+  }
+
   test("q_anchor_extract / q_chunk_windows are shuffle-free per-row generators") {
     for (df <- Seq(TextQueries.qAnchorExtract(spark, dir),
         TextQueries.qChunkWindows(spark, dir))) {
