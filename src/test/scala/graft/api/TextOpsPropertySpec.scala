@@ -146,4 +146,87 @@ class TextOpsPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: chunkWindows covers every token, clips the tail, and matches " +
+      "a single-machine reference across random width/stride") {
+    val gen = for {
+      width <- Gen.chooseNum(1, 8)
+      stride <- Gen.chooseNum(1, width)
+      c <- corpus(8)
+    } yield (width, stride, c)
+    (1 to 25).foreach { seed =>
+      val (width, stride, docs) =
+        gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Graft.chunkWindows(df, "doc_id", "text", width, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+      val ref = docs.zipWithIndex.flatMap { case (ws, i) =>
+        if (ws.isEmpty) Nil
+        else {
+          val nch = 1 + (math.max(ws.length - width, 0) + stride - 1) / stride
+          (0 until nch).map { c =>
+            val chunk = ws.slice(c * stride, c * stride + width)
+            (i.toLong, c.toLong) -> ((chunk.length.toLong, chunk.mkString(" ")))
+          }
+        }
+      }.toMap
+      assert(got === ref, s"seed $seed width $width stride $stride")
+      // coverage: token t of a doc appears in chunk floor(t/stride) (and
+      // possibly earlier overlapping ones); reconstruction from
+      // stride-prefixes equals the doc
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        if (ws.nonEmpty) {
+          val chunks = ref.collect { case ((d, c), (_, t)) if d == i.toLong => c -> t }
+            .toSeq.sortBy(_._1).map(_._2)
+          val rebuilt = chunks.init.map(_.split(" ").take(stride).mkString(" "))
+            .filter(_.nonEmpty) :+ chunks.last
+          assert(rebuilt.mkString(" ").split(" ").filter(_.nonEmpty).toSeq
+            === ws.filter(_.nonEmpty), s"seed $seed doc $i reconstruction")
+        }
+      }
+    }
+  }
+
+  /** The htmlExtract chain replayed with java.util.regex — same engine
+    * Spark codegen uses; proves the Column fold order (entity decode
+    * order, block-before-tag stripping) survives the plumbing. */
+  private def refHtml(html: String): (String, Long) = {
+    val nLinks = {
+      val m = java.util.regex.Pattern.compile("(?i)<a[\\s>]").matcher(html)
+      var n = 0L
+      while (m.find()) n += 1
+      n
+    }
+    var t = html.replaceAll("(?s)<!--.*?-->", " ")
+    t = t.replaceAll("(?is)<script\\b[^>]*>.*?</script>", " ")
+    t = t.replaceAll("(?is)<style\\b[^>]*>.*?</style>", " ")
+    t = t.replaceAll("<[^>]+>", " ")
+    for ((e, c) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"))
+      t = t.replaceAll(e, java.util.regex.Matcher.quoteReplacement(c))
+    (t.replaceAll("\\s+", " ").trim, nLinks)
+  }
+
+  test("property: htmlExtract matches a direct java.util.regex reference on " +
+      "random tag/entity-studded fragments") {
+    val frag = Gen.oneOf(
+      Gen.oneOf("alpha", "beta", "gamma", "", "<b>", "</b>", "<p class=\"x\">",
+        "</p>", "&amp;", "&lt;", "&quot;", "&nbsp;", "&amp;amp;",
+        "<!-- note -->", "<a href=\"http://x\">l</a>", "<a name=\"n\">t</a>"),
+      Gen.oneOf("<script>var a = 1 < 2;</script>", "<style>p{x:1}</style>"))
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, frag))
+    (1 to 25).foreach { seed =>
+      val docs = Gen.listOfN(8, docGen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+        .map(_.mkString(" "))
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Graft.htmlExtract(df, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      docs.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) === refHtml(t), s"seed $seed doc '$t'")
+      }
+    }
+  }
 }
