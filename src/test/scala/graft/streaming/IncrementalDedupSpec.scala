@@ -151,6 +151,70 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(post.count() === 0L, "compacted store failed to reject a near-dup")
   }
 
+  test("streaming crawl ingest: HTML extract → code routing → near-dup " +
+      "admission composes per micro-batch against the persisted store") {
+    // Raw pages: families share extracted BODY text while differing in
+    // script/comment blocks (the dup is only visible AFTER extraction);
+    // one page is code and must be routed out before admission.
+    val bodyA = (1 to 20).map(i => s"a$i").mkString(" ")
+    val bodyB = (1 to 20).map(i => s"b$i").mkString(" ")
+    def page(id: Long, body: String) =
+      s"<html><!-- crawl $id --><head><script>var p = $id;</script></head>" +
+        s"<body><p>$body</p></body></html>"
+    val pages = Seq(
+      1L -> page(1, bodyA),            // batch 1: canonical A
+      2L -> page(2, bodyA + " ax"),    // batch 1: extracted near-dup of A
+      3L -> page(3, bodyB),            // batch 1: canonical B
+      4L -> page(4, "x = 1; y = 2; z = 3;"), // batch 2: code → routed out
+      5L -> page(5, bodyB + " bx"),    // batch 2: history near-dup of B
+      6L -> page(6, (1 to 20).map(i => s"c$i").mkString(" "))) // batch 2: novel
+
+    val root = Files.createTempDirectory("crawl-ingest-")
+    val client = new FileStreamClient(root)
+    client.createStream("pages", 1)
+    pages.foreach { case (id, html) =>
+      client.append("pages", 0, null,
+        s"""{"page_id":$id,"html":"${html.replace("\"", "\\\"")}"}""".getBytes("UTF-8"))
+    }
+    val store = Files.createTempDirectory("crawl-ingest-store-").toString
+
+    val schema = StructType(Seq(
+      StructField("page_id", LongType), StructField("html", StringType)))
+    val q = spark.readStream.format("dis")
+      .option("client.root", root.toString).option("stream", "pages")
+      .option("startingOffsets", "earliest")
+      .option("maxRecordsPerTrigger", "3")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("d"))
+      .select(col("d.*"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the batch-level shape of the crawl chain: extract, route
+        // code away, admit prose against all prior history
+        val text = graft.api.Graft.htmlExtract(batch, "page_id", "html")
+        val prose = text.join(
+          graft.api.Graft.codeDetect(text, "page_id", "text")
+            .filter(col("is_code") === 0L).select("page_id"),
+          "page_id")
+        IncrementalDedup.admitBatch(prose, "page_id", "text", 0.8, store)
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("crawl-ingest-ck-").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+
+    val admitted = IncrementalDedup.admittedDocs(spark, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 3L, 6L),
+      s"admitted $admitted — expected canonical A, canonical B, novel C")
+    // the admitted store holds EXTRACTED text (no markup survived)
+    val texts = IncrementalDedup.admittedDocs(spark, store)
+      .collect().map(_.getString(1))
+    assert(texts.forall(t => !t.contains("<") && !t.contains("crawl")),
+      s"markup leaked into the store: ${texts.toSeq}")
+  }
+
   private def doc(i: Long, prefix: String): (Long, String) =
     i -> (1 to 20).map(j => s"$prefix${i}w$j").mkString(" ")
 
