@@ -1220,6 +1220,40 @@ object Graft {
       .withColumn("kept", col(id) === col("cluster_id"))
   }
 
+  /** [[clusterDedup]] with a caller-supplied keeper priority: the kept
+    * canonical is the cluster's min `(orderCol, id)` — e.g. highest
+    * source quality (encode as ascending rank), earliest crawl date,
+    * shortest URL — with the id as the deterministic tiebreak, the
+    * [[dedupKeepFirst]] rule applied at cluster granularity.
+    * `cluster_id` stays the component's min id (a stable label
+    * independent of the priority), `kept` marks the priority winner.
+    *
+    * Scale shape: identical to [[clusterDedup]] plus one map-side
+    * partial min(struct) over the duplicated-docs frame — the keeper
+    * table stays bounded by the duplicated count and broadcasts. */
+  def clusterDedup(df: DataFrame, id: String,
+      pairs: DataFrame, idA: String, idB: String, orderCol: String): DataFrame = {
+    val cc = dupClusters(pairs, idA, idB)
+      .select(col("id").as("__ccid"), col("cluster_id").as("__cc"))
+    // inner join: only docs that sit in some cluster carry a keeper
+    // race — the agg below therefore stays bounded by the DUPLICATED
+    // doc count, never the corpus
+    val members = df.select(col(id), col(orderCol))
+      .join(cc, col(id) === col("__ccid"))
+      .select(col(id), col(orderCol), col("__cc"))
+    val keepers = members
+      .groupBy(col("__cc"))
+      .agg(min(struct(col(orderCol), col(id))).as("__k"))
+      .select(col("__cc").as("__kc"), col("__k")(id).as("__keep"))
+    val resolved = members.join(keepers, col("__cc") === col("__kc"))
+      .select(col(id), col("__cc"), (col(id) === col("__keep")).as("__kept"))
+    df.select(col(id))
+      .join(resolved, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__cc"), col(id).cast("long")).as("cluster_id"),
+        coalesce(col("__kept"), lit(true)).as("kept"))
+  }
+
   // ---------- sampling ----------
 
   /** Deterministic stratified sampling: keep a row iff

@@ -810,6 +810,24 @@ class GraftApiSpec extends SparkTestBase {
     assert(none.filter($"kept").count() === 8)
   }
 
+  test("clusterDedup with a priority column keeps the min (priority, id) per cluster") {
+    // priorities: lower = better; doc 3 outranks 1 and 2 in its cluster,
+    // 5 and 7 tie on priority -> id 5 wins the tiebreak
+    val corpus = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (4L, 9L),
+      (5L, 4L), (6L, 0L), (7L, 4L), (8L, 5L)
+    ).toDF("k", "prio")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("a", "b")
+    val out = Graft.clusterDedup(corpus, "k", pairs, "a", "b", "prio")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out === Map(
+      1L -> ((1L, false)), 2L -> ((1L, false)), 3L -> ((1L, true)),
+      4L -> ((4L, true)), 5L -> ((5L, true)), 6L -> ((6L, true)),
+      7L -> ((5L, false)), 8L -> ((8L, true))))
+    // cluster_id stays the stable min-id label even when the keeper is not the min id
+    assert(out(3L)._1 === 1L)
+  }
+
   test("anchorLinks keeps document positions, drops href-less anchors, cleans anchor text") {
     val docs = Seq(
       (1L, "<p>x</p><a href=\"http://a\">one <b>bold</b></a>" +
