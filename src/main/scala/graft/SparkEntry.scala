@@ -141,6 +141,7 @@ object SparkEntry {
     "q_anchor_extract"  -> TextQueries.qAnchorExtract,
     "q_chunk_windows"   -> TextQueries.qChunkWindows,
     "q_code_detect"     -> TextQueries.qCodeDetect,
+    "q_chunk_search"    -> CurationQueries.qChunkSearch,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -441,6 +442,7 @@ object SparkEntry {
     "q_anchor_extract" -> TextQueries.anchorExtractOracle,
     "q_chunk_windows" -> TextQueries.chunkWindowsOracle,
     "q_code_detect" -> TextQueries.codeDetectOracle,
+    "q_chunk_search" -> CurationQueries.chunkSearchOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

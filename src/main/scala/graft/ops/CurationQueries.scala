@@ -114,6 +114,65 @@ object CurationQueries {
       |  row_number() OVER (ORDER BY (sl + 50) // 100 DESC, doc_id ASC)::BIGINT AS rank
       |FROM scored ORDER BY (sl + 50) // 100 DESC, doc_id ASC LIMIT 25""".stripMargin
 
+  // ----- chunk-level retrieval (the RAG retrieve shape) -----
+
+  /** [[Graft.bm25Search]] composed over [[Graft.chunkWindows]] output:
+    * retrieval at CHUNK granularity (top-25 chunks for the same
+    * three-term query as q_bm25_search), the index shape a RAG
+    * pipeline serves. chunk_id = doc_id·1000 + chunk_no (chunk counts
+    * stay ≪ 1000 at every fixture scale; ids stay well under 2⁶³ at
+    * the amplified 10⁹-stride domains). */
+  def qChunkSearch(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Graft.chunkWindows(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 20, 10)
+      .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+        col("chunk_text"))
+    Graft.bm25Search(chunks, "chunk_id", "chunk_text",
+      Seq("join", "hash", "vector"), 25)
+  }
+
+  /** The chunk synthesis ([[TextQueries.chunkWindowsOracle]]'s CTE)
+    * feeding the [[bm25SearchOracle]] integer-micros arithmetic. */
+  val chunkSearchOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, ts, 1 + (greatest(len(ts) - 20, 0) + 9) // 10 AS nch
+      |  FROM toks WHERE len(ts) > 0
+      |), p AS (
+      |  SELECT doc_id, ts, unnest(range(0, nch)) AS s FROM c
+      |), chunks AS (
+      |  SELECT doc_id * 1000 + s AS chunk_id,
+      |    ts[(s*10+1)::INT:(s*10+20)::INT] AS ct
+      |  FROM p
+      |), terms AS (
+      |  SELECT chunk_id, unnest(ct) AS term FROM chunks
+      |), tf AS (
+      |  SELECT chunk_id, term, count(*) AS tf FROM terms GROUP BY chunk_id, term
+      |), dl AS (
+      |  SELECT chunk_id, count(*) AS dl FROM terms GROUP BY chunk_id
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), corpus AS (
+      |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dlsum FROM dl
+      |), scored AS (
+      |  SELECT tf.chunk_id, sum(floor((
+      |    ln(1.0::DOUBLE + ((corpus.n - dfreq.df)::DOUBLE + 0.5::DOUBLE)
+      |                     / (dfreq.df::DOUBLE + 0.5::DOUBLE))
+      |      * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE))
+      |      / (tf.tf::DOUBLE + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE * dl.dl::DOUBLE
+      |            / (corpus.dlsum::DOUBLE / corpus.n::DOUBLE)))
+      |    ) * 1000000.0::DOUBLE + 0.5::DOUBLE)::BIGINT)::BIGINT AS sl
+      |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.chunk_id = tf.chunk_id, corpus
+      |  WHERE tf.term IN ('join', 'hash', 'vector')
+      |  GROUP BY tf.chunk_id)
+      |SELECT chunk_id, ((sl + 50) // 100)::DOUBLE / 10000.0::DOUBLE AS score,
+      |  row_number() OVER (ORDER BY (sl + 50) // 100 DESC, chunk_id ASC)::BIGINT AS rank
+      |FROM scored ORDER BY (sl + 50) // 100 DESC, chunk_id ASC LIMIT 25""".stripMargin
+
   // ----- bucketed interval join -----
 
   /** 25 deterministic 18-hour "campaign" intervals striding 12 hours

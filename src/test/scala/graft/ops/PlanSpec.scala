@@ -422,6 +422,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.toLowerCase.contains("floatvecdot"), s"native dot product missing:\n$p")
   }
 
+  test("q_chunk_search: the chunk stream's posting list is filtered to the " +
+      "query terms before scoring; no cartesian") {
+    val p = plan(CurationQueries.qChunkSearch(spark, dir))
+    assert(p.contains("IN (join,hash,vector)") || p.contains("INSET"),
+      s"query-term filter missing from the posting scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected distributed top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("q_code_detect is a shuffle-free per-row signal projection") {
     val p = plan(TextQueries.qCodeDetect(spark, dir))
     assert(!p.contains("Exchange"), s"code detection must not shuffle:\n$p")
