@@ -142,6 +142,7 @@ object SparkEntry {
     "q_chunk_windows"   -> TextQueries.qChunkWindows,
     "q_code_detect"     -> TextQueries.qCodeDetect,
     "q_chunk_search"    -> CurationQueries.qChunkSearch,
+    "q_hybrid_search"   -> CurationQueries.qHybridSearch,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -443,6 +444,7 @@ object SparkEntry {
     "q_chunk_windows" -> TextQueries.chunkWindowsOracle,
     "q_code_detect" -> TextQueries.codeDetectOracle,
     "q_chunk_search" -> CurationQueries.chunkSearchOracle,
+    "q_hybrid_search" -> CurationQueries.hybridSearchOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -2354,6 +2354,38 @@ object Graft {
       .select(col(id), col("score"), col("rank"))
   }
 
+  // ---------- rank fusion (hybrid retrieval) ----------
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    * to combine heterogeneous retrieval lists (BM25 + dense kNN, or
+    * any mix) without score calibration: fused score =
+    * Σ_lists 1/(k + rank), missing-from-a-list contributes 0. The sum
+    * folds in list order and is quantized to integer micros, and final
+    * ranks tie-break on the id, so the fusion is bit-stable across
+    * engines. Output: (id, rrf, rank) — the top `topK` fused ids.
+    *
+    * Scale shape: every input is already a top-N ranking (bounded by
+    * its own retrieval cut), so the full-outer join chain runs over
+    * list-sized frames that AQE broadcasts — nothing corpus-sized
+    * enters this operator. */
+  def rrfFuse(rankings: Seq[DataFrame], id: String, rank: String,
+      k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(id).as("__id"), col(rank).as(s"__r$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("__id"), "full_outer"))
+    val score = renamed.indices.map(i =>
+        coalesce(lit(1.0) / (lit(k.toDouble) + col(s"__r$i").cast("double")), lit(0.0)))
+      .reduce(_ + _)
+    val w = Window.orderBy(col("rrf").desc, col("__id").asc)
+    joined.withColumn("rrf", floor(score * 1e6 + lit(0.5)) / 1e6)
+      .orderBy(col("rrf").desc, col("__id").asc).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("__id").as(id), col("rrf"), col("rank"))
+  }
+
   // ---------- scale joins ----------
 
   /** Interval join without the nested loop: `left` rows joined to every

@@ -173,6 +173,78 @@ object CurationQueries {
       |  row_number() OVER (ORDER BY (sl + 50) // 100 DESC, chunk_id ASC)::BIGINT AS rank
       |FROM scored ORDER BY (sl + 50) // 100 DESC, chunk_id ASC LIMIT 25""".stripMargin
 
+  // ----- hybrid retrieval (lexical + semantic rank fusion) -----
+
+  /** [[Graft.rrfFuse]] over a BM25 top-50 (documents, the
+    * q_bm25_search terms) and a cosine-kNN top-50 (embeddings, query
+    * vector = vec_id 0) — the fixture's vec_id and doc_id share the
+    * id domain, so the two lists fuse on the same key: the hybrid
+    * search every retrieval stack runs. Top-20 fused. */
+  def qHybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Graft.bm25Search(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("join", "hash", "vector"), 50).select(col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val sem = Graft.knn(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Graft.rrfFuse(Seq(lex, sem), "doc_id", "rank", 60, 20)
+  }
+
+  /** The two sub-oracles (bm25SearchOracle arithmetic cut at 50, the
+    * knnOracle scoring for the single query) full-outer joined with the
+    * micro-quantized RRF sum, ranks tie-broken on the id. */
+  val hybridSearchOracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY term
+      |), corpus AS (
+      |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS dlsum FROM dl
+      |), scored AS (
+      |  SELECT tf.doc_id, sum(floor((
+      |    ln(1.0::DOUBLE + ((corpus.n - dfreq.df)::DOUBLE + 0.5::DOUBLE)
+      |                     / (dfreq.df::DOUBLE + 0.5::DOUBLE))
+      |      * (tf.tf::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE))
+      |      / (tf.tf::DOUBLE + 1.2::DOUBLE *
+      |         (0.25::DOUBLE + 0.75::DOUBLE * dl.dl::DOUBLE
+      |            / (corpus.dlsum::DOUBLE / corpus.n::DOUBLE)))
+      |    ) * 1000000.0::DOUBLE + 0.5::DOUBLE)::BIGINT)::BIGINT AS sl
+      |  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, corpus
+      |  WHERE tf.term IN ('join', 'hash', 'vector')
+      |  GROUP BY tf.doc_id
+      |), lex AS (
+      |  SELECT doc_id, r0 FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY (sl + 50) // 100 DESC, doc_id ASC)::BIGINT AS r0
+      |    FROM scored)
+      |  WHERE r0 <= 50
+      |), sem AS (
+      |  SELECT doc_id, r1 FROM (
+      |    SELECT e.vec_id AS doc_id, row_number() OVER (ORDER BY
+      |      round(
+      |        list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |        / sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+      |        / sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
+      |        12) DESC, e.vec_id ASC)::BIGINT AS r1
+      |    FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+      |    WHERE e.vec_id <> 0)
+      |  WHERE r1 <= 50
+      |), fused AS (
+      |  SELECT doc_id,
+      |    floor((coalesce(1.0::DOUBLE / (60.0::DOUBLE + r0::DOUBLE), 0.0::DOUBLE)
+      |         + coalesce(1.0::DOUBLE / (60.0::DOUBLE + r1::DOUBLE), 0.0::DOUBLE))
+      |      * 1000000.0::DOUBLE + 0.5::DOUBLE) / 1000000.0::DOUBLE AS rrf
+      |  FROM lex FULL JOIN sem USING (doc_id)
+      |)
+      |SELECT doc_id, rrf,
+      |  row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rank
+      |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+
   // ----- bucketed interval join -----
 
   /** 25 deterministic 18-hour "campaign" intervals striding 12 hours

@@ -828,6 +828,22 @@ class GraftApiSpec extends SparkTestBase {
     assert(out(3L)._1 === 1L)
   }
 
+  test("rrfFuse combines rankings reciprocally; missing entries contribute zero") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("d", "r")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("d", "r")
+    val out = Graft.rrfFuse(Seq(a, b), "d", "r", k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // 20 leads: 1/62 + 1/61 ≈ 0.032524; 10: 1/61 ≈ 0.016393;
+    // 40: 1/62 ≈ 0.016129; 30: 1/63 ≈ 0.015873
+    assert(out.map(_._1).toSeq === Seq(20L, 10L, 40L, 30L))
+    assert(out.head._2 === math.floor((1.0 / 62 + 1.0 / 61) * 1e6 + 0.5) / 1e6)
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L, 4L))
+    // degenerate: a single list is order-preserved
+    val single = Graft.rrfFuse(Seq(a), "d", "r", 60, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(single === Seq(10L, 20L))
+  }
+
   test("anchorLinks keeps document positions, drops href-less anchors, cleans anchor text") {
     val docs = Seq(
       (1L, "<p>x</p><a href=\"http://a\">one <b>bold</b></a>" +
