@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, SelectionQueries, SimilarityQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +143,13 @@ object SparkEntry {
     "q_code_detect"     -> TextQueries.qCodeDetect,
     "q_chunk_search"    -> CurationQueries.qChunkSearch,
     "q_hybrid_search"   -> CurationQueries.qHybridSearch,
+    "q_scd2"            -> TemporalQueries.qScd2,
+    "q_transitions"     -> TemporalQueries.qTransitions,
+    "q_cube"            -> TemporalQueries.qCube,
+    "q_corr"            -> TemporalQueries.qCorr,
+    "q_winsorize"       -> TemporalQueries.qWinsorize,
+    "q_edit_dupes"      -> DedupQueries.qEditDupes,
+    "q_cdc_chunks"      -> DedupQueries.qCdcChunks,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -445,6 +452,13 @@ object SparkEntry {
     "q_code_detect" -> TextQueries.codeDetectOracle,
     "q_chunk_search" -> CurationQueries.chunkSearchOracle,
     "q_hybrid_search" -> CurationQueries.hybridSearchOracle,
+    "q_scd2" -> TemporalQueries.scd2Oracle,
+    "q_transitions" -> TemporalQueries.transitionsOracle,
+    "q_cube" -> TemporalQueries.cubeOracle,
+    "q_corr" -> TemporalQueries.corrOracle,
+    "q_winsorize" -> TemporalQueries.winsorizeOracle,
+    "q_edit_dupes" -> DedupQueries.editDupesOracle,
+    "q_cdc_chunks" -> DedupQueries.cdcChunksOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -2995,4 +2995,173 @@ object Graft {
         col("__k").cast("long").as("top_k"),
         col("n_types"), col("n_tokens"))
   }
+
+  // ---------- edit-distance near-dup (PassJoin blocking) ----------
+
+  /** Even k+1-way partition of a length-`len` string: segment i
+    * (0-based) gets length ⌊len/(k+1)⌋, with the remainder spread over
+    * the LAST `len mod (k+1)` segments. Returns (start, len) pairs,
+    * 0-based starts. Both the index and probe sides derive layouts
+    * from this one function, so the equi-join keys line up exactly. */
+  private def segLayout(len: Int, k: Int): Array[(Int, Int)] = {
+    val parts = k + 1
+    val base = len / parts
+    val rem = len % parts
+    val out = new Array[(Int, Int)](parts)
+    var start = 0
+    var i = 0
+    while (i < parts) {
+      val l = if (i >= parts - rem) base + 1 else base
+      out(i) = (start, l)
+      start += l
+      i += 1
+    }
+    out
+  }
+
+  /** Typo-level near-duplicate pairs: documents whose lowercased
+    * `prefixLen`-char text prefixes are within `k` Levenshtein edits.
+    * Emits (a_id, b_id, dist) with a_id < b_id; only prefixes of at
+    * least `minLen` (> 2k, so no zero-length segment exists) chars
+    * participate.
+    *
+    * Blocking is the PassJoin pigeonhole (Li/Deng/Feng 2011, public
+    * algorithm): partition each string into k+1 contiguous segments —
+    * k edits can corrupt at most k of them, so any string within k
+    * edits contains at least one segment VERBATIM, displaced at most k
+    * positions. Each row therefore emits k+1 index keys
+    * (segment, i, len) and, for every candidate indexed length
+    * ℓ ∈ [m−k, m], the O(k) substrings of itself that could match
+    * segment i of a length-ℓ string — a constant number of short keys
+    * per row. Candidates come from one hash equi-join on those keys
+    * (never an all-pairs product); the exact Levenshtein verify
+    * (Spark's codegen'd levenshtein) runs only on the deduped
+    * candidate set. Probing only ℓ ≤ m orients each pair
+    * shorter←longer exactly once (equal lengths are caught twice and
+    * deduped).
+    *
+    * Scale shape: linear emit per row, hash join on ≤ prefixLen-char
+    * segment strings, broadcast nothing; the verify set is the join
+    * output, which the pigeonhole bound keeps near the true-pair count
+    * for natural text. */
+  def editDupes(df: DataFrame, id: String, text: String, k: Int = 2,
+      prefixLen: Int = 64, minLen: Int = 8): DataFrame = {
+    require(minLen > 2 * k, s"minLen ($minLen) must exceed 2k (${2 * k})")
+    val base = df
+      .select(col(id).cast("long").as("__id"),
+        lower(substring(col(text), 1, prefixLen)).as("__s"))
+      .filter(length(col("__s")) >= minLen)
+    val segEnc = Encoders.row(StructType(Seq(
+      StructField("__seg", StringType), StructField("__i", IntegerType),
+      StructField("__l", IntegerType), StructField("__id", LongType),
+      StructField("__s", StringType))))
+    val index = base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idv = r.getLong(0); val s = r.getString(1)
+        segLayout(s.length, k).iterator.zipWithIndex.map { case ((p, l), i) =>
+          Row(s.substring(p, p + l), i, s.length, idv, s)
+        }
+      }
+    }(segEnc)
+    val probe = base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idv = r.getLong(0); val s = r.getString(1); val m = s.length
+        for {
+          lt <- (math.max(minLen, m - k) to m).iterator
+          ((p, l), i) <- segLayout(lt, k).iterator.zipWithIndex
+          start <- (math.max(0, p - k) to math.min(m - l, p + k)).iterator
+        } yield Row(s.substring(start, start + l), i, lt, idv, s)
+      }
+    }(segEnc)
+    val cand = probe.toDF("__seg", "__i", "__l", "__pid", "__ps")
+      .join(index.toDF("__seg", "__i", "__l", "__iid", "__is"),
+        Seq("__seg", "__i", "__l"))
+      .filter(col("__pid") =!= col("__iid"))
+      .select(
+        least(col("__pid"), col("__iid")).as("a_id"),
+        greatest(col("__pid"), col("__iid")).as("b_id"),
+        when(col("__pid") < col("__iid"), col("__ps")).otherwise(col("__is")).as("__a"),
+        when(col("__pid") < col("__iid"), col("__is")).otherwise(col("__ps")).as("__b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("__a"), col("__b")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  // ---------- content-defined chunking (gear-hash CDC) ----------
+
+  /** Content-defined chunking over `text` with a windowed gear hash —
+    * the storage-dedup primitive (FastCDC-family, public algorithm)
+    * applied to corpus text: boundaries depend only on local content,
+    * so an insertion early in a document shifts chunk OFFSETS but not
+    * chunk IDENTITIES, which fixed-size blocking cannot do. A cut is
+    * placed after 1-based position `pos ≥ window` whenever
+    * Σ_{j=0..W−1} gear(c_{pos−j})·2^j ≡ 0 (mod `modulus`), with
+    * gear(c) = ascii(c)·2654435761 — pure 64-bit integer arithmetic
+    * (max |h| < 2⁵³), bit-identical across engines and replicated by
+    * the SQL oracle. Expected chunk length ≈ `modulus` chars. The
+    * final position always closes the last chunk. Docs shorter than
+    * `window` chars are skipped.
+    *
+    * Emits one row per chunk: (id, chunk_idx (1-based), chunk_len,
+    * chunk_hash, dup_cnt) where chunk_hash is the portable polynomial
+    * hash (DedupQueries.polyHashS) and dup_cnt counts occurrences of
+    * the identical chunk TEXT across the whole corpus — dup_cnt > 1
+    * marks content shareable under chunk-level dedup.
+    *
+    * Scale shape: an O(len) rolling kernel per document wherever it
+    * already lives (no shuffle to compute boundaries), then ONE keyed
+    * agg on chunk text with map-side partial combine and an equi-join
+    * back — the same skew-safe shape as [[lineDedup]]; a chunk
+    * repeated 10⁹ times collapses per-task before the shuffle. */
+  def cdcChunks(df: DataFrame, id: String, text: String, window: Int = 16,
+      modulus: Long = 64L): DataFrame = {
+    require(window >= 2 && window <= 52, s"window must be in [2,52], got $window")
+    val enc = Encoders.row(StructType(Seq(
+      StructField("__id", LongType), StructField("chunk_idx", IntegerType),
+      StructField("chunk_len", LongType), StructField("chunk_hash", LongType),
+      StructField("__ctext", StringType))))
+    val chunks = df.select(col(id).cast("long").as("__id"), col(text))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val s = r.getString(1)
+            val n = s.length
+            if (n < window) Iterator.empty
+            else {
+              val idv = r.getLong(0)
+              val topW = 1L << (window - 1)
+              var h = 0L
+              var i = 0
+              while (i < window) { h = (h << 1) + s.charAt(i).toLong * 2654435761L; i += 1 }
+              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+              var cstart = 0 // 0-based exclusive-start of the open chunk
+              var idx = 1
+              var pos = window // 1-based position of the newest window char
+              while (pos <= n) {
+                if (h % modulus == 0L || pos == n) {
+                  val ctext = s.substring(cstart, pos)
+                  out += Row(idv, idx, ctext.length.toLong,
+                    graft.ops.DedupQueries.polyHashS(ctext), ctext)
+                  cstart = pos
+                  idx += 1
+                }
+                if (pos < n) {
+                  h = ((h - s.charAt(pos - window).toLong * 2654435761L * topW) << 1) +
+                    s.charAt(pos).toLong * 2654435761L
+                }
+                pos += 1
+              }
+              out.iterator
+            }
+          }
+        }
+      }(enc)
+    val dups = chunks.groupBy(col("__ctext")).agg(count(lit(1)).as("dup_cnt"))
+    chunks.join(dups, Seq("__ctext"))
+      .select(col("__id").as(id), col("chunk_idx"), col("chunk_len"),
+        col("chunk_hash"), col("dup_cnt"))
+  }
 }

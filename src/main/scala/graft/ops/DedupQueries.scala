@@ -461,4 +461,72 @@ object DedupQueries {
       |JOIN n nb ON nb.doc_id = b.doc_id
       |GROUP BY a.doc_id, b.doc_id
       |HAVING count(*)::DOUBLE / (any_value(na.cnt) + any_value(nb.cnt) - count(*))::DOUBLE >= 0.7""".stripMargin
+
+  // ----- PassJoin edit-distance near-dup -----
+
+  private val EdK = 2
+  private val EdPrefix = 64
+  private val EdMinLen = 8
+
+  /** Typo-level near-dup pairs: lowercased 64-char prefixes within 2
+    * Levenshtein edits (Graft.editDupes — PassJoin pigeonhole
+    * blocking, exact verify on candidates only). */
+  def qEditDupes(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.editDupes(Tables.documents(spark, dir), "doc_id", "text",
+      EdK, EdPrefix, EdMinLen)
+      .select(col("a_id"), col("b_id"), col("dist"))
+
+  /** Quadratic reference formulation (fine at the gate's sf0.01; the
+    * engine side never materializes the cross product). */
+  val editDupesOracle: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, lower(substr(text, 1, $EdPrefix)) AS s FROM documents
+       |  WHERE length(lower(substr(text, 1, $EdPrefix))) >= $EdMinLen
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  levenshtein(a.s, b.s)::BIGINT AS dist
+       |FROM n a JOIN n b ON a.doc_id < b.doc_id
+       |WHERE abs(length(a.s) - length(b.s)) <= $EdK
+       |  AND levenshtein(a.s, b.s) <= $EdK""".stripMargin
+
+  // ----- content-defined chunking -----
+
+  private val CdcW = 16
+  private val CdcM = 64L
+
+  /** Gear-hash content-defined chunking with global chunk-text dup
+    * counts (Graft.cdcChunks): window 16, target chunk ≈ 64 chars. */
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.cdcChunks(Tables.documents(spark, dir), "doc_id", "text", CdcW, CdcM)
+
+  /** Per-position windowed gear hashes via list arithmetic (the
+    * winnowOracle pattern) → cut set → chunk reassembly with lag. */
+  val cdcChunksOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text FROM documents WHERE length(text) >= $CdcW
+       |), g AS (
+       |  SELECT doc_id, text, unnest(range($CdcW, length(text) + 1)) AS pos FROM d
+       |), h AS (
+       |  SELECT doc_id, pos,
+       |    list_sum(list_transform(string_split(substr(text, pos - ${CdcW - 1}, $CdcW), ''),
+       |      (c, i) -> (ascii(c) * 2654435761) * (1::BIGINT << ($CdcW - i)))) AS hv
+       |  FROM g
+       |), cuts AS (
+       |  SELECT doc_id, pos FROM h WHERE hv % $CdcM = 0
+       |  UNION
+       |  SELECT doc_id, length(text) FROM d
+       |), b AS (
+       |  SELECT doc_id, pos AS cend,
+       |    lag(pos, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS cstart,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos)::INT AS chunk_idx
+       |  FROM cuts
+       |), c AS (
+       |  SELECT b.doc_id, chunk_idx, substr(d.text, cstart + 1, cend - cstart) AS ctext
+       |  FROM b JOIN d ON b.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, chunk_idx, length(ctext)::BIGINT AS chunk_len,
+       |  ((list_sum(list_transform(string_split(ctext, ''), (c2, i) -> i * ascii(c2)))
+       |    * 48271) % 2147483647)::BIGINT AS chunk_hash,
+       |  (count(*) OVER (PARTITION BY ctext))::BIGINT AS dup_cnt
+       |FROM c""".stripMargin
 }

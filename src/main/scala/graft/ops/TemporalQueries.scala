@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/relational completeness pass: change-capture intervals
+  * (SCD-2), Markov transition matrices, CUBE grouping, grouped
+  * correlation/regression, and percentile winsorization.
+  *
+  * These extend the §2.B "stock Spark downstream of the connector"
+  * surface (SURVEY.md: the reference delegates ALL relational work to
+  * Spark — e.g. demo DISSparkStreamingSubscribeExample.scala:46) with
+  * the event-history shapes a warehouse built on a stream ingest needs:
+  * the DIS record stream is an append-only change log, and SCD-2 /
+  * transition mining are the canonical queries over such a log.
+  *
+  * Scale notes (100 TB): every query here shuffles at most once on its
+  * natural key (user_id for the per-user windows, the group keys for
+  * the aggs); the winsorize percentile frame is |event_type| rows and
+  * broadcast. No windows over an unpartitioned global ordering.
+  */
+object TemporalQueries {
+
+  /** SCD-2 change capture over the event log: per user ordered by
+    * (ts, event_id), keep only rows where `event_type` changed vs the
+    * previous event, and emit validity intervals
+    * [valid_from, valid_to) with NULL valid_to = current row.
+    *
+    * Both window functions share one partitioning (user_id) and one
+    * sort order, so Catalyst plans a single exchange + sort with two
+    * Window nodes — per-user history never crosses executors twice. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  val scd2Oracle: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, event_type, ts, event_id FROM s
+      |  WHERE prev IS NULL OR prev <> event_type
+      |)
+      |SELECT user_id, event_type, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM c""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count and conditional probability of each
+    * (src event_type → dst event_type) step. One window shuffle on
+    * user_id, then a tiny |types|² agg; `prob` is an exact integer
+    * division (IEEE-identical across engines). */
+  def qTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    steps.withColumn("prob",
+      col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy(col("src"))).cast("double"))
+  }
+
+  val transitionsOracle: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+      |  FROM events
+      |), t AS (
+      |  SELECT src, event_type AS dst, count(*) AS cnt
+      |  FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT src, dst, cnt,
+      |  cnt::DOUBLE / (sum(cnt) OVER (PARTITION BY src))::DOUBLE AS prob
+      |FROM t""".stripMargin
+
+  /** CUBE over (l_returnflag, l_linestatus): all 2² grouping sets in
+    * one pass. Spark plans an Expand + single hash agg — one shuffle
+    * for every subtotal level. sum(l_quantity) is a sum of integral
+    * doubles < 2⁵³, so it is order-independent and hash-exact. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  val cubeOracle: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Grouped correlation + least-squares slope of extendedprice on
+    * quantity per return flag — the profile-stats shape for numeric
+    * column pairs. One shuffle on the group key; co-moments are
+    * computed with map-side partial merges (mergeable moment sketches,
+    * the same shape Welford merging gives a 1000-executor scan).
+    * Rounded so one-pass merge-order jitter in the last double bits
+    * cannot flip the comparator. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"))
+
+  val corrOracle: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Percentile winsorization: cap `value` at the exact per-type
+    * [p05, p95] band, report the capped mean — the outlier-robust
+    * normalization step of a feature pipeline. The percentile frame is
+    * |event_type| rows → broadcast; the big side streams through one
+    * hash agg. p05/p95 use the same linear-interpolation definition as
+    * DuckDB quantile_cont (pinned hash-green by q_percentiles_exact). */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val pct = e.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.05)).as("lo"),
+      percentile(col("value"), lit(0.95)).as("hi"))
+    e.join(broadcast(pct), Seq("event_type"))
+      .select(col("event_type"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("__capped"),
+        col("lo"), col("hi"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("lo")), 6).as("lo"),
+        round(first(col("hi")), 6).as("hi"),
+        round(avg(col("__capped")), 6).as("avg_capped"))
+  }
+
+  val winsorizeOracle: String =
+    """WITH pct AS (
+      |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  round(min(pct.lo), 6) AS lo, round(min(pct.hi), 6) AS hi,
+      |  round(avg(least(greatest(e.value, pct.lo), pct.hi)), 6) AS avg_capped
+      |FROM events e JOIN pct ON e.event_type = pct.event_type
+      |GROUP BY e.event_type""".stripMargin
+}
