@@ -150,6 +150,10 @@ object SparkEntry {
     "q_winsorize"       -> TemporalQueries.qWinsorize,
     "q_edit_dupes"      -> DedupQueries.qEditDupes,
     "q_cdc_chunks"      -> DedupQueries.qCdcChunks,
+    "q_retention"       -> TemporalQueries.qRetention,
+    "q_ntile"           -> TemporalQueries.qNtile,
+    "q_mad_outliers"    -> TemporalQueries.qMadOutliers,
+    "q_interleave"      -> TemporalQueries.qInterleave,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -459,6 +463,10 @@ object SparkEntry {
     "q_winsorize" -> TemporalQueries.winsorizeOracle,
     "q_edit_dupes" -> DedupQueries.editDupesOracle,
     "q_cdc_chunks" -> DedupQueries.cdcChunksOracle,
+    "q_retention" -> TemporalQueries.retentionOracle,
+    "q_ntile" -> TemporalQueries.ntileOracle,
+    "q_mad_outliers" -> TemporalQueries.madOutliersOracle,
+    "q_interleave" -> TemporalQueries.interleaveOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -156,4 +156,115 @@ object TemporalQueries {
       |  round(avg(least(greatest(e.value, pct.lo), pct.hi)), 6) AS avg_capped
       |FROM events e JOIN pct ON e.event_type = pct.event_type
       |GROUP BY e.event_type""".stripMargin
+
+  /** Cohort retention matrix: users grouped by first-activity day,
+    * counted distinct per day offset — the engagement query every
+    * event warehouse runs. Two keyed shuffles (per-user min, then the
+    * small cohort×offset agg); the first-day frame joins back on
+    * user_id, co-partitioned with the agg that built it. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+  }
+
+  val retentionOracle: String =
+    """WITH f AS (
+      |  SELECT user_id, min(ts::DATE) AS cohort FROM events GROUP BY user_id
+      |)
+      |SELECT f.cohort, (e.ts::DATE - f.cohort)::BIGINT AS day_offset,
+      |  count(DISTINCT e.user_id) AS users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Equal-frequency quartile assignment per event_type (ntile over a
+    * deterministic (value, event_id) order) — the bucketing step of
+    * monotone feature binning. One window shuffle on event_type; the
+    * SQL-standard ntile definition is engine-portable. */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select(col("event_id"), col("event_type"), col("quartile"))
+  }
+
+  val ntileOracle: String =
+    """SELECT event_id, event_type,
+      |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS quartile
+      |FROM events""".stripMargin
+
+  /** Robust outlier profile per event_type: exact median, median
+    * absolute deviation, and the count of |x − med| > 3·1.4826·MAD
+    * outliers — the scale-robust z-score that heavy tails can't skew.
+    * The |types|-row median frame is broadcast; the corpus streams
+    * through two agg passes (median, then MAD+flag) without ever
+    * sorting globally. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("__ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(first(col("med")).as("__m"), percentile(col("__ad"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad.select(col("event_type"), col("__m"), col("__mad"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("__m")), 6).as("med"),
+        round(first(col("__mad")), 6).as("mad"),
+        sum(when(col("__ad") > lit(3.0) * lit(1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  val madOutliersOracle: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type
+      |), dev AS (
+      |  SELECT e.event_type, abs(e.value - med.m) AS ad, med.m
+      |  FROM events e JOIN med ON e.event_type = med.event_type
+      |), mad AS (
+      |  SELECT event_type, min(m) AS m, quantile_cont(ad, 0.5) AS md
+      |  FROM dev GROUP BY event_type
+      |)
+      |SELECT dev.event_type, count(*) AS n,
+      |  round(min(mad.m), 6) AS med, round(min(mad.md), 6) AS mad,
+      |  sum(CASE WHEN dev.ad > 3.0::DOUBLE * 1.4826::DOUBLE * mad.md
+      |      THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY dev.event_type""".stripMargin
+
+  /** Stride-scheduled mixture interleave: each source s gets weight
+    * w_s = 1 + (srcnum mod 4); its i-th document (by doc_id) is
+    * scheduled at key i/w_s, so sorting by (sched_key, source,
+    * src_rank) yields the weight-proportional round-robin order LLM
+    * training mixtures use. The key is an exact integer division —
+    * bit-identical across engines — and realizing the order at 100 TB
+    * is a distributed range-partitioned sort on sched_key (Spark's
+    * sample-based exchange), never a single-point row_number. */
+  def qInterleave(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("sched_key",
+        col("src_rank").cast("double") /
+          (lit(1.0) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L))
+            .cast("double")))
+  }
+
+  val interleaveOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS src_rank
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, src_rank::BIGINT AS src_rank,
+      |  src_rank::DOUBLE / (1.0::DOUBLE + (substr(source, 4)::BIGINT % 4)::DOUBLE) AS sched_key
+      |FROM r""".stripMargin
 }

@@ -50,6 +50,41 @@ class TemporalSpec extends SparkTestBase {
     assert(u10(2).isNullAt(3)) // current row open-ended
   }
 
+  // ---- retention / interleave ----
+
+  test("retention: offsets measured from each user's first day") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), (2L, ts("2024-01-03 09:00:00"), 1L),
+      (3L, ts("2024-01-02 10:00:00"), 2L), (4L, ts("2024-01-02 23:59:59"), 2L),
+      (5L, ts("2024-01-04 00:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val first = ev.select($"user_id", to_date($"ts").as("d"))
+      .groupBy($"user_id").agg(min($"d").as("cohort"))
+    val got = ev.select($"user_id", to_date($"ts").as("d"))
+      .join(first, Seq("user_id"))
+      .groupBy($"cohort", datediff($"d", $"cohort").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("users"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 2L, 1L)))
+  }
+
+  test("interleave: sorting by sched_key yields weight-proportional prefixes") {
+    val docs = TemporalQueries.qInterleave(spark, "/root/testdata/sf0.001")
+    val rows = docs.orderBy($"sched_key", $"source", $"src_rank").collect()
+    // weights are 1 + srcnum%4; in any prefix long enough, a source of
+    // weight 4 must appear ~4x as often as a source of weight 1
+    val prefix = rows.take(200).map(_.getString(1))
+    val w1 = prefix.count(s => s.stripPrefix("src").toInt % 4 == 0) // weight 1
+    val w4 = prefix.count(s => s.stripPrefix("src").toInt % 4 == 3) // weight 4
+    assert(w4 > 2 * w1, s"stride order broken: weight-4 sources $w4 vs weight-1 $w1")
+    // within one source the order preserves src_rank monotonically
+    val bySrc = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      .groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2) }
+    bySrc.values.foreach(seq => assert(seq === seq.sorted, "src_rank order violated"))
+  }
+
   // ---- editDupes (PassJoin) ----
 
   test("editDupes finds dist-0/1/2 pairs and rejects dist-3, across lengths") {
