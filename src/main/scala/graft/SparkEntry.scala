@@ -154,6 +154,7 @@ object SparkEntry {
     "q_ntile"           -> TemporalQueries.qNtile,
     "q_mad_outliers"    -> TemporalQueries.qMadOutliers,
     "q_interleave"      -> TemporalQueries.qInterleave,
+    "q_multimodal_wav"  -> MultimodalQueries.qMultimodalWav,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -467,6 +468,7 @@ object SparkEntry {
     "q_ntile" -> TemporalQueries.ntileOracle,
     "q_mad_outliers" -> TemporalQueries.madOutliersOracle,
     "q_interleave" -> TemporalQueries.interleaveOracle,
+    "q_multimodal_wav" -> MultimodalQueries.wavOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -433,4 +433,121 @@ object MultimodalQueries {
       |  list_sum(list_transform(range(0, (len(p) + 255) // 256),
       |    f -> CASE WHEN f % 4 = 0 THEN p[(f * 256 + 1)::INT] ELSE 0 END))::BIGINT AS sampled_sum
       |FROM px, (SELECT unnest(range(0, 16)) AS b) b""".stripMargin
+
+  // ---------- audio arm: real RIFF/WAV containers ----------
+
+  /** Standard 44-byte PCM WAV container around `samples` (8-bit
+    * unsigned mono), little-endian per the RIFF spec — a REAL audio
+    * file any player parses. 8-bit PCM is lossless, so the decoded
+    * sample stream equals the source bytes exactly (the audio analog of
+    * the gray-PNG identity that keeps this arm under the hash oracle). */
+  private def encodeWav(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byteRate = rate * channels * bits/8
+      .putShort(1) // blockAlign
+      .putShort(8) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(samples)
+    bb.array()
+  }
+
+  /** Chunk-walking RIFF parser (not offset-44 hardcoding: handles
+    * extra chunks between fmt and data, the layout real encoders emit).
+    * Returns (sampleRate, channels, bits, samples). */
+  private[ops] def parseWav(blob: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(blob).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF container")
+    bb.getInt // riff size
+    require(fourCC() == "WAVE", "not a WAVE form")
+    var rate = -1; var channels = -1; var bits = -1
+    var samples: Array[Byte] = null
+    while (bb.remaining() >= 8 && (samples == null || rate < 0)) {
+      val id = fourCC(); val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = bb.position() + size
+          require(bb.getShort == 1, "only PCM supported")
+          channels = bb.getShort.toInt
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byteRate, blockAlign
+          bits = bb.getShort.toInt
+          bb.position(fmtEnd)
+        case "data" =>
+          samples = new Array[Byte](size); bb.get(samples)
+        case _ =>
+          bb.position(bb.position() + size + (size & 1)) // chunks pad to even
+      }
+    }
+    require(rate > 0 && samples != null, "missing fmt or data chunk")
+    (rate, channels, bits, samples)
+  }
+
+  /** Fixture bytes → real WAV files, sample rate varied per doc
+    * (8/12/16 kHz) so the parse is load-bearing. */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("blob", BinaryType))))
+    mediaTable(spark, dir).select(col("doc_id"), col("blob"))
+      .transform(Spread.widen)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val idv = r.getLong(0)
+          val rate = 8000 + (idv % 3).toInt * 4000
+          Row(idv, encodeWav(r.getAs[Array[Byte]](1), rate))
+        }
+      }(enc)
+  }
+
+  /** Audio metadata + decode: parse the RIFF container, decode the
+    * 8-bit PCM stream, report header fields and sample stats — the
+    * audio analog of [[qMultimodalPng]]. Blobs never shuffle; the
+    * parse+decode kernel runs wherever the rows live. */
+  def qMultimodalWav(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("sample_rate", LongType),
+      StructField("channels", LongType), StructField("bits", LongType),
+      StructField("n_samples", LongType), StructField("sample_sum", LongType),
+      StructField("peak", LongType))))
+    wavMediaTable(spark, dir).mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, bits, samples) = parseWav(r.getAs[Array[Byte]](1))
+        var sum = 0L; var peak = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = (samples(i) & 0xff).toLong
+          sum += v; if (v > peak) peak = v
+          i += 1
+        }
+        Row(r.getLong(0), rate.toLong, ch.toLong, bits.toLong,
+          samples.length.toLong, sum, peak)
+      }
+    }(enc)
+  }
+
+  /** The container fields are pinned by construction; the sample
+    * stream must decode back to exactly the normalized text bytes. */
+  val wavOracle: String =
+    """WITH px AS (
+      |  SELECT doc_id, list_transform(
+      |    string_split(regexp_replace(text, '[^ -~]', '', 'g'), ''), c -> ascii(c)) AS p
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  (8000 + (doc_id % 3) * 4000)::BIGINT AS sample_rate,
+      |  1::BIGINT AS channels, 8::BIGINT AS bits,
+      |  len(p)::BIGINT AS n_samples,
+      |  coalesce(list_sum(p), 0)::BIGINT AS sample_sum,
+      |  coalesce(list_max(p), 0)::BIGINT AS peak
+      |FROM px""".stripMargin
 }
