@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, OlapQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -155,6 +155,11 @@ object SparkEntry {
     "q_mad_outliers"    -> TemporalQueries.qMadOutliers,
     "q_interleave"      -> TemporalQueries.qInterleave,
     "q_multimodal_wav"  -> MultimodalQueries.qMultimodalWav,
+    "q_pricing_summary" -> OlapQueries.qPricingSummary,
+    "q_top_orders"      -> OlapQueries.qTopOrders,
+    "q_revenue_forecast" -> OlapQueries.qRevenueForecast,
+    "q_gap_fill"        -> OlapQueries.qGapFill,
+    "q_user_paths"      -> OlapQueries.qUserPaths,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -469,6 +474,11 @@ object SparkEntry {
     "q_mad_outliers" -> TemporalQueries.madOutliersOracle,
     "q_interleave" -> TemporalQueries.interleaveOracle,
     "q_multimodal_wav" -> MultimodalQueries.wavOracle,
+    "q_pricing_summary" -> OlapQueries.pricingSummaryOracle,
+    "q_top_orders" -> OlapQueries.topOrdersOracle,
+    "q_revenue_forecast" -> OlapQueries.revenueForecastOracle,
+    "q_gap_fill" -> OlapQueries.gapFillOracle,
+    "q_user_paths" -> OlapQueries.userPathsOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

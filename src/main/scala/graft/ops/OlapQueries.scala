@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The classic OLAP shapes (TPC-H Q1/Q3/Q6 silhouettes) plus calendar
+  * gap-fill and ordered path concatenation — the reporting layer a
+  * stream-fed warehouse runs downstream of the connector (SURVEY.md
+  * §2.B: the reference delegates ALL relational work to stock Spark).
+  *
+  * Money arithmetic: 2-decimal prices/discounts/taxes are lifted to
+  * exact integer cents (floor(x·100+0.5)) BEFORE multiplying/summing,
+  * so every aggregate is an order-independent integer sum (< 2⁵³) —
+  * bit-identical across engines, partitionings, and cluster sizes —
+  * and only divided back to dollars at the very end. Plain double
+  * sums of price products would drift in the last bits under Spark's
+  * nondeterministic partial-agg merge order at multi-split scale.
+  */
+object OlapQueries {
+
+  private def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+
+  /** TPC-H Q1 pricing summary: one scan → one hash agg on the two
+    * low-cardinality flags; the shipdate predicate pushes to parquet. */
+  def qPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        cents(col("l_extendedprice")).as("__pc"),
+        cents(col("l_discount")).as("__d"),
+        cents(col("l_tax")).as("__t"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(col("__pc")).cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("__pc") * (lit(100L) - col("__d"))).cast("double") / 10000.0)
+          .as("sum_disc_price"),
+        (sum(col("__pc") * (lit(100L) - col("__d")) * (lit(100L) + col("__t")))
+          .cast("double") / 1000000.0).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+        (sum(col("__pc")).cast("double") / 100.0 / count(lit(1)).cast("double"))
+          .as("avg_price"),
+        (sum(col("__d")).cast("double") / 100.0 / count(lit(1)).cast("double"))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val pricingSummaryOracle: String =
+    """WITH l AS (
+      |  SELECT l_returnflag, l_linestatus, l_quantity,
+      |    floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS pc,
+      |    floor(l_discount * 100.0 + 0.5)::BIGINT AS d,
+      |    floor(l_tax * 100.0 + 0.5)::BIGINT AS t
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(pc)::DOUBLE / 100.0 AS sum_base_price,
+      |  sum(pc * (100 - d))::DOUBLE / 10000.0 AS sum_disc_price,
+      |  sum(pc * (100 - d) * (100 + t))::DOUBLE / 1000000.0 AS sum_charge,
+      |  sum(l_quantity) / count(*)::DOUBLE AS avg_qty,
+      |  sum(pc)::DOUBLE / 100.0 / count(*)::DOUBLE AS avg_price,
+      |  sum(d)::DOUBLE / 100.0 / count(*)::DOUBLE AS avg_disc,
+      |  count(*) AS count_order
+      |FROM l GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shipping priority: segment-filtered customers (broadcast
+    * semi-join — the fact side never shuffles for the filter), orders ⋈
+    * lineitem on the order key, revenue agg per order, distributed
+    * top-10 via TakeOrderedAndProject (no global sort). */
+  def qTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("__rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(col("__rev")).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val topOrdersOracle: String =
+    """SELECT l.l_orderkey, o.o_orderdate,
+      |  sum(floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+      |      * (100 - floor(l.l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+      |    AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderdate < TIMESTAMP '1999-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '1999-01-01'
+      |  AND o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q6 revenue forecast: pure scan-filter-sum; every predicate
+    * pushes to the parquet reader, the agg is a 1-row partial+final. */
+  def qRevenueForecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24.0)
+      .select(cents(col("l_extendedprice")).as("__pc"), cents(col("l_discount")).as("__d"))
+      .agg(
+        (sum(col("__pc") * col("__d")).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val revenueForecastOracle: String =
+    """SELECT
+      |  sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT
+      |      * floor(l_discount * 100.0 + 0.5)::BIGINT)::DOUBLE / 10000.0 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.02::DOUBLE AND l_discount <= 0.06::DOUBLE
+      |  AND l_quantity < 24.0::DOUBLE""".stripMargin
+
+  /** Calendar gap-fill: the dense (event_type × hour) grid over the
+    * observed time span, missing cells zero-filled — what dashboards
+    * need before charting a sparse stream. The hour spine and the type
+    * dimension are tiny generated frames (broadcast); the only big-side
+    * work is the original grouped count. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+    val counts = e.groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val span = e.agg(min(col("hour_start")).as("lo"), max(col("hour_start")).as("hi"))
+    val hours = span.select(
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour_start"))
+    val types = e.select(col("event_type")).distinct()
+    broadcast(hours).crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "hour_start"), "left")
+      .select(col("event_type"), col("hour_start"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  val gapFillOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_start FROM events
+      |), counts AS (
+      |  SELECT event_type, hour_start, count(*) AS cnt FROM e GROUP BY 1, 2
+      |), hours AS (
+      |  SELECT unnest(generate_series(min(hour_start), max(hour_start),
+      |    INTERVAL 1 HOUR)) AS hour_start FROM e
+      |), types AS (SELECT DISTINCT event_type FROM e)
+      |SELECT t.event_type, h.hour_start, coalesce(c.cnt, 0) AS cnt
+      |FROM hours h CROSS JOIN types t
+      |LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_start = h.hour_start""".stripMargin
+
+  /** Ordered path concatenation: each user's full event-type journey as
+    * one delimited string (deterministic (ts, event_id) order inside
+    * the collect) — the sequence-mining input format. One shuffle on
+    * user_id; paths are bounded by per-user activity, not corpus size. */
+  def qUserPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"),
+        count(lit(1)).as("n_events"))
+
+  val userPathsOracle: String =
+    """SELECT user_id,
+      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+      |  count(*) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+}

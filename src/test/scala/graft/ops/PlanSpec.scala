@@ -463,4 +463,34 @@ class PlanSpec extends SparkTestBase {
     assert(!e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
     assert(e.eval(null) === 2.0)
   }
+
+  test("q_revenue_forecast pushes every predicate to the parquet scan") {
+    // toString truncates PushedFilters; formatted mode prints them all
+    val p = OlapQueries.qRevenueForecast(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:"), p)
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.02)", "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)"))
+      assert(p.contains(f), s"missing pushed filter $f:\n$p")
+  }
+
+  test("q_top_orders: broadcast segment semi-join + TakeOrderedAndProject top-10") {
+    val p = plan(OlapQueries.qTopOrders(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort instead of partial top-N:\n$p")
+    assert(p.contains("LeftSemi"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q_pricing_summary: single shuffle, map-side partial aggregation") {
+    val p = plan(OlapQueries.qPricingSummary(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q_gap_fill: the dense grid sides are broadcast, counts agg is partial+final") {
+    val p = plan(OlapQueries.qGapFill(spark, dir))
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"grid frames not broadcast:\n$p")
+  }
 }
