@@ -27,6 +27,8 @@ SKIP = {
                               # (not the engine kernel) is quadratic
     "q_knn_classify",     # exhaustive n x q scoring in SQL (q_similarity_knn rule)
     "q_cluster_dedup",    # recursive CTE over the all-pairs set (q_dup_clusters rule)
+    "q_edit_dupes",       # all-pairs Levenshtein oracle; the engine side is
+                          # PassJoin-blocked (linear emit + equi-join)
 }
 
 con = duckdb.connect()
