@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, MultimodalQueries, OlapQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -160,6 +160,9 @@ object SparkEntry {
     "q_revenue_forecast" -> OlapQueries.qRevenueForecast,
     "q_gap_fill"        -> OlapQueries.qGapFill,
     "q_user_paths"      -> OlapQueries.qUserPaths,
+    "q_rank_eval"       -> EvalQueries.qRankEval,
+    "q_confusion"       -> EvalQueries.qConfusion,
+    "q_outer_join"      -> EvalQueries.qOuterJoin,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -479,6 +482,9 @@ object SparkEntry {
     "q_revenue_forecast" -> OlapQueries.revenueForecastOracle,
     "q_gap_fill" -> OlapQueries.gapFillOracle,
     "q_user_paths" -> OlapQueries.userPathsOracle,
+    "q_rank_eval" -> EvalQueries.rankEvalOracle,
+    "q_confusion" -> EvalQueries.confusionOracle,
+    "q_outer_join" -> EvalQueries.outerJoinOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evaluation operators — the measurement half of the retrieval and
+  * classification stacks (north star): IR rank metrics (recall@k, MRR,
+  * nDCG) over the exact-kNN run, a per-class confusion profile for the
+  * NB classifier, and the full-outer reconciliation join that
+  * completes the join-type matrix.
+  *
+  * Scale notes: metrics aggregate the (queries × k) retrieval frame —
+  * tiny relative to the corpus — after broadcast label joins; the
+  * confusion matrix is |classes|²; the outer join shuffles both sides
+  * once on the shared key.
+  */
+object EvalQueries {
+
+  private val K = 5
+
+  /** Rank-quality evaluation of the exact cosine kNN
+    * ([[SimilarityQueries.qSimilarityKnn]]) with label-match relevance:
+    * per query — hit count, recall@K (vs the achievable pool
+    * min(K, |same-label|−1)), MRR, and nDCG@K. Every metric is
+    * arithmetic over ranks and exact counts (log2 rounded at 6 to
+    * absorb libm ULP differences across engines). */
+  def qRankEval(spark: SparkSession, dir: String): DataFrame = {
+    val knn = SimilarityQueries.qSimilarityKnn(spark, dir)
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val lc = lbl.groupBy(col("label")).agg(count(lit(1)).as("__c"))
+    val j = knn
+      .join(broadcast(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("__nl"))),
+        Seq("neighbor_id"))
+      .join(broadcast(lbl.select(col("vec_id").as("query_id"), col("label").as("__ql"))),
+        Seq("query_id"))
+      .join(broadcast(lc.select(col("label").as("__ql"), (col("__c") - 1L).as("__rt"))),
+        Seq("__ql"))
+      .select(col("query_id"), col("rank"),
+        (col("__nl") === col("__ql")).as("__rel"), col("__rt"))
+    val pool = least(lit(K.toLong), min(col("__rt")))
+    j.groupBy(col("query_id"))
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
+        round(sum(when(col("__rel"), 1L).otherwise(0L)).cast("double") /
+          least(lit(K.toLong), min(col("__rt"))).cast("double"), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / min(when(col("__rel"), col("rank"))).cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(
+          sum(when(col("__rel"), lit(1.0) / log2(col("rank").cast("double") + 1.0))
+            .otherwise(0.0)) /
+          aggregate(sequence(lit(1L), pool), lit(0.0),
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)), 6).as("ndcg"))
+  }
+
+  val rankEvalOracle: String =
+    s"""WITH knn AS (SELECT * FROM (${SimilarityQueries.knnOracle}) z),
+       |lbl AS (SELECT vec_id, label FROM embeddings),
+       |lc AS (SELECT label, count(*) AS c FROM embeddings GROUP BY label),
+       |j AS (
+       |  SELECT knn.query_id, knn.rank, (nl.label = ql.label) AS rel, lc.c - 1 AS rt
+       |  FROM knn JOIN lbl nl ON knn.neighbor_id = nl.vec_id
+       |           JOIN lbl ql ON knn.query_id = ql.vec_id
+       |           JOIN lc ON lc.label = ql.label
+       |)
+       |SELECT query_id,
+       |  sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+       |  round(sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE
+       |        / least($K, min(rt))::DOUBLE, 6) AS recall_at_k,
+       |  round(coalesce(1.0::DOUBLE / min(CASE WHEN rel THEN rank END)::DOUBLE,
+       |        0.0::DOUBLE), 6) AS mrr,
+       |  round(sum(CASE WHEN rel THEN 1.0::DOUBLE / log2((rank + 1)::DOUBLE)
+       |            ELSE 0.0::DOUBLE END)
+       |        / list_sum(list_transform(range(1, least($K, min(rt)) + 1),
+       |            i -> 1.0::DOUBLE / log2((i + 1)::DOUBLE))), 6) AS ndcg
+       |FROM j GROUP BY query_id""".stripMargin
+
+  /** Per-class confusion profile of the NB classifier gate run
+    * ([[ClassifyQueries.qNbClassify]] — train on even doc_ids, score
+    * odd): tp/fp/fn and exact-ratio precision/recall/F1 per true
+    * class. The cell matrix is |classes|² — driver-scale math on top
+    * of a distributed scoring pass. */
+  def qConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = ClassifyQueries.qNbClassify(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+    val truth = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), col("lang"))
+    val cells = pred.join(truth, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("__n"))
+    val byTrue = cells.groupBy(col("lang")).agg(
+      sum(when(col("pred_lang") === col("lang"), col("__n")).otherwise(0L)).as("tp"),
+      sum(when(col("pred_lang") =!= col("lang"), col("__n")).otherwise(0L)).as("fn"))
+    val byPred = cells.groupBy(col("pred_lang")).agg(
+      sum(when(col("pred_lang") =!= col("lang"), col("__n")).otherwise(0L)).as("fp"))
+    val m = byTrue.join(byPred, col("lang") === col("pred_lang"), "left")
+      .select(col("lang"), col("tp"), coalesce(col("fp"), lit(0L)).as("fp"), col("fn"))
+    // ANSI-safe: a never-predicted class has tp+fp = 0 → precision 0
+    val p = when(col("tp") + col("fp") > 0L,
+      col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).otherwise(0.0)
+    val r = when(col("tp") + col("fn") > 0L,
+      col("tp").cast("double") / (col("tp") + col("fn")).cast("double")).otherwise(0.0)
+    m.select(col("lang"), col("tp"), col("fp"), col("fn"),
+      round(p, 6).as("precision"),
+      round(r, 6).as("recall"),
+      round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6).as("f1"))
+  }
+
+  val confusionOracle: String =
+    s"""WITH pred AS (
+       |  SELECT doc_id, pred_lang FROM (${ClassifyQueries.nbClassifyOracle}) z
+       |), truth AS (
+       |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 1
+       |), cells AS (
+       |  SELECT t.lang, p.pred_lang, count(*)::BIGINT AS n
+       |  FROM pred p JOIN truth t ON p.doc_id = t.doc_id GROUP BY 1, 2
+       |), bt AS (
+       |  SELECT lang,
+       |    sum(CASE WHEN pred_lang = lang THEN n ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN pred_lang <> lang THEN n ELSE 0 END)::BIGINT AS fn
+       |  FROM cells GROUP BY lang
+       |), bp AS (
+       |  SELECT pred_lang,
+       |    sum(CASE WHEN pred_lang <> lang THEN n ELSE 0 END)::BIGINT AS fp
+       |  FROM cells GROUP BY pred_lang
+       |), m AS (
+       |  SELECT bt.lang, bt.tp, coalesce(bp.fp, 0)::BIGINT AS fp, bt.fn
+       |  FROM bt LEFT JOIN bp ON bt.lang = bp.pred_lang
+       |)
+       |, pr AS (
+       |  SELECT lang, tp, fp, fn,
+       |    CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE
+       |         ELSE 0.0::DOUBLE END AS p,
+       |    CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE
+       |         ELSE 0.0::DOUBLE END AS r
+       |  FROM m
+       |)
+       |SELECT lang, tp, fp, fn,
+       |  round(p, 6) AS precision, round(r, 6) AS recall,
+       |  round(CASE WHEN p + r > 0.0 THEN 2.0::DOUBLE * p * r / (p + r)
+       |        ELSE 0.0::DOUBLE END, 6) AS f1
+       |FROM pr""".stripMargin
+
+  /** Full-outer reconciliation: per-user event activity against
+    * per-customer order activity on the shared key — both unmatched
+    * sides survive with zero-filled counts (users who never ordered,
+    * customers who never clicked). Both inputs pre-aggregate to key
+    * grain BEFORE the join, so the outer join is small-side × small-side
+    * however large the raw facts are. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val o = Tables.orders(spark, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    e.join(o, col("user_id") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("o_custkey")).as("key"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  val outerJoinOracle: String =
+    """WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+      |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(e.user_id, o.o_custkey) AS key,
+      |  coalesce(e.n_events, 0) AS n_events,
+      |  coalesce(o.n_orders, 0) AS n_orders
+      |FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey""".stripMargin
+}
