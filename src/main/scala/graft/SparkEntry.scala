@@ -163,6 +163,8 @@ object SparkEntry {
     "q_rank_eval"       -> EvalQueries.qRankEval,
     "q_confusion"       -> EvalQueries.qConfusion,
     "q_outer_join"      -> EvalQueries.qOuterJoin,
+    "q_rank_funcs"      -> EvalQueries.qRankFuncs,
+    "q_rouge"           -> EvalQueries.qRouge,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -485,6 +487,8 @@ object SparkEntry {
     "q_rank_eval" -> EvalQueries.rankEvalOracle,
     "q_confusion" -> EvalQueries.confusionOracle,
     "q_outer_join" -> EvalQueries.outerJoinOracle,
+    "q_rank_funcs" -> EvalQueries.rankFuncsOracle,
+    "q_rouge" -> EvalQueries.rougeOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -3117,12 +3117,25 @@ object Graft {
     * repeated 10⁹ times collapses per-task before the shuffle. */
   def cdcChunks(df: DataFrame, id: String, text: String, window: Int = 16,
       modulus: Long = 64L): DataFrame = {
+    val chunks = cdcChunkRows(df, id, text, window, modulus)
+    val dups = chunks.groupBy(col("__ctext")).agg(count(lit(1)).as("dup_cnt"))
+    chunks.join(dups, Seq("__ctext"))
+      .select(col("__id").as(id), col("chunk_idx"), col("chunk_len"),
+        col("chunk_hash"), col("dup_cnt"))
+  }
+
+  /** The shared CDC kernel behind [[cdcChunks]] and the streaming
+    * [[graft.streaming.IncrementalChunkStore]]: one row per chunk —
+    * (__id, chunk_idx, chunk_len, chunk_hash (portable 31-bit),
+    * chunk_fp (FNV-1a 64-bit store fingerprint), __ctext). */
+  private[graft] def cdcChunkRows(df: DataFrame, id: String, text: String,
+      window: Int, modulus: Long): DataFrame = {
     require(window >= 2 && window <= 52, s"window must be in [2,52], got $window")
     val enc = Encoders.row(StructType(Seq(
       StructField("__id", LongType), StructField("chunk_idx", IntegerType),
       StructField("chunk_len", LongType), StructField("chunk_hash", LongType),
-      StructField("__ctext", StringType))))
-    val chunks = df.select(col(id).cast("long").as("__id"), col(text))
+      StructField("chunk_fp", LongType), StructField("__ctext", StringType))))
+    df.select(col(id).cast("long").as("__id"), col(text))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           if (r.isNullAt(1)) Iterator.empty
@@ -3144,7 +3157,8 @@ object Graft {
                 if (h % modulus == 0L || pos == n) {
                   val ctext = s.substring(cstart, pos)
                   out += Row(idv, idx, ctext.length.toLong,
-                    graft.ops.DedupQueries.polyHashS(ctext), ctext)
+                    graft.ops.DedupQueries.polyHashS(ctext),
+                    graft.ops.DedupQueries.fnv64(ctext), ctext)
                   cstart = pos
                   idx += 1
                 }
@@ -3159,9 +3173,5 @@ object Graft {
           }
         }
       }(enc)
-    val dups = chunks.groupBy(col("__ctext")).agg(count(lit(1)).as("dup_cnt"))
-    chunks.join(dups, Seq("__ctext"))
-      .select(col("__id").as(id), col("chunk_idx"), col("chunk_len"),
-        col("chunk_hash"), col("dup_cnt"))
   }
 }

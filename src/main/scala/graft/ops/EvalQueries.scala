@@ -165,4 +165,135 @@ object EvalQueries {
       |  coalesce(e.n_events, 0) AS n_events,
       |  coalesce(o.n_orders, 0) AS n_orders
       |FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey""".stripMargin
+
+  /** The SQL-standard rank-function family in one pass: rank,
+    * dense_rank, percent_rank, cume_dist per event_type ordered by
+    * value ALONE — ties get equal ranks in every engine, and
+    * percent_rank/cume_dist are exact integer ratios, so the whole
+    * family is deterministic without a tiebreak column (row_number
+    * would not be). One window shuffle on event_type. */
+  def qRankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  val rankFuncsOracle: String =
+    """SELECT event_id, event_type,
+      |  rank() OVER w::BIGINT AS rnk,
+      |  dense_rank() OVER w::BIGINT AS drnk,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value)""".stripMargin
+
+  /** ROUGE-1/2 overlap between adjacent document pairs (doc 2k is the
+    * reference, 2k+1 the candidate) — the n-gram generation-eval
+    * metric, with standard clipped (multiset-min) counts. Token/bigram
+    * frames explode once per side; the overlap is an equi-join on the
+    * gram string grouped per pair — never a doc × doc product. */
+  def qRouge(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select((col("doc_id") / 2).cast("long").as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        filter(split(col("text"), " "), t => t =!= "").as("__t"))
+    def gramCounts(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) d.select(col("pair_id"), col("side"), explode(col("__t")).as("g"))
+        else d
+          .filter(size(col("__t")) >= n)
+          .select(col("pair_id"), col("side"),
+            explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+              i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
+              .as("g"))
+      grams.groupBy(col("pair_id"), col("side"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }
+    // gram totals come from the DOC frame, not the exploded counts, so
+    // a side with zero tokens/bigrams still yields a (pair, 0) total in
+    // BOTH engines instead of dropping the pair on one side only
+    val totals = d.groupBy(col("pair_id")).agg(
+      sum(when(col("side") === 0, size(col("__t")).cast("long")).otherwise(0L)).as("__tr1"),
+      sum(when(col("side") === 1, size(col("__t")).cast("long")).otherwise(0L)).as("__tc1"),
+      sum(when(col("side") === 0, greatest(size(col("__t")) - 1, lit(0)).cast("long"))
+        .otherwise(0L)).as("__tr2"),
+      sum(when(col("side") === 1, greatest(size(col("__t")) - 1, lit(0)).cast("long"))
+        .otherwise(0L)).as("__tc2"))
+    def overlap(n: Int, name: String): DataFrame = {
+      val gc = gramCounts(n)
+      gc.filter(col("side") === 0).select(col("pair_id"), col("g"), col("c").as("cr"))
+        .join(gc.filter(col("side") === 1)
+          .select(col("pair_id"), col("g"), col("c").as("cc")), Seq("pair_id", "g"))
+        .groupBy(col("pair_id")).agg(sum(least(col("cr"), col("cc"))).as(name))
+    }
+    def metrics(ov: String, tr: String, tc: String, pfx: String): Seq[org.apache.spark.sql.Column] = {
+      val o = coalesce(col(ov), lit(0L)).cast("double")
+      val p = when(col(tc) > 0L, o / col(tc).cast("double")).otherwise(0.0)
+      val r = when(col(tr) > 0L, o / col(tr).cast("double")).otherwise(0.0)
+      Seq(round(p, 6).as(s"${pfx}_p"), round(r, 6).as(s"${pfx}_r"),
+        round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6).as(s"${pfx}_f"))
+    }
+    totals
+      .join(overlap(1, "__ov1"), Seq("pair_id"), "left")
+      .join(overlap(2, "__ov2"), Seq("pair_id"), "left")
+      .select(col("pair_id") +:
+        (metrics("__ov1", "__tr1", "__tc1", "r1") ++
+          metrics("__ov2", "__tr2", "__tc2", "r2")): _*)
+  }
+
+  val rougeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents
+      |), tot AS (
+      |  SELECT pair_id,
+      |    sum(CASE WHEN side = 0 THEN len(w) ELSE 0 END)::BIGINT AS tr1,
+      |    sum(CASE WHEN side = 1 THEN len(w) ELSE 0 END)::BIGINT AS tc1,
+      |    sum(CASE WHEN side = 0 THEN greatest(len(w) - 1, 0) ELSE 0 END)::BIGINT AS tr2,
+      |    sum(CASE WHEN side = 1 THEN greatest(len(w) - 1, 0) ELSE 0 END)::BIGINT AS tc2
+      |  FROM d GROUP BY pair_id
+      |), uni AS (
+      |  SELECT pair_id, side, unnest(w) AS g FROM d
+      |), bi AS (
+      |  SELECT pair_id, side,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM d WHERE len(w) >= 2
+      |), u AS (SELECT pair_id, side, g, count(*) AS c FROM uni GROUP BY 1,2,3),
+      |b AS (SELECT pair_id, side, g, count(*) AS c FROM bi GROUP BY 1,2,3),
+      |uo AS (
+      |  SELECT r.pair_id, sum(least(r.c, ca.c)) AS ov
+      |  FROM u r JOIN u ca ON r.pair_id = ca.pair_id AND r.g = ca.g
+      |  WHERE r.side = 0 AND ca.side = 1 GROUP BY r.pair_id
+      |), bo AS (
+      |  SELECT r.pair_id, sum(least(r.c, ca.c)) AS ov
+      |  FROM b r JOIN b ca ON r.pair_id = ca.pair_id AND r.g = ca.g
+      |  WHERE r.side = 0 AND ca.side = 1 GROUP BY r.pair_id
+      |), m AS (
+      |  SELECT tot.pair_id,
+      |    CASE WHEN tc1 > 0 THEN coalesce(uo.ov, 0)::DOUBLE / tc1::DOUBLE
+      |         ELSE 0.0::DOUBLE END AS p1,
+      |    CASE WHEN tr1 > 0 THEN coalesce(uo.ov, 0)::DOUBLE / tr1::DOUBLE
+      |         ELSE 0.0::DOUBLE END AS r1,
+      |    CASE WHEN tc2 > 0 THEN coalesce(bo.ov, 0)::DOUBLE / tc2::DOUBLE
+      |         ELSE 0.0::DOUBLE END AS p2,
+      |    CASE WHEN tr2 > 0 THEN coalesce(bo.ov, 0)::DOUBLE / tr2::DOUBLE
+      |         ELSE 0.0::DOUBLE END AS r2
+      |  FROM tot LEFT JOIN uo ON tot.pair_id = uo.pair_id
+      |           LEFT JOIN bo ON tot.pair_id = bo.pair_id
+      |)
+      |SELECT pair_id,
+      |  round(p1, 6) AS r1_p, round(r1, 6) AS r1_r,
+      |  round(CASE WHEN p1 + r1 > 0.0 THEN 2.0::DOUBLE * p1 * r1 / (p1 + r1)
+      |        ELSE 0.0::DOUBLE END, 6) AS r1_f,
+      |  round(p2, 6) AS r2_p, round(r2, 6) AS r2_r,
+      |  round(CASE WHEN p2 + r2 > 0.0 THEN 2.0::DOUBLE * p2 * r2 / (p2 + r2)
+      |        ELSE 0.0::DOUBLE END, 6) AS r2_f
+      |FROM m""".stripMargin
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Streaming chunk-store admission: per-doc novelty accounting against
+  * chunk history, batch-boundary invariance of total novelty, pruned
+  * index reads, replay convergence, crash-safe compaction. */
+class IncrementalChunkStoreSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def rnd(seed: Int, n: Int): String =
+    scala.util.Random.javaRandomToRandom(new java.util.Random(seed))
+      .alphanumeric.take(n).mkString
+
+  private def admit(pairs: Seq[(Long, String)], store: String) =
+    IncrementalChunkStore.admitBatch(
+      pairs.toDF("doc_id", "text"), "doc_id", "text", store)
+
+  test("admission accounting: novel first sight, full dedup on an identical doc, " +
+      "high dedup on an edited doc") {
+    val store = Files.createTempDirectory("chunkstore-").toString
+    val base = rnd(1, 3000)
+    val b1 = admit(Seq(1L -> base), store).collect().head
+    assert(b1.getAs[Long]("novel_chars") === 3000L)
+    assert(b1.getAs[Long]("total_chars") === 3000L)
+    assert(b1.getAs[Double]("dedup_ratio") === 0.0)
+
+    val b2 = admit(Seq(2L -> base, 3L -> ("EDIT-INSERTED-" + base)), store)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(b2(2L).getAs[Long]("novel_chars") === 0L, "identical doc must fully dedup")
+    assert(b2(2L).getAs[Double]("dedup_ratio") === 1.0)
+    // the edit disturbs only the chunks up to the first post-edit cut
+    val novel3 = b2(3L).getAs[Long]("novel_chars")
+    assert(novel3 > 0L && novel3 < 400L,
+      s"CDC resync failed: $novel3 novel chars for a 14-char prefix edit")
+  }
+
+  test("total novelty is invariant under batch boundaries") {
+    val docs = (1L to 12L).map(i => i -> (rnd(i.toInt % 4, 800) + rnd(100 + i.toInt, 200)))
+    def totalNovel(splits: Seq[Seq[(Long, String)]]): Long = {
+      val store = Files.createTempDirectory("chunkstore-inv-").toString
+      splits.map(s => admit(s, store).agg(sum("novel_chars")).collect().head.getLong(0)).sum
+    }
+    val oneShot = totalNovel(Seq(docs))
+    val twoBatches = totalNovel(Seq(docs.take(5), docs.drop(5)))
+    val fourBatches = totalNovel(Seq(docs.take(3), docs.slice(3, 6), docs.slice(6, 9), docs.drop(9)))
+    assert(oneShot === twoBatches, s"$oneShot vs $twoBatches")
+    assert(oneShot === fourBatches, s"$oneShot vs $fourBatches")
+  }
+
+  test("replayed batch reports zero novelty and leaves the store unchanged") {
+    val store = Files.createTempDirectory("chunkstore-replay-").toString
+    val batch = Seq(1L -> rnd(7, 2000), 2L -> rnd(8, 2000))
+    admit(batch, store)
+    val before = IncrementalChunkStore.storedChunks(spark, store).count()
+    val replay = admit(batch, store)
+    assert(replay.agg(sum("novel_chars")).collect().head.getLong(0) === 0L)
+    assert(IncrementalChunkStore.storedChunks(spark, store).count() === before)
+  }
+
+  test("a batch's index read is pruned to its own bucket directories; " +
+      "compaction (and a crash mid-compaction) preserve decisions") {
+    val store = Files.createTempDirectory("chunkstore-prune-").toString
+    admit((1L to 10L).map(i => i -> rnd(i.toInt, 2000)), store)
+    admit((11L to 20L).map(i => i -> rnd(i.toInt, 2000)), store)
+    val chunksPath = s"$store/chunks"
+    val allFiles = IncrementalDedupSpec.walkParquet(chunksPath)
+    assert(allFiles.size > 50, s"seed store too small to prove pruning: ${allFiles.size}")
+
+    // probe: one small doc → few chunks → few buckets
+    val probeText = rnd(999, 300)
+    val probeBuckets = graft.api.Graft
+      .cdcChunkRows(Seq(99L -> probeText).toDF("doc_id", "text"), "doc_id", "text", 16, 64L)
+      .select(pmod(col("chunk_fp"), lit(IncrementalChunkStore.ChunkBuckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val scan = IncrementalChunkStore.chunkIndexScan(spark, chunksPath, probeBuckets)
+    scan.collect()
+    val filesRead = IncrementalDedupSpec.scannedFiles(scan)
+    assert(filesRead > 0 && filesRead < allFiles.size,
+      s"not a strict subset: $filesRead of ${allFiles.size}")
+
+    // compaction: one file per non-empty bucket, decisions unchanged
+    IncrementalChunkStore.compactStore(spark, store)
+    val postFiles = IncrementalDedupSpec.walkParquet(chunksPath)
+    assert(postFiles.size < allFiles.size, "compaction did not shrink the file count")
+    val dup = admit(Seq(50L -> rnd(1, 2000)), store).collect().head
+    assert(dup.getAs[Double]("dedup_ratio") === 1.0,
+      "compacted store lost chunk keys (seed doc 1 no longer dedups)")
+
+    // crash point: live moved aside, swap never completed → recovery
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(chunksPath),
+      new org.apache.hadoop.fs.Path(s"$store/__old_chunks")))
+    val dup2 = admit(Seq(51L -> rnd(2, 2000)), store).collect().head
+    assert(dup2.getAs[Double]("dedup_ratio") === 1.0,
+      "chunk index lost in the rename window")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(chunksPath)), "live index not restored")
+  }
+}
