@@ -165,6 +165,8 @@ object SparkEntry {
     "q_outer_join"      -> EvalQueries.qOuterJoin,
     "q_rank_funcs"      -> EvalQueries.qRankFuncs,
     "q_rouge"           -> EvalQueries.qRouge,
+    "q_ohlc"            -> TemporalQueries.qOhlc,
+    "q_time_weighted"   -> TemporalQueries.qTimeWeighted,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -489,6 +491,8 @@ object SparkEntry {
     "q_outer_join" -> EvalQueries.outerJoinOracle,
     "q_rank_funcs" -> EvalQueries.rankFuncsOracle,
     "q_rouge" -> EvalQueries.rougeOracle,
+    "q_ohlc" -> TemporalQueries.ohlcOracle,
+    "q_time_weighted" -> TemporalQueries.timeWeightedOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

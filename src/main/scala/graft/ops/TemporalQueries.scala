@@ -267,4 +267,83 @@ object TemporalQueries {
       |SELECT doc_id, source, src_rank::BIGINT AS src_rank,
       |  src_rank::DOUBLE / (1.0::DOUBLE + (substr(source, 4)::BIGINT % 4)::DOUBLE) AS sched_key
       |FROM r""".stripMargin
+
+  /** OHLC downsampling: open/high/low/close of `value` per
+    * (event_type, hour) bar — the financial/metrics resampling shape.
+    * Open/close come from first_value/last_value over the
+    * deterministic (ts, event_id) order (full-frame window so
+    * last_value sees the whole bar); high/low are plain min/max. One
+    * window shuffle on the bar key, then a collapse to bar grain. */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val hour = date_trunc("hour", col("ts"))
+    val w = Window.partitionBy(col("event_type"), hour)
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("event_type"), hour.as("bar_start"), col("ts"), col("event_id"), col("value"))
+      .withColumn("open", first(col("value")).over(w))
+      .withColumn("close", last(col("value")).over(w))
+      .groupBy(col("event_type"), col("bar_start"))
+      .agg(
+        first(col("open")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        first(col("close")).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  val ohlcOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bar_start, ts, event_id, value,
+      |    first_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+      |    last_value(value) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+      |  FROM events
+      |)
+      |SELECT event_type, bar_start,
+      |  min(open) AS open, max(value) AS high, min(value) AS low,
+      |  min(close) AS close, count(*) AS n
+      |FROM e GROUP BY event_type, bar_start""".stripMargin
+
+  /** Time-weighted average: each event's value holds until the user's
+    * next event; the mean weighted by holding duration — the correct
+    * average for irregularly-sampled state. Values quantize to exact
+    * 1e-6 integers and durations are integer microseconds, so the
+    * weighted sum is an order-independent integer sum (< 2⁶³) divided
+    * once at the end — bit-identical across engines. One window
+    * shuffle on user_id. */
+  def qTimeWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__durMs",
+        (unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts"))))
+      .filter(col("__durMs").isNotNull)
+      .select(col("user_id"),
+        (floor(col("value") * 1e6 + 0.5).cast("long") * col("__durMs")).as("__wv"),
+        col("__durMs"))
+      .groupBy(col("user_id"))
+      .agg(
+        round((sum(col("__wv")).cast("double") / 1e6) /
+          sum(col("__durMs")).cast("double"), 6).as("twa_value"),
+        sum(col("__durMs")).as("span_ms"),
+        count(lit(1)).as("n_holds"))
+  }
+
+  val timeWeightedOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, value,
+      |    epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_ms(ts) AS dur
+      |  FROM events
+      |)
+      |SELECT user_id,
+      |  round((sum(floor(value * 1e6 + 0.5)::BIGINT * dur)::DOUBLE / 1e6)
+      |        / sum(dur)::DOUBLE, 6) AS twa_value,
+      |  sum(dur)::BIGINT AS span_ms,
+      |  count(*) AS n_holds
+      |FROM s WHERE dur IS NOT NULL GROUP BY user_id""".stripMargin
 }
