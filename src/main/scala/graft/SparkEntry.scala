@@ -167,6 +167,8 @@ object SparkEntry {
     "q_rouge"           -> EvalQueries.qRouge,
     "q_ohlc"            -> TemporalQueries.qOhlc,
     "q_time_weighted"   -> TemporalQueries.qTimeWeighted,
+    "q_skyline"         -> OlapQueries.qSkyline,
+    "q_ab_test"         -> OlapQueries.qAbTest,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -493,6 +495,8 @@ object SparkEntry {
     "q_rouge" -> EvalQueries.rougeOracle,
     "q_ohlc" -> TemporalQueries.ohlcOracle,
     "q_time_weighted" -> TemporalQueries.timeWeightedOracle,
+    "q_skyline" -> OlapQueries.skylineOracle,
+    "q_ab_test" -> OlapQueries.abTestOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The classic OLAP shapes (TPC-H Q1/Q3/Q6 silhouettes) plus calendar
@@ -177,4 +178,94 @@ object OlapQueries {
       |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
       |  count(*) AS n_events
       |FROM events GROUP BY user_id""".stripMargin
+
+  /** 2-D Pareto skyline: orders not dominated on
+    * (o_orderdate later, o_totalprice higher). An order is dominated
+    * iff a strictly-later date carries an equal-or-higher max price,
+    * or its own date's max price strictly exceeds it — so the frontier
+    * falls out of ONE running-max window over the per-date maxima
+    * (|dates| rows), never the O(n²) pairwise dominance check. The
+    * raw table only does a per-date max agg and a semi-join back. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val perDate = o.groupBy(col("o_orderdate"))
+      .agg(max(col("o_totalprice")).as("__maxp"))
+    val w = Window.orderBy(col("o_orderdate").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // running max over STRICTLY LATER dates (per-date maxima are unique
+    // per date, so date ties cannot corrupt the frame)
+    val frontierDates = perDate
+      .withColumn("__later", max(col("__maxp")).over(w))
+      .filter(col("__later").isNull || col("__maxp") > col("__later"))
+      .select(col("o_orderdate"), col("__maxp"))
+    o.join(broadcast(frontierDates), Seq("o_orderdate"))
+      .filter(col("o_totalprice") === col("__maxp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+  }
+
+  val skylineOracle: String =
+    """WITH pd AS (
+      |  SELECT o_orderdate, max(o_totalprice) AS maxp FROM orders GROUP BY o_orderdate
+      |), f AS (
+      |  SELECT o_orderdate, maxp,
+      |    max(maxp) OVER (ORDER BY o_orderdate DESC
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS later
+      |  FROM pd
+      |)
+      |SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |FROM orders o JOIN f ON o.o_orderdate = f.o_orderdate
+      |WHERE (f.later IS NULL OR f.maxp > f.later) AND o.o_totalprice = f.maxp""".stripMargin
+
+  /** Two-sample A/B comparison: users split by id parity, Welch
+    * t-statistic on `value`. Moments come from exact 1e-3-quantized
+    * integer sums (Σx_q, Σx_q² < 2⁶³ at any SF), so the statistic is
+    * a pure function of order-independent integers — bit-identical
+    * across engines — computed in one scan + one 2-row agg. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(pmod(col("user_id"), lit(2)).as("arm"),
+        floor(col("value") * 1000.0 + 0.5).cast("long").as("__xq"))
+    val m = e.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__xq")).as("__s"),
+      sum(col("__xq") * col("__xq")).as("__ss"))
+    def stats(arm: Int, p: String): DataFrame =
+      m.filter(col("arm") === arm).select(
+        col("n").as(s"n_$p"), col("__s").as(s"__s_$p"), col("__ss").as(s"__ss_$p"))
+    val j = stats(0, "a").crossJoin(stats(1, "b"))
+    def mean(p: String) = col(s"__s_$p").cast("double") / 1000.0 / col(s"n_$p").cast("double")
+    def varS(p: String) = {
+      val n = col(s"n_$p").cast("double")
+      (col(s"__ss_$p").cast("double") / 1e6 -
+        (col(s"__s_$p").cast("double") / 1000.0) * (col(s"__s_$p").cast("double") / 1000.0) / n) /
+        (n - 1.0)
+    }
+    j.select(
+      col("n_a"), col("n_b"),
+      round(mean("a"), 6).as("mean_a"),
+      round(mean("b"), 6).as("mean_b"),
+      round((mean("a") - mean("b")) /
+        sqrt(varS("a") / col("n_a").cast("double") +
+          varS("b") / col("n_b").cast("double")), 6).as("t_stat"))
+  }
+
+  val abTestOracle: String =
+    """WITH q AS (
+      |  SELECT user_id % 2 AS arm, floor(value * 1000.0 + 0.5)::BIGINT AS xq FROM events
+      |), m AS (
+      |  SELECT arm, count(*) AS n, sum(xq)::BIGINT AS s, sum(xq * xq)::BIGINT AS ss
+      |  FROM q GROUP BY arm
+      |), a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM m WHERE arm = 0),
+      |b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM m WHERE arm = 1)
+      |SELECT n_a, n_b,
+      |  round(s_a::DOUBLE / 1000.0 / n_a::DOUBLE, 6) AS mean_a,
+      |  round(s_b::DOUBLE / 1000.0 / n_b::DOUBLE, 6) AS mean_b,
+      |  round((s_a::DOUBLE / 1000.0 / n_a::DOUBLE - s_b::DOUBLE / 1000.0 / n_b::DOUBLE)
+      |    / sqrt(
+      |      ((ss_a::DOUBLE / 1e6 - (s_a::DOUBLE / 1000.0) * (s_a::DOUBLE / 1000.0) / n_a::DOUBLE)
+      |        / (n_a::DOUBLE - 1.0)) / n_a::DOUBLE
+      |      + ((ss_b::DOUBLE / 1e6 - (s_b::DOUBLE / 1000.0) * (s_b::DOUBLE / 1000.0) / n_b::DOUBLE)
+      |        / (n_b::DOUBLE - 1.0)) / n_b::DOUBLE), 6) AS t_stat
+      |FROM a CROSS JOIN b""".stripMargin
 }
