@@ -169,6 +169,7 @@ object SparkEntry {
     "q_time_weighted"   -> TemporalQueries.qTimeWeighted,
     "q_skyline"         -> OlapQueries.qSkyline,
     "q_ab_test"         -> OlapQueries.qAbTest,
+    "q_window_distinct" -> CoreQueries.qWindowDistinct,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -231,6 +232,12 @@ object SparkEntry {
     "q_window_sliding" ->
       """SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
         |count(*) AS cnt
+        |FROM events, (SELECT unnest([0,1,2,3]) AS k) k
+        |GROUP BY 1""".stripMargin,
+
+    "q_window_distinct" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+        |count(DISTINCT user_id) AS users
         |FROM events, (SELECT unnest([0,1,2,3]) AS k) k
         |GROUP BY 1""".stripMargin,
 

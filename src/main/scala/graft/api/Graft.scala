@@ -3083,9 +3083,11 @@ object Graft {
         when(col("__pid") < col("__iid"), col("__ps")).otherwise(col("__is")).as("__a"),
         when(col("__pid") < col("__iid"), col("__is")).otherwise(col("__ps")).as("__b"))
       .distinct()
+    // 3-arg levenshtein abandons a pair the moment the running band
+    // exceeds k (returns -1): O(k·len) per candidate instead of O(len²)
     cand
-      .withColumn("dist", levenshtein(col("__a"), col("__b")).cast("long"))
-      .filter(col("dist") <= k)
+      .withColumn("dist", levenshtein(col("__a"), col("__b"), k).cast("long"))
+      .filter(col("dist") >= 0L)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
 

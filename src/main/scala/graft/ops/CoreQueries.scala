@@ -121,6 +121,17 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("cnt"))
 
+  /** Sliding-window DISTINCT cardinality (unique users per overlapping
+    * hour) — exact distinct inside event-time windows. Spark plans the
+    * window Generator expand then a two-phase distinct agg
+    * (partial-dedup map-side on (window, user), final count) — one
+    * shuffle, no per-window set materialization. */
+  def qWindowDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .select(col("window.start").as("window_start"), col("users"))
+
   /** Analytic window: top event per user by value (row_number, tiebreak
     * event_id for determinism). Single shuffle on user_id; no global
     * sort. */
