@@ -170,6 +170,8 @@ object SparkEntry {
     "q_skyline"         -> OlapQueries.qSkyline,
     "q_ab_test"         -> OlapQueries.qAbTest,
     "q_window_distinct" -> CoreQueries.qWindowDistinct,
+    "q_rfm"             -> OlapQueries.qRfm,
+    "q_basket"          -> OlapQueries.qBasket,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -504,6 +506,8 @@ object SparkEntry {
     "q_time_weighted" -> TemporalQueries.timeWeightedOracle,
     "q_skyline" -> OlapQueries.skylineOracle,
     "q_ab_test" -> OlapQueries.abTestOracle,
+    "q_rfm" -> OlapQueries.rfmOracle,
+    "q_basket" -> OlapQueries.basketOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -250,6 +250,126 @@ object OlapQueries {
           varS("b") / col("n_b").cast("double")), 6).as("t_stat"))
   }
 
+  /** RFM segmentation: per-customer recency (days since last order,
+    * vs the corpus max date), frequency (order count), monetary (exact
+    * cents), each cut into quartiles against BROADCAST percentile
+    * thresholds — never an ntile window over the customer population
+    * (that would be a data-sized unpartitioned sort at scale). Segment
+    * string r-f-m with 1 = best quartile. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), cents(col("o_totalprice")).as("__pc"))
+    val refDate = o.agg(max(col("o_orderdate")).as("__ref"))
+    val percust = o.crossJoin(broadcast(refDate))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(datediff(col("__ref"), col("o_orderdate"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("__pc")).as("__mc"))
+    val th = percust.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r25"),
+      percentile(col("recency_days"), lit(0.5)).as("r50"),
+      percentile(col("recency_days"), lit(0.75)).as("r75"),
+      percentile(col("frequency"), lit(0.25)).as("f25"),
+      percentile(col("frequency"), lit(0.5)).as("f50"),
+      percentile(col("frequency"), lit(0.75)).as("f75"),
+      percentile(col("__mc"), lit(0.25)).as("m25"),
+      percentile(col("__mc"), lit(0.5)).as("m50"),
+      percentile(col("__mc"), lit(0.75)).as("m75"))
+    def quartile(v: org.apache.spark.sql.Column, p25: String, p50: String, p75: String,
+        lowIsGood: Boolean) = {
+      val q = lit(1L) + (v > col(p25)).cast("long") + (v > col(p50)).cast("long") +
+        (v > col(p75)).cast("long")
+      if (lowIsGood) q else lit(5L) - q
+    }
+    percust.crossJoin(broadcast(th))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        (col("__mc").cast("double") / 100.0).as("monetary"),
+        concat_ws("-",
+          quartile(col("recency_days").cast("double"), "r25", "r50", "r75", lowIsGood = true),
+          quartile(col("frequency").cast("double"), "f25", "f50", "f75", lowIsGood = false),
+          quartile(col("__mc").cast("double"), "m25", "m50", "m75", lowIsGood = false))
+          .as("rfm_segment"))
+  }
+
+  val rfmOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate,
+      |    floor(o_totalprice * 100.0 + 0.5)::BIGINT AS pc
+      |  FROM orders
+      |), ref AS (SELECT max(o_orderdate) AS r FROM o),
+      |pc AS (
+      |  SELECT o_custkey,
+      |    min(datediff('day', o_orderdate, ref.r))::BIGINT AS recency_days,
+      |    count(*) AS frequency, sum(pc)::BIGINT AS mc
+      |  FROM o CROSS JOIN ref GROUP BY o_custkey, ref.r
+      |), th AS (
+      |  SELECT quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+      |    quantile_cont(recency_days, 0.75) AS r75,
+      |    quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.5) AS f50,
+      |    quantile_cont(frequency, 0.75) AS f75,
+      |    quantile_cont(mc, 0.25) AS m25, quantile_cont(mc, 0.5) AS m50,
+      |    quantile_cont(mc, 0.75) AS m75
+      |  FROM pc
+      |)
+      |SELECT o_custkey, recency_days, frequency, mc::DOUBLE / 100.0 AS monetary,
+      |  (1 + (recency_days::DOUBLE > r25)::INT + (recency_days::DOUBLE > r50)::INT
+      |     + (recency_days::DOUBLE > r75)::INT)::BIGINT
+      |  || '-' ||
+      |  (5 - (1 + (frequency::DOUBLE > f25)::INT + (frequency::DOUBLE > f50)::INT
+      |     + (frequency::DOUBLE > f75)::INT))::BIGINT
+      |  || '-' ||
+      |  (5 - (1 + (mc::DOUBLE > m25)::INT + (mc::DOUBLE > m50)::INT
+      |     + (mc::DOUBLE > m75)::INT))::BIGINT AS rfm_segment
+      |FROM pc CROSS JOIN th""".stripMargin
+
+  /** Market-basket pair mining: support and lift of part pairs
+    * co-occurring in an order, top-20 by lift. Pair expansion is a
+    * per-order self-join on the DISTINCT item set (items/order is a
+    * small constant, so pairs ∝ orders, never |parts|²); lift is exact
+    * integer-count arithmetic; the cut is a TakeOrderedAndProject with
+    * full deterministic tiebreak. */
+  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("__n"))
+    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("__ci"))
+    val pairs = items.as("x").join(items.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= 3L)
+    pairs
+      .join(itemCnt.select(col("l_partkey").as("part_a"), col("__ci").as("__ca")), Seq("part_a"))
+      .join(itemCnt.select(col("l_partkey").as("part_b"), col("__ci").as("__cb")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_cnt"),
+        (col("pair_cnt").cast("double") * col("__n").cast("double") /
+          (col("__ca").cast("double") * col("__cb").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
+  val basketOracle: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |), n AS (SELECT count(*)::BIGINT AS n FROM orders),
+      |ic AS (SELECT l_partkey, count(*) AS ci FROM items GROUP BY l_partkey),
+      |p AS (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS pair_cnt
+      |  FROM items x JOIN items y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |)
+      |SELECT part_a, part_b, pair_cnt,
+      |  pair_cnt::DOUBLE * n.n::DOUBLE / (ca.ci::DOUBLE * cb.ci::DOUBLE) AS lift
+      |FROM p JOIN ic ca ON p.part_a = ca.l_partkey
+      |       JOIN ic cb ON p.part_b = cb.l_partkey
+      |       CROSS JOIN n
+      |ORDER BY lift DESC, part_a ASC, part_b ASC
+      |LIMIT 20""".stripMargin
+
   val abTestOracle: String =
     """WITH q AS (
       |  SELECT user_id % 2 AS arm, floor(value * 1000.0 + 0.5)::BIGINT AS xq FROM events
