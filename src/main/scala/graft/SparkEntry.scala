@@ -172,6 +172,7 @@ object SparkEntry {
     "q_window_distinct" -> CoreQueries.qWindowDistinct,
     "q_rfm"             -> OlapQueries.qRfm,
     "q_basket"          -> OlapQueries.qBasket,
+    "q_funnel_latency"  -> TemporalQueries.qFunnelLatency,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -508,6 +509,7 @@ object SparkEntry {
     "q_ab_test" -> OlapQueries.abTestOracle,
     "q_rfm" -> OlapQueries.rfmOracle,
     "q_basket" -> OlapQueries.basketOracle,
+    "q_funnel_latency" -> TemporalQueries.funnelLatencyOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -333,6 +333,41 @@ object TemporalQueries {
         count(lit(1)).as("n_holds"))
   }
 
+  /** Conversion latency: first click → first subsequent purchase per
+    * user, summarized as converted-user count + exact p50/p90 of the
+    * latency in integer milliseconds. Two keyed aggs co-partitioned on
+    * user_id, then a 1-row percentile collapse — the funnel-timing
+    * report next to [[CoreQueries.qFunnel]]'s stage counts. */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__tc"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("__tc"))
+      .groupBy(col("user_id"))
+      .agg((unix_millis(min(col("ts"))) - unix_millis(first(col("__tc")))).as("__latMs"))
+    lat.agg(
+      count(lit(1)).as("n_converted"),
+      round(percentile(col("__latMs"), lit(0.5)) / 1000.0, 6).as("p50_s"),
+      round(percentile(col("__latMs"), lit(0.9)) / 1000.0, 6).as("p90_s"))
+  }
+
+  val funnelLatencyOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, min(ts) AS tc FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id
+      |), l AS (
+      |  SELECT e.user_id, epoch_ms(min(e.ts)) - epoch_ms(min(c.tc)) AS lat_ms
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      |  GROUP BY e.user_id
+      |)
+      |SELECT count(*) AS n_converted,
+      |  round(quantile_cont(lat_ms, 0.5) / 1000.0, 6) AS p50_s,
+      |  round(quantile_cont(lat_ms, 0.9) / 1000.0, 6) AS p90_s
+      |FROM l""".stripMargin
+
   val timeWeightedOracle: String =
     """WITH s AS (
       |  SELECT user_id, value,
