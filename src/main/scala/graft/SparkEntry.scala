@@ -173,6 +173,7 @@ object SparkEntry {
     "q_rfm"             -> OlapQueries.qRfm,
     "q_basket"          -> OlapQueries.qBasket,
     "q_funnel_latency"  -> TemporalQueries.qFunnelLatency,
+    "q_fim"             -> TextQueries.qFim,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -510,6 +511,7 @@ object SparkEntry {
     "q_rfm" -> OlapQueries.rfmOracle,
     "q_basket" -> OlapQueries.basketOracle,
     "q_funnel_latency" -> TemporalQueries.funnelLatencyOracle,
+    "q_fim" -> TextQueries.fimOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

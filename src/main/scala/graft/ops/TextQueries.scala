@@ -481,6 +481,69 @@ object TextQueries {
   def qTfidf(spark: SparkSession, dir: String): DataFrame =
     graft.api.Graft.tfIdf(Tables.documents(spark, dir), "doc_id", "text", 3)
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, public
+    * recipe): deterministically cut each document at two
+    * content-derived points and emit the PSM (prefix-suffix-middle)
+    * reordering that FIM pretraining consumes, plus the cut geometry.
+    * Cuts derive from the portable 31-bit content hash — reproducible
+    * across engines, retries, and partitionings; docs shorter than 8
+    * chars pass through unsplit (cut1 = cut2 = len). Shuffle-free
+    * per-row projection. */
+  def qFim(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cut1",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cut2",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("psm_text",
+          org.apache.spark.sql.types.StringType))))
+    // content hash + cuts in a Scala kernel: the Catalyst HOF form of
+    // polyHash is evaluated interpreted (the q_fingerprint 9× lesson)
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val s = if (r.isNullAt(1)) "" else r.getString(1)
+          val n = s.length.toLong
+          val h = DedupQueries.polyHashS(s)
+          val (c1, c2) =
+            if (n < 8) (n, n)
+            else {
+              val a = 1L + h % (n - 2)
+              (a, a + 1L + (h * 31L + 7L) % (n - a))
+            }
+          val psm = "<PRE>" + s.substring(0, c1.toInt) +
+            "<SUF>" + s.substring(c2.toInt) +
+            "<MID>" + s.substring(c1.toInt, c2.toInt)
+          org.apache.spark.sql.Row(id, c1, c2, psm)
+        }
+      }(enc)
+  }
+
+  val fimOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text)::BIGINT AS len,
+      |    ((list_sum(list_transform(string_split(text, ''), (c, i) -> i * ascii(c)))
+      |      * 48271) % 2147483647)::BIGINT AS h
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, text, len,
+      |    CASE WHEN len < 8 THEN len ELSE 1 + h % (len - 2) END AS cut1, h
+      |  FROM d
+      |), c2 AS (
+      |  SELECT doc_id, text, len, cut1,
+      |    CASE WHEN len < 8 THEN len ELSE cut1 + 1 + (h * 31 + 7) % (len - cut1) END AS cut2
+      |  FROM c
+      |)
+      |SELECT doc_id, cut1, cut2,
+      |  '<PRE>' || substr(text, 1, cut1::INT)
+      |  || '<SUF>' || substr(text, (cut2 + 1)::INT, (len - cut2)::INT)
+      |  || '<MID>' || substr(text, (cut1 + 1)::INT, (cut2 - cut1)::INT) AS psm_text
+      |FROM c2""".stripMargin
+
   val tfidfOracle: String =
     """WITH terms AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
