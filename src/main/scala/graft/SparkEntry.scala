@@ -174,6 +174,7 @@ object SparkEntry {
     "q_basket"          -> OlapQueries.qBasket,
     "q_funnel_latency"  -> TemporalQueries.qFunnelLatency,
     "q_fim"             -> TextQueries.qFim,
+    "q_span_corrupt"    -> TextQueries.qSpanCorrupt,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -512,6 +513,7 @@ object SparkEntry {
     "q_basket" -> OlapQueries.basketOracle,
     "q_funnel_latency" -> TemporalQueries.funnelLatencyOracle,
     "q_fim" -> TextQueries.fimOracle,
+    "q_span_corrupt" -> TextQueries.spanCorruptOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -523,6 +523,98 @@ object TextQueries {
       }(enc)
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, public recipe):
+    * token i of a doc is masked iff (h·31 + i) mod 7 == 0 (h = the
+    * portable 31-bit content hash, i 1-based) — ~14 % of tokens;
+    * consecutive masked tokens merge into one span. Emits the
+    * corrupted text (each span replaced by its <Xn> sentinel) and the
+    * target string (sentinels + the masked tokens), the encoder/
+    * decoder pair denoising pretraining consumes. Shuffle-free
+    * per-row kernel; deterministic across engines/partitionings. */
+  def qSpanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("corrupted",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("target",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_masked",
+          org.apache.spark.sql.types.LongType))))
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val s = if (r.isNullAt(1)) "" else r.getString(1)
+          val w = s.split(" ").filter(_.nonEmpty)
+          val h = DedupQueries.polyHashS(s)
+          val corrupted = new StringBuilder
+          val target = new StringBuilder
+          var masked = 0L
+          var run = -1
+          var inRun = false
+          var i = 0
+          while (i < w.length) {
+            val m = (h * 31L + (i + 1)) % 7L == 0L
+            if (m) {
+              masked += 1
+              if (!inRun) {
+                run += 1
+                if (corrupted.nonEmpty) corrupted.append(' ')
+                corrupted.append(s"<X$run>")
+                if (target.nonEmpty) target.append(' ')
+                target.append(s"<X$run>")
+              }
+              target.append(' ').append(w(i))
+              inRun = true
+            } else {
+              if (corrupted.nonEmpty) corrupted.append(' ')
+              corrupted.append(w(i))
+              inRun = false
+            }
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, corrupted.toString, target.toString, masked)
+        }
+      }(enc)
+  }
+
+  val spanCorruptOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w,
+      |    ((list_sum(list_transform(string_split(text, ''), (c, i) -> i * ascii(c)))
+      |      * 48271) % 2147483647)::BIGINT AS h
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, i, w[i::INT] AS t,
+      |    ((h * 31 + i) % 7 = 0) AS m
+      |  FROM d, unnest(range(1, len(w) + 1)) AS u(i)
+      |), runs AS (
+      |  SELECT doc_id, i, t, m,
+      |    CASE WHEN m AND NOT coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY i), false)
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM tok
+      |), rid AS (
+      |  SELECT doc_id, i, t, m, b,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS run
+      |  FROM runs
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(agg.corrupted, '') AS corrupted,
+      |  coalesce(agg.target, '') AS target,
+      |  coalesce(agg.n_masked, 0)::BIGINT AS n_masked
+      |FROM d LEFT JOIN (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN NOT m THEN t
+      |                    WHEN b = 1 THEN '<X' || run || '>' END, ' ' ORDER BY i)
+      |      AS corrupted,
+      |    string_agg(CASE WHEN m AND b = 1 THEN '<X' || run || '> ' || t
+      |                    WHEN m THEN t END, ' ' ORDER BY i) AS target,
+      |    sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked
+      |  FROM rid GROUP BY doc_id
+      |) agg ON d.doc_id = agg.doc_id""".stripMargin
+
   val fimOracle: String =
     """WITH d AS (
       |  SELECT doc_id, text, length(text)::BIGINT AS len,

@@ -229,4 +229,34 @@ class TextOpsPropertySpec extends SparkTestBase {
       }
     }
   }
+
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: editDupes PassJoin blocking matches the quadratic Levenshtein " +
+      "reference on random small-alphabet corpora (dense near-misses)") {
+    // 2-char alphabet, lengths 8-14 → many pairs sit exactly at the
+    // k boundary, the adversarial regime for segment blocking
+    val s = Gen.chooseNum(8, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val gen = Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, s))
+    (1 to 20).foreach { seed =>
+      val texts = gen.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Graft.editDupes(df, "doc_id", "text", k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (a, i) <- texts.zipWithIndex; (b, j) <- texts.zipWithIndex if i < j
+        d = refLev(a, b) if d <= 2
+      } yield (i.toLong, j.toLong, d.toLong)).toSet
+      assert(got === want, s"seed $seed corpus $texts")
+    }
+  }
 }
