@@ -175,6 +175,7 @@ object SparkEntry {
     "q_funnel_latency"  -> TemporalQueries.qFunnelLatency,
     "q_fim"             -> TextQueries.qFim,
     "q_span_corrupt"    -> TextQueries.qSpanCorrupt,
+    "q_regional_volume" -> OlapQueries.qRegionalVolume,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -514,6 +515,7 @@ object SparkEntry {
     "q_funnel_latency" -> TemporalQueries.funnelLatencyOracle,
     "q_fim" -> TextQueries.fimOracle,
     "q_span_corrupt" -> TextQueries.spanCorruptOracle,
+    "q_regional_volume" -> OlapQueries.regionalVolumeOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

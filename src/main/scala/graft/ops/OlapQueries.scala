@@ -250,6 +250,58 @@ object OlapQueries {
           varS("b") / col("n_b").cast("double")), 6).as("t_stat"))
   }
 
+  /** TPC-H Q5 silhouette — the 6-table join: revenue by nation for
+    * intra-region trade (customer and supplier in the SAME nation,
+    * nation in ASIA, orders in 1997). The fact chain
+    * lineitem ⋈ orders shuffles once on the order key; every
+    * dimension (customer, supplier, nation⋈region) broadcasts; the
+    * co-nationality predicate is an equi-condition inside the join
+    * tree, so Catalyst keeps the whole thing hash joins — no
+    * cartesian anywhere. Revenue in exact integer micros. */
+  def qRegionalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("__rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("__rev")).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val regionalVolumeOracle: String =
+    """SELECT n_name,
+      |  sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT
+      |      * (100 - floor(l_discount * 100.0 + 0.5)::BIGINT))::DOUBLE / 10000.0
+      |    AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
   /** RFM segmentation: per-customer recency (days since last order,
     * vs the corpus max date), frequency (order count), monetary (exact
     * cents), each cut into quartiles against BROADCAST percentile
