@@ -176,6 +176,8 @@ object SparkEntry {
     "q_fim"             -> TextQueries.qFim,
     "q_span_corrupt"    -> TextQueries.qSpanCorrupt,
     "q_regional_volume" -> OlapQueries.qRegionalVolume,
+    "q_blob_dedup"      -> MultimodalQueries.qBlobDedup,
+    "q_phash"           -> MultimodalQueries.qPhash,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -516,6 +518,8 @@ object SparkEntry {
     "q_fim" -> TextQueries.fimOracle,
     "q_span_corrupt" -> TextQueries.spanCorruptOracle,
     "q_regional_volume" -> OlapQueries.regionalVolumeOracle,
+    "q_blob_dedup" -> MultimodalQueries.blobDedupOracle,
+    "q_phash" -> MultimodalQueries.phashOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

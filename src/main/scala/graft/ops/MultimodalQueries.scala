@@ -434,6 +434,91 @@ object MultimodalQueries {
       |    f -> CASE WHEN f % 4 = 0 THEN p[(f * 256 + 1)::INT] ELSE 0 END))::BIGINT AS sampled_sum
       |FROM px, (SELECT unnest(range(0, 16)) AS b) b""".stripMargin
 
+  // ---------- blob-level dedup ----------
+
+  private val PageBytes = 128
+
+  /** Fixed-page blob dedup: blobs sliced into aligned 128-byte pages,
+    * duplicate page groups by content digest with the canonical keeper
+    * (min (doc, page)). This is the BLOCK-granular storage-dedup
+    * baseline — alignment-sensitive, which is exactly the weakness
+    * [[graft.api.Graft.cdcChunks]]' content-defined boundaries fix —
+    * kept as the contrast point and for page-mapped stores where
+    * alignment is free. One keyed agg on 16-byte digests; blobs never
+    * shuffle, only page hashes. */
+  def qBlobDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("blob"), length(col("blob")).as("__len"))
+      .filter(col("__len") > 0)
+      .select(col("doc_id"), col("blob"),
+        explode(sequence(lit(0),
+          ((col("__len") + (PageBytes - 1)) / PageBytes).cast("int") - 1)).as("__pg"))
+      .select(col("doc_id"), col("__pg"),
+        md5(expr(s"substring(blob, __pg * $PageBytes + 1, $PageBytes)")).as("page_md5"))
+      .groupBy(col("page_md5"))
+      .agg(count(lit(1)).as("cnt"),
+        // packed (doc, page) keeper: page count per doc ≪ 1e5, so the
+        // integer min IS the lexicographic (doc, page) min — portable
+        // where struct-min aggregation is not
+        min(col("doc_id") * 100000L + col("__pg")).as("__k"))
+      .filter(col("cnt") > 1L)
+      .select(col("page_md5"), col("cnt"),
+        (col("__k") / 100000L).cast("long").as("keeper_doc"),
+        pmod(col("__k"), lit(100000L)).as("keeper_page"))
+
+  val blobDedupOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS t FROM documents
+       |), pg AS (
+       |  SELECT doc_id, i, md5(substr(t, (i * $PageBytes + 1)::INT, $PageBytes)) AS page_md5
+       |  FROM d, unnest(range(0, (length(t) + ${PageBytes - 1}) // $PageBytes)) AS u(i)
+       |  WHERE length(t) > 0
+       |)
+       |SELECT page_md5, count(*) AS cnt,
+       |  (min(doc_id * 100000 + i) // 100000)::BIGINT AS keeper_doc,
+       |  (min(doc_id * 100000 + i) % 100000)::BIGINT AS keeper_page
+       |FROM pg GROUP BY page_md5 HAVING count(*) > 1""".stripMargin
+
+  // ---------- perceptual hash ----------
+
+  /** 64-bit average-hash (aHash, the classic perceptual fingerprint):
+    * decode the real 64-wide gray PNG, resample to 8×8, set bit i iff
+    * pixel i exceeds the thumbnail mean. Near-identical images get
+    * near-identical hashes (hamming-banded pairing then follows the
+    * [[DedupQueries]] simhash machinery). Emitted as hi/lo 32-bit
+    * halves — bit 63 would overflow signed 64-bit in engines that
+    * error rather than wrap. Shuffle work is (docs × 64) scalar rows,
+    * never pixels of the original resolution. */
+  def qPhash(spark: SparkSession, dir: String): DataFrame = {
+    val px = resample(grayPngTable(spark, dir, width = 64, minBytes = 64), 8, 8)
+    val mean = px.groupBy(col("doc_id"))
+      .agg((sum(col("v")).cast("double") / 64.0).as("__mean"))
+    px.join(mean, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("v").cast("double") > col("__mean") && col("pos") < 32L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos AS INT))")).otherwise(0L))
+          .as("phash_lo"),
+        sum(when(col("v").cast("double") > col("__mean") && col("pos") >= 32L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos - 32 AS INT))")).otherwise(0L))
+          .as("phash_hi"))
+  }
+
+  // def, not val: resize2dOracle is declared later in this object and a
+  // forward val reference would interpolate null at init time
+  def phashOracle: String =
+    s"""WITH px AS ($resize2dOracle
+       |), m AS (
+       |  SELECT doc_id, sum(v)::DOUBLE / 64.0 AS mean FROM px GROUP BY doc_id
+       |)
+       |SELECT px.doc_id,
+       |  sum(CASE WHEN px.v::DOUBLE > m.mean AND px.pos < 32
+       |      THEN (1::BIGINT << px.pos::INT) ELSE 0 END)::BIGINT AS phash_lo,
+       |  sum(CASE WHEN px.v::DOUBLE > m.mean AND px.pos >= 32
+       |      THEN (1::BIGINT << (px.pos - 32)::INT) ELSE 0 END)::BIGINT AS phash_hi
+       |FROM px JOIN m ON px.doc_id = m.doc_id
+       |GROUP BY px.doc_id""".stripMargin
+
   // ---------- audio arm: real RIFF/WAV containers ----------
 
   /** Standard 44-byte PCM WAV container around `samples` (8-bit
