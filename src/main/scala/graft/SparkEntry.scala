@@ -178,6 +178,7 @@ object SparkEntry {
     "q_regional_volume" -> OlapQueries.qRegionalVolume,
     "q_blob_dedup"      -> MultimodalQueries.qBlobDedup,
     "q_phash"           -> MultimodalQueries.qPhash,
+    "q_phash_dupes"     -> MultimodalQueries.qPhashDupes,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -520,6 +521,7 @@ object SparkEntry {
     "q_regional_volume" -> OlapQueries.regionalVolumeOracle,
     "q_blob_dedup" -> MultimodalQueries.blobDedupOracle,
     "q_phash" -> MultimodalQueries.phashOracle,
+    "q_phash_dupes" -> MultimodalQueries.phashDupesOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -519,6 +519,50 @@ object MultimodalQueries {
        |FROM px JOIN m ON px.doc_id = m.doc_id
        |GROUP BY px.doc_id""".stripMargin
 
+  private val PhashHam = 6
+
+  /** Perceptual near-duplicate image pairs: aHash fingerprints within
+    * hamming distance 6. Candidates come from the pigeonhole over 8
+    * one-byte bands (≤ 7 differing bits ⇒ at least one band is
+    * VERBATIM equal — complete for the threshold), so pairing is an
+    * equi-join on (band, value), never all-pairs; the exact popcount
+    * verify runs on candidates only — the [[DedupQueries.simhashOn]]
+    * machinery at image granularity. */
+  def qPhashDupes(spark: SparkSession, dir: String): DataFrame = {
+    val ph = qPhash(spark, dir)
+    val bandExprs = (0 until 8).map { j =>
+      val src = if (j < 4) col("phash_lo") else col("phash_hi")
+      shiftright(src, 8 * (j % 4)).bitwiseAND(lit(255L))
+    }
+    val bands = ph.select(col("doc_id"), col("phash_lo"), col("phash_hi"),
+      posexplode(array(bandExprs: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash_lo").as("__la"), col("a.phash_hi").as("__ha"),
+        col("b.phash_lo").as("__lb"), col("b.phash_hi").as("__hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(__la ^ __lb) + bit_count(__ha ^ __hb)").cast("long"))
+      .filter(col("hamming") <= PhashHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Quadratic pairwise reference (fine at the gate's sf0.01; the
+    * engine side never materializes the cross product). */
+  def phashDupesOracle: String =
+    s"""WITH ph AS ($phashOracle
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  (bit_count(xor(a.phash_lo::BIT, b.phash_lo::BIT))
+       |   + bit_count(xor(a.phash_hi::BIT, b.phash_hi::BIT)))::BIGINT AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash_lo::BIT, b.phash_lo::BIT))
+       |      + bit_count(xor(a.phash_hi::BIT, b.phash_hi::BIT)) <= $PhashHam""".stripMargin
+
   // ---------- audio arm: real RIFF/WAV containers ----------
 
   /** Standard 44-byte PCM WAV container around `samples` (8-bit

@@ -29,6 +29,8 @@ SKIP = {
     "q_cluster_dedup",    # recursive CTE over the all-pairs set (q_dup_clusters rule)
     "q_edit_dupes",       # all-pairs Levenshtein oracle; the engine side is
                           # PassJoin-blocked (linear emit + equi-join)
+    "q_phash_dupes",      # all-pairs hamming oracle; the engine side is
+                          # pigeonhole-banded (q_simhash_dupes rule)
 }
 
 con = duckdb.connect()
