@@ -179,6 +179,7 @@ object SparkEntry {
     "q_blob_dedup"      -> MultimodalQueries.qBlobDedup,
     "q_phash"           -> MultimodalQueries.qPhash,
     "q_phash_dupes"     -> MultimodalQueries.qPhashDupes,
+    "q_phrase_search"   -> CurationQueries.qPhraseSearch,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -522,6 +523,7 @@ object SparkEntry {
     "q_blob_dedup" -> MultimodalQueries.blobDedupOracle,
     "q_phash" -> MultimodalQueries.phashOracle,
     "q_phash_dupes" -> MultimodalQueries.phashDupesOracle,
+    "q_phrase_search" -> CurationQueries.phraseSearchOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

@@ -2354,6 +2354,41 @@ object Graft {
       .select(col(id), col("score"), col("rank"))
   }
 
+  /** Positional phrase search: documents containing the EXACT
+    * consecutive token sequence `phrase`, ranked by
+    * phrase-frequency × ln(N/df_phrase) (micro-quantized, id
+    * tiebreak), top `k`. The position index is built ONLY for the
+    * phrase's terms (the postings filter runs before any join), and
+    * adjacency is an equi-join on (doc, pos−offset) — the classic
+    * positional-index intersection, never a scan of full documents
+    * per candidate. */
+  def phraseSearch(df: DataFrame, id: String, text: String,
+      phrase: Seq[String], k: Int = 10): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs at least one term")
+    val n = df.select(col(id)).agg(count(lit(1)).as("__n"))
+    val pos = df
+      .select(col(id), posexplode(tokens(col(text))))
+      .toDF(id, "__p", "__t")
+      .filter(col("__t").isin(phrase: _*))
+    // occurrence = rows of term i at position start+i for every i:
+    // chain equi-joins keyed on (id, aligned start position)
+    val occ = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("__t") === t)
+        .select(col(id), (col("__p") - i).as("__start"))
+    }.reduce((a, b) => a.join(b, Seq(id, "__start")))
+    val ptf = occ.groupBy(col(id)).agg(count(lit(1)).as("ptf"))
+    val dfreq = ptf.agg(count(lit(1)).as("__df"))
+    val scored = ptf.crossJoin(broadcast(dfreq)).crossJoin(broadcast(n))
+      .withColumn("score",
+        floor(col("ptf").cast("double") *
+          log(col("__n").cast("double") / col("__df").cast("double")) * 1e6 + 0.5) / 1e6)
+    scored
+      .orderBy(col("score").desc, col(id).asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(id).asc)).cast("long"))
+      .select(col(id), col("ptf"), col("score"), col("rank"))
+  }
+
   // ---------- rank fusion (hybrid retrieval) ----------
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way

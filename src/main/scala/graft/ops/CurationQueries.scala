@@ -407,4 +407,36 @@ object CurationQueries {
       |      / greatest(p.n_tokens, 1)::DOUBLE) * 1e4 + 0.5::DOUBLE) / 1e4,
       |    0.0::DOUBLE) AS oov_rate
       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  // ----- positional phrase search -----
+
+  private val Phrase = Seq("table", "hash")
+
+  /** Exact-phrase retrieval over the positional index
+    * ([[graft.api.Graft.phraseSearch]]): top-10 docs containing the
+    * consecutive token pair, ranked by phrase-tf × idf. */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.phraseSearch(
+      Tables.documents(spark, dir), "doc_id", "text", Phrase, 10)
+
+  val phraseSearchOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents
+       |), n AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |occ AS (
+       |  SELECT doc_id, count(*) AS ptf
+       |  FROM d, unnest(range(1, len(w))) AS u(i)
+       |  WHERE w[i::INT] = '${Phrase(0)}' AND w[(i + 1)::INT] = '${Phrase(1)}'
+       |  GROUP BY doc_id
+       |), dfq AS (SELECT count(*)::BIGINT AS df FROM occ)
+       |SELECT doc_id, ptf, score, rank FROM (
+       |  SELECT occ.doc_id, occ.ptf,
+       |    floor(occ.ptf::DOUBLE * ln(n.n::DOUBLE / dfq.df::DOUBLE) * 1e6 + 0.5) / 1e6
+       |      AS score,
+       |    row_number() OVER (
+       |      ORDER BY floor(occ.ptf::DOUBLE * ln(n.n::DOUBLE / dfq.df::DOUBLE) * 1e6 + 0.5) / 1e6 DESC,
+       |        occ.doc_id ASC)::BIGINT AS rank
+       |  FROM occ, n, dfq)
+       |WHERE rank <= 10""".stripMargin
 }

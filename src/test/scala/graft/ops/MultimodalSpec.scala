@@ -196,5 +196,12 @@ class MultimodalSpec extends SparkTestBase {
     val (r2, ch2, bits2, s2) = MultimodalQueries.parseWav(bb2.array())
     assert((r2, ch2, bits2) === ((rate, 1, 8)))
     assert(s2.toSeq === samples.toSeq)
+
+    // corrupt containers fail loudly, not with garbage data
+    intercept[IllegalArgumentException] {
+      MultimodalQueries.parseWav("NOTARIFFCONTAINER!!!".getBytes("US-ASCII"))
+    }
+    val noData = java.util.Arrays.copyOf(wav, 36) // header only, data chunk gone
+    intercept[Exception] { MultimodalQueries.parseWav(noData) }
   }
 }
