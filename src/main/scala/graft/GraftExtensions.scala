@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, PolyHash}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so pure-SQL users get the
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_dot(arrayA, arrayB) takes 2 arguments")
         FloatVecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "poly_hash(text) takes 1 argument")
+        PolyHash(children.head)
       }))
   }
 }

@@ -180,6 +180,7 @@ object SparkEntry {
     "q_phash"           -> MultimodalQueries.qPhash,
     "q_phash_dupes"     -> MultimodalQueries.qPhashDupes,
     "q_phrase_search"   -> CurationQueries.qPhraseSearch,
+    "q_ewma"            -> TemporalQueries.qEwma,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -524,6 +525,7 @@ object SparkEntry {
     "q_phash" -> MultimodalQueries.phashOracle,
     "q_phash_dupes" -> MultimodalQueries.phashDupesOracle,
     "q_phrase_search" -> CurationQueries.phraseSearchOracle,
+    "q_ewma" -> TemporalQueries.ewmaOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

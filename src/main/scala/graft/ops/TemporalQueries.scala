@@ -333,6 +333,51 @@ object TemporalQueries {
         count(lit(1)).as("n_holds"))
   }
 
+  /** Exponentially-weighted moving average of each user's value
+    * stream (α = 0.1): the stateful smoothing every metrics pipeline
+    * runs, folded in deterministic (ts, event_id) order. A recurrence
+    * can't be a window expression, so each user's ordered values
+    * collect once (bounded by per-user activity, never corpus-sized)
+    * and fold in a per-row Scala kernel — the identical left fold the
+    * oracle states with list_reduce, so doubles match bit-for-bit
+    * before the final rounding. */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val lists = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("__seq"))
+    val enc = org.apache.spark.sql.Encoders.row(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ewma",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    lists.mapPartitions { rows =>
+      rows.map { r =>
+        val uid = r.getLong(0)
+        val seq = r.getSeq[org.apache.spark.sql.Row](1)
+        var acc = seq.head.getDouble(2)
+        var i = 1
+        while (i < seq.length) { acc = acc * 0.9 + seq(i).getDouble(2) * 0.1; i += 1 }
+        org.apache.spark.sql.Row(uid,
+          math.floor(acc * 1e6 + 0.5) / 1e6, seq.length.toLong)
+      }
+    }(enc)
+  }
+
+  val ewmaOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id,
+      |  floor(list_reduce(vs, (acc, x) -> acc * 0.9::DOUBLE + x * 0.1::DOUBLE) * 1e6
+      |    + 0.5) / 1e6 AS ewma,
+      |  len(vs)::BIGINT AS n
+      |FROM s""".stripMargin
+
   /** Conversion latency: first click → first subsequent purchase per
     * user, summarized as converted-user count + exact p50/p90 of the
     * latency in integer milliseconds. Two keyed aggs co-partitioned on

@@ -30,6 +30,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val err = intercept[Exception](
         spark.sql("SELECT float_dot(array(cast(1.0 as float)))").collect())
       assert(err.getMessage.toLowerCase.contains("float_dot"))
+
+      // poly_hash: SQL surface == the kernel the Scala operators use
+      for (s <- Seq("", "a", "table hash", "The quick brown fox! 123")) {
+        val viaSql = spark.sql(s"SELECT poly_hash('${s.replace("'", "''")}')")
+          .collect().head.getLong(0)
+        assert(viaSql === graft.ops.DedupQueries.polyHashS(s), s"input '$s'")
+      }
+      // stays native: not a CodegenFallback
+      val ph = graft.functions.PolyHash(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"))
+      assert(!ph.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
