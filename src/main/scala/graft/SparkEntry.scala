@@ -181,6 +181,7 @@ object SparkEntry {
     "q_phash_dupes"     -> MultimodalQueries.qPhashDupes,
     "q_phrase_search"   -> CurationQueries.qPhraseSearch,
     "q_ewma"            -> TemporalQueries.qEwma,
+    "q_maxsim_search"   -> SimilarityQueries.qMaxsimSearch,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -526,6 +527,7 @@ object SparkEntry {
     "q_phash_dupes" -> MultimodalQueries.phashDupesOracle,
     "q_phrase_search" -> CurationQueries.phraseSearchOracle,
     "q_ewma" -> TemporalQueries.ewmaOracle,
+    "q_maxsim_search" -> SimilarityQueries.maxsimOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

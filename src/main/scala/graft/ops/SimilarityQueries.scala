@@ -118,4 +118,68 @@ object SimilarityQueries {
       emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
       rerank = 8)
   }
+
+  // ----- late-interaction (ColBERT-style MaxSim) retrieval -----
+
+  private val MsVecsPerDoc = 10
+
+  /** Late-interaction retrieval (Khattab & Zaharia 2020, public
+    * recipe): multi-vector documents scored by
+    * Σ_query-token max_doc-vector cosine. The fixture's vectors group
+    * into 10-vector "documents" (doc = vec_id / 10); the query is
+    * doc 0's own vector set. Per-(doc, token) maxima are taken over
+    * round-12 cosines and micro-quantized BEFORE the cross-token sum,
+    * so the score is an order-free integer sum — hash-exact.
+    *
+    * Scale shape: the corpus stays unshuffled (query tokens broadcast
+    * against it via the codegen'd float_dot); one keyed max-agg on
+    * (doc, token) with map-side combine, one sum-agg on doc, then a
+    * distributed top-10. */
+  def qMaxsimSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = withNorm(emb, "embedding", "__nrm")
+      .select((col("vec_id") / MsVecsPerDoc).cast("long").as("doc"),
+        col("embedding"), col("__nrm"))
+    val qtoks = withNorm(emb.filter(col("vec_id") < MsVecsPerDoc), "embedding", "__qnrm")
+      .select(col("vec_id").as("qtok"), col("embedding").as("__qv"), col("__qnrm"))
+    val scored = corpus.join(broadcast(qtoks), col("doc") =!= 0L)
+      .select(col("doc"), col("qtok"),
+        round(cosinePrenormed(col("embedding"), col("__qv"), col("__nrm"), col("__qnrm")),
+          12).as("__cos"))
+    val perTok = scored.groupBy(col("doc"), col("qtok"))
+      .agg(floor(max(col("__cos")) * 1e6 + 0.5).cast("long").as("__m"))
+    perTok.groupBy(col("doc"))
+      .agg((sum(col("__m")).cast("double") / 1e6).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("doc").asc)
+      .limit(10)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("maxsim").desc, col("doc").asc)).cast("long"))
+  }
+
+  val maxsimOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id // $MsVecsPerDoc AS doc, embedding,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qtok, embedding AS qv,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qnrm
+       |  FROM embeddings WHERE vec_id < $MsVecsPerDoc
+       |), m AS (
+       |  SELECT c.doc, q.qtok,
+       |    floor(max(round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) / c.nrm / q.qnrm,
+       |      12)) * 1e6 + 0.5)::BIGINT AS mq
+       |  FROM c, q WHERE c.doc <> 0
+       |  GROUP BY c.doc, q.qtok
+       |)
+       |SELECT doc, maxsim, rank FROM (
+       |  SELECT doc, sum(mq)::DOUBLE / 1e6 AS maxsim,
+       |    row_number() OVER (ORDER BY sum(mq) DESC, doc ASC)::BIGINT AS rank
+       |  FROM m GROUP BY doc)
+       |WHERE rank <= 10""".stripMargin
 }
