@@ -182,6 +182,7 @@ object SparkEntry {
     "q_phrase_search"   -> CurationQueries.qPhraseSearch,
     "q_ewma"            -> TemporalQueries.qEwma,
     "q_maxsim_search"   -> SimilarityQueries.qMaxsimSearch,
+    "q_version_diff"    -> CoreQueries.qVersionDiff,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -528,6 +529,7 @@ object SparkEntry {
     "q_phrase_search" -> CurationQueries.phraseSearchOracle,
     "q_ewma" -> TemporalQueries.ewmaOracle,
     "q_maxsim_search" -> SimilarityQueries.maxsimOracle,
+    "q_version_diff" -> CoreQueries.versionDiffOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

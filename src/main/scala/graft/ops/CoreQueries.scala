@@ -121,6 +121,56 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("cnt"))
 
+  /** Corpus version diff: the added/removed/changed/unchanged report
+    * between two dataset snapshots — the audit step every versioned
+    * corpus release runs. v2 is derived deterministically from the
+    * fixture (drop id%17==3, edit id%13==5, add id%19==2 under new
+    * ids), so the diff exercises all four statuses at every SF. The
+    * comparison is a full-outer join on the id with CONTENT-hash
+    * equality (never text equality across the shuffle — hashes are 8
+    * bytes, texts unbounded), then a 4-row status rollup. */
+  def qVersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val v2 = v1.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(13)) === 5, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(pmod(col("doc_id"), lit(19)) === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val h1 = v1.select(col("doc_id"), xxhash64(col("text")).as("__h1"))
+    val h2 = v2.select(col("doc_id"), xxhash64(col("text")).as("__h2"))
+    h1.join(h2, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("__h1").isNull, "added")
+          .when(col("__h2").isNull, "removed")
+          .when(col("__h1") === col("__h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("doc_id"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_id"))
+  }
+
+  /** The oracle compares CONTENT equality directly (texts, not
+    * hashes): engine-side xxhash64 equality must induce the identical
+    * partition — any collision would show up as a status mismatch. */
+  val versionDiffOracle: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 17 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM v1 WHERE doc_id % 19 = 2
+      |)
+      |SELECT status, count(*) AS cnt, min(doc_id) AS first_id FROM (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN v1.text = v2.text THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |GROUP BY status""".stripMargin
+
   /** Sliding-window DISTINCT cardinality (unique users per overlapping
     * hour) — exact distinct inside event-time windows. Spark plans the
     * window Generator expand then a two-phase distinct agg
