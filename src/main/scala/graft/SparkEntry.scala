@@ -183,6 +183,8 @@ object SparkEntry {
     "q_ewma"            -> TemporalQueries.qEwma,
     "q_maxsim_search"   -> SimilarityQueries.qMaxsimSearch,
     "q_version_diff"    -> CoreQueries.qVersionDiff,
+    "q_dp_count"        -> graft.ops.PrivacyQueries.qDpCount,
+    "q_kanon"           -> graft.ops.PrivacyQueries.qKAnon,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -530,6 +532,8 @@ object SparkEntry {
     "q_ewma" -> TemporalQueries.ewmaOracle,
     "q_maxsim_search" -> SimilarityQueries.maxsimOracle,
     "q_version_diff" -> CoreQueries.versionDiffOracle,
+    "q_dp_count" -> graft.ops.PrivacyQueries.dpCountOracle,
+    "q_kanon" -> graft.ops.PrivacyQueries.kAnonOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

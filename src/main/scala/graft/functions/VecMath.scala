@@ -63,4 +63,9 @@ object VecMath {
   def float_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The portable 31-bit text hash as a codegen'd column
+    * (== DedupQueries.polyHashS; SQL surface: `poly_hash`). */
+  def poly_hash(s: Column): Column =
+    ColumnBridge.column(PolyHash(ColumnBridge.expression(s)))
 }
