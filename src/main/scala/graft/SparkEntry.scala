@@ -185,6 +185,7 @@ object SparkEntry {
     "q_version_diff"    -> CoreQueries.qVersionDiff,
     "q_dp_count"        -> graft.ops.PrivacyQueries.qDpCount,
     "q_kanon"           -> graft.ops.PrivacyQueries.qKAnon,
+    "q_cascade"         -> CurationQueries.qCascade,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -534,6 +535,7 @@ object SparkEntry {
     "q_version_diff" -> CoreQueries.versionDiffOracle,
     "q_dp_count" -> graft.ops.PrivacyQueries.dpCountOracle,
     "q_kanon" -> graft.ops.PrivacyQueries.kAnonOracle,
+    "q_cascade" -> CurationQueries.cascadeOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

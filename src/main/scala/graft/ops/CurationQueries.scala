@@ -408,6 +408,63 @@ object CurationQueries {
       |    0.0::DOUBLE) AS oov_rate
       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
 
+  // ----- curation-cascade attrition report -----
+
+  /** Stage-by-stage attrition of a four-filter curation cascade
+    * (length → token count → term blocklist → repetition), the
+    * pipeline-health report every corpus release publishes. One scan
+    * computes every stage's survivor count as conditional sums (the
+    * stages are cumulative boolean columns, so no data moves between
+    * stages); the repetition cut is pure integer arithmetic
+    * (10·distinct > 7·total ⟺ repetition < 0.3) so no rounding
+    * boundary exists. */
+  def qCascade(spark: SparkSession, dir: String): DataFrame = {
+    val t = filter(split(col("text"), " "), x => x =!= "")
+    val d = Tables.documents(spark, dir).select(
+      length(col("text")).as("__len"),
+      size(t).as("__tok"),
+      size(array_distinct(t)).as("__dtok"),
+      col("text").contains("legacy").as("__blocked"))
+    val s1 = col("__len") >= 200
+    val s2 = s1 && col("__tok") >= 40
+    val s3 = s2 && !col("__blocked")
+    val s4 = s3 && col("__dtok") * 10 > col("__tok") * 7
+    val agg = d.agg(
+      count(lit(1)).as("n0"),
+      sum(when(s1, 1L).otherwise(0L)).as("n1"),
+      sum(when(s2, 1L).otherwise(0L)).as("n2"),
+      sum(when(s3, 1L).otherwise(0L)).as("n3"),
+      sum(when(s4, 1L).otherwise(0L)).as("n4"))
+    val stages = Seq(
+      ("1_min_length", "n0", "n1"), ("2_min_tokens", "n1", "n2"),
+      ("3_blocklist", "n2", "n3"), ("4_repetition", "n3", "n4"))
+    stages.map { case (name, in, out) =>
+      agg.select(lit(name).as("stage"), col(in).as("docs_in"), col(out).as("docs_out"))
+    }.reduce(_ unionByName _)
+  }
+
+  val cascadeOracle: String =
+    """WITH d AS (
+      |  SELECT length(text) AS len,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok,
+      |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS dtok,
+      |    (text LIKE '%legacy%') AS blocked
+      |  FROM documents
+      |), a AS (
+      |  SELECT count(*) AS n0,
+      |    sum(CASE WHEN len >= 200 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN len >= 200 AND tok >= 40 THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |    sum(CASE WHEN len >= 200 AND tok >= 40 AND NOT blocked
+      |        THEN 1 ELSE 0 END)::BIGINT AS n3,
+      |    sum(CASE WHEN len >= 200 AND tok >= 40 AND NOT blocked
+      |             AND dtok * 10 > tok * 7 THEN 1 ELSE 0 END)::BIGINT AS n4
+      |  FROM d
+      |)
+      |SELECT '1_min_length' AS stage, n0 AS docs_in, n1 AS docs_out FROM a
+      |UNION ALL SELECT '2_min_tokens', n1, n2 FROM a
+      |UNION ALL SELECT '3_blocklist', n2, n3 FROM a
+      |UNION ALL SELECT '4_repetition', n3, n4 FROM a""".stripMargin
+
   // ----- positional phrase search -----
 
   private val Phrase = Seq("table", "hash")
