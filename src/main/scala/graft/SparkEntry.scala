@@ -186,6 +186,7 @@ object SparkEntry {
     "q_dp_count"        -> graft.ops.PrivacyQueries.qDpCount,
     "q_kanon"           -> graft.ops.PrivacyQueries.qKAnon,
     "q_cascade"         -> CurationQueries.qCascade,
+    "q_chi2"            -> ClassifyQueries.qChi2,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -536,6 +537,7 @@ object SparkEntry {
     "q_dp_count" -> graft.ops.PrivacyQueries.dpCountOracle,
     "q_kanon" -> graft.ops.PrivacyQueries.kAnonOracle,
     "q_cascade" -> CurationQueries.cascadeOracle,
+    "q_chi2" -> ClassifyQueries.chi2Oracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

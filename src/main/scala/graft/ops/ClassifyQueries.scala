@@ -18,6 +18,74 @@ object ClassifyQueries {
 
   private val F = 1024
 
+  private val Chi2Lang = "en"
+  private val Chi2K = 20
+
+  /** χ² feature selection: the top-20 tokens most associated with one
+    * class (lang = 'en') over document-level presence counts — the
+    * vocabulary-pruning step in front of any text classifier. The
+    * contingency cells (a,b,c,d) are exact integers; χ² =
+    * N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) is one double expression over
+    * them (round 6), and the cut is a distributed
+    * TakeOrderedAndProject with a token tiebreak. One shuffle on the
+    * token (doc-presence agg with map-side combine); everything after
+    * is vocabulary-sized. */
+  def qChi2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pres = docs
+      .select(col("doc_id"), (col("lang") === Chi2Lang).as("__pos"),
+        explode(array_distinct(filter(split(col("text"), " "), t => t =!= "")))
+          .as("token"))
+    val totals = docs.agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("lang") === Chi2Lang, 1L).otherwise(0L)).as("__npos"))
+    val cells = pres.groupBy(col("token")).agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__a"), // pos docs with token
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__b")) // neg docs with token
+    val withCd = cells.crossJoin(broadcast(totals))
+      .withColumn("__c", col("__npos") - col("__a")) // pos docs without token
+      .withColumn("__d", col("__n") - col("__npos") - col("__b"))
+    val num = (col("__a") * col("__d") - col("__b") * col("__c"))
+    val chi2 = round(
+      col("__n").cast("double") * num.cast("double") * num.cast("double") /
+        ((col("__a") + col("__b")) * (col("__c") + col("__d"))).cast("double") /
+        ((col("__a") + col("__c")) * (col("__b") + col("__d"))).cast("double"), 6)
+    withCd
+      .filter((col("__a") + col("__c")) > 0L && (col("__b") + col("__d")) > 0L)
+      .select(col("token"), col("__a").as("pos_docs"), col("__b").as("neg_docs"),
+        chi2.as("chi2"))
+      .orderBy(col("chi2").desc, col("token").asc)
+      .limit(Chi2K)
+  }
+
+  val chi2Oracle: String =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT doc_id, (lang = '$Chi2Lang') AS pos,
+       |    unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+       |  FROM documents
+       |), tot AS (
+       |  SELECT count(*)::BIGINT AS n,
+       |    sum(CASE WHEN lang = '$Chi2Lang' THEN 1 ELSE 0 END)::BIGINT AS npos
+       |  FROM documents
+       |), cells AS (
+       |  SELECT token,
+       |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS a,
+       |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS b
+       |  FROM pres GROUP BY token
+       |), x AS (
+       |  SELECT token, a, b, tot.npos - a AS c, tot.n - tot.npos - b AS d, tot.n
+       |  FROM cells CROSS JOIN tot
+       |)
+       |, scored AS (
+       |  SELECT token, a AS pos_docs, b AS neg_docs,
+       |    round(n::DOUBLE * (a * d - b * c)::DOUBLE * (a * d - b * c)::DOUBLE
+       |      / ((a + b) * (c + d))::DOUBLE / ((a + c) * (b + d))::DOUBLE, 6) AS chi2
+       |  FROM x WHERE (a + c) > 0 AND (b + d) > 0
+       |)
+       |SELECT token, pos_docs, neg_docs, chi2 FROM (
+       |  SELECT *, row_number() OVER (ORDER BY chi2 DESC, token ASC) AS rn FROM scored)
+       |WHERE rn <= $Chi2K""".stripMargin
+
   /** Train a 5-class language NB on the even half of `documents`,
     * score the odd half. The labels are fixture-random (vocabulary is
     * shared across langs), which makes this a pure cross-engine
