@@ -187,6 +187,7 @@ object SparkEntry {
     "q_kanon"           -> graft.ops.PrivacyQueries.qKAnon,
     "q_cascade"         -> CurationQueries.qCascade,
     "q_chi2"            -> ClassifyQueries.qChi2,
+    "q_autocorr"        -> TemporalQueries.qAutocorr,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -538,6 +539,7 @@ object SparkEntry {
     "q_kanon" -> graft.ops.PrivacyQueries.kAnonOracle,
     "q_cascade" -> CurationQueries.cascadeOracle,
     "q_chi2" -> ClassifyQueries.chi2Oracle,
+    "q_autocorr" -> TemporalQueries.autocorrOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

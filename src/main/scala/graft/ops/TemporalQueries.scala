@@ -333,6 +333,62 @@ object TemporalQueries {
         count(lit(1)).as("n_holds"))
   }
 
+  /** Lag-1 autocorrelation of each type's hourly count series — the
+    * burstiness/seasonality diagnostic for stream monitoring. The
+    * series is the gap-filled hourly grid (zeros count: dropping empty
+    * hours would bias the correlation), pairs come from one lag window
+    * per type, and the Pearson correlation over integer count pairs is
+    * computed from exact integer sums in one closed-form expression
+    * (round 6). Series length is calendar-bounded, never row-bounded. */
+  def qAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val grid = OlapQueries.qGapFill(spark, dir) // (event_type, hour_start, cnt)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+    val pairs = grid
+      .withColumn("__prev", lag(col("cnt"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__k"),
+        sum(col("cnt")).as("__sx"), sum(col("__prev")).as("__sy"),
+        sum(col("cnt") * col("cnt")).as("__sxx"),
+        sum(col("__prev") * col("__prev")).as("__syy"),
+        sum(col("cnt") * col("__prev")).as("__sxy"))
+      .select(col("event_type"), col("__k").as("n_pairs"),
+        round(
+          (col("__k") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+            sqrt((col("__k") * col("__sxx") - col("__sx") * col("__sx")).cast("double")) /
+            sqrt((col("__k") * col("__syy") - col("__sy") * col("__sy")).cast("double")),
+          6).as("autocorr"))
+  }
+
+  val autocorrOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_start FROM events
+      |), counts AS (
+      |  SELECT event_type, hour_start, count(*) AS cnt FROM e GROUP BY 1, 2
+      |), hours AS (
+      |  SELECT unnest(generate_series(min(hour_start), max(hour_start),
+      |    INTERVAL 1 HOUR)) AS hour_start FROM e
+      |), grid AS (
+      |  SELECT t.event_type, h.hour_start, coalesce(c.cnt, 0) AS cnt
+      |  FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_start = h.hour_start
+      |), p AS (
+      |  SELECT event_type, cnt,
+      |    lag(cnt) OVER (PARTITION BY event_type ORDER BY hour_start) AS prev
+      |  FROM grid
+      |), s AS (
+      |  SELECT event_type, count(*)::BIGINT AS k,
+      |    sum(cnt)::BIGINT AS sx, sum(prev)::BIGINT AS sy,
+      |    sum(cnt * cnt)::BIGINT AS sxx, sum(prev * prev)::BIGINT AS syy,
+      |    sum(cnt * prev)::BIGINT AS sxy
+      |  FROM p WHERE prev IS NOT NULL GROUP BY event_type
+      |)
+      |SELECT event_type, k AS n_pairs,
+      |  round((k * sxy - sx * sy)::DOUBLE
+      |    / sqrt((k * sxx - sx * sx)::DOUBLE)
+      |    / sqrt((k * syy - sy * sy)::DOUBLE), 6) AS autocorr
+      |FROM s""".stripMargin
+
   /** Exponentially-weighted moving average of each user's value
     * stream (α = 0.1): the stateful smoothing every metrics pipeline
     * runs, folded in deterministic (ts, event_id) order. A recurrence
