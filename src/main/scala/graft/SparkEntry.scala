@@ -188,6 +188,8 @@ object SparkEntry {
     "q_cascade"         -> CurationQueries.qCascade,
     "q_chi2"            -> ClassifyQueries.qChi2,
     "q_autocorr"        -> TemporalQueries.qAutocorr,
+    "q_burst_detect"    -> TemporalQueries.qBurstDetect,
+    "q_gini"            -> MiningQueries.qGini,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -540,6 +542,8 @@ object SparkEntry {
     "q_cascade" -> CurationQueries.cascadeOracle,
     "q_chi2" -> ClassifyQueries.chi2Oracle,
     "q_autocorr" -> TemporalQueries.autocorrOracle,
+    "q_burst_detect" -> TemporalQueries.burstDetectOracle,
+    "q_gini" -> MiningQueries.giniOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

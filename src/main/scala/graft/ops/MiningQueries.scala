@@ -36,6 +36,47 @@ object MiningQueries {
        |FROM t, tot GROUP BY w, tot.n
        |HAVING count(*) >= greatest($HhMin, tot.n // $HhK + 1)""".stripMargin
 
+  /** Gini coefficient of the word-frequency distribution — the
+    * concentration diagnostic next to [[qZipf]]'s power-law slope
+    * (Gini → 1 as a few tokens dominate the corpus). Over SORTED
+    * frequencies x₁ ≤ … ≤ xₙ, G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n —
+    * every sum an exact integer (rank window over the vocabulary-sized
+    * frequency table, like zipf; never over the corpus), one double
+    * division at the end (round 6). Ranks tie-break on the word so
+    * the weighted sum is deterministic, and Σ i·xᵢ is tie-invariant
+    * anyway (equal x under permuted equal ranks sums identically). */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ranked = freq.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").asc, col("w").asc)).cast("long"))
+    ranked.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("c")).as("n_tokens"),
+      round(
+        (lit(2.0) * sum(col("__r") * col("c")).cast("double")) /
+          (count(lit(1)).cast("double") * sum(col("c")).cast("double")) -
+          (count(lit(1)) + 1L).cast("double") / count(lit(1)).cast("double"),
+        6).as("gini"))
+  }
+
+  val giniOracle: String =
+    """WITH f AS (
+      |  SELECT w, count(*)::BIGINT AS c FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY w
+      |), r AS (
+      |  SELECT c, row_number() OVER (ORDER BY c ASC, w ASC)::BIGINT AS rk FROM f
+      |)
+      |SELECT count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens,
+      |  round((2.0::DOUBLE * sum(rk * c)::DOUBLE)
+      |      / (count(*)::DOUBLE * sum(c)::DOUBLE)
+      |    - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
+      |FROM r""".stripMargin
+
   // ----- winnowing fingerprints -----
 
   private val WinK = 8

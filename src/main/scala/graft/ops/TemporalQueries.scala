@@ -389,6 +389,55 @@ object TemporalQueries {
       |    / sqrt((k * syy - sy * sy)::DOUBLE), 6) AS autocorr
       |FROM s""".stripMargin
 
+  /** Burst detection over the hourly grid: hours whose count exceeds
+    * the type's mean + 3σ (population σ from exact integer sums) —
+    * the paging-alert rule. The threshold is one closed-form double
+    * per type (broadcast back over the calendar-bounded grid);
+    * emitting the quantized threshold keeps the gate row informative
+    * without a rounding-boundary risk on the flag itself (counts are
+    * integers, thresholds are irrational — equality can't occur). */
+  def qBurstDetect(spark: SparkSession, dir: String): DataFrame = {
+    val grid = OlapQueries.qGapFill(spark, dir)
+    val stats = grid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("__k"), sum(col("cnt")).as("__s"),
+      sum(col("cnt") * col("cnt")).as("__ss"))
+    val mean = col("__s").cast("double") / col("__k").cast("double")
+    val variance = col("__ss").cast("double") / col("__k").cast("double") - mean * mean
+    val thresh = mean + lit(3.0) * sqrt(variance)
+    grid.join(broadcast(stats.select(col("event_type"), thresh.as("__t"))),
+        Seq("event_type"))
+      .filter(col("cnt").cast("double") > col("__t"))
+      .select(col("event_type"), col("hour_start"), col("cnt"),
+        round(col("__t"), 6).as("threshold"))
+  }
+
+  val burstDetectOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_start FROM events
+      |), counts AS (
+      |  SELECT event_type, hour_start, count(*) AS cnt FROM e GROUP BY 1, 2
+      |), hours AS (
+      |  SELECT unnest(generate_series(min(hour_start), max(hour_start),
+      |    INTERVAL 1 HOUR)) AS hour_start FROM e
+      |), grid AS (
+      |  SELECT t.event_type, h.hour_start, coalesce(c.cnt, 0) AS cnt
+      |  FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+      |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour_start = h.hour_start
+      |), s AS (
+      |  SELECT event_type, count(*)::BIGINT AS k, sum(cnt)::BIGINT AS sx,
+      |    sum(cnt * cnt)::BIGINT AS sxx
+      |  FROM grid GROUP BY event_type
+      |), t AS (
+      |  SELECT event_type,
+      |    sx::DOUBLE / k::DOUBLE
+      |      + 3.0::DOUBLE * sqrt(sxx::DOUBLE / k::DOUBLE
+      |          - (sx::DOUBLE / k::DOUBLE) * (sx::DOUBLE / k::DOUBLE)) AS th
+      |  FROM s
+      |)
+      |SELECT g.event_type, g.hour_start, g.cnt, round(t.th, 6) AS threshold
+      |FROM grid g JOIN t ON g.event_type = t.event_type
+      |WHERE g.cnt::DOUBLE > t.th""".stripMargin
+
   /** Exponentially-weighted moving average of each user's value
     * stream (α = 0.1): the stateful smoothing every metrics pipeline
     * runs, folded in deterministic (ts, event_id) order. A recurrence
