@@ -73,6 +73,53 @@ class RetrievalPropertySpec extends SparkTestBase {
     }
   }
 
+  // ---- FIM / span corruption: lossless reconstruction ----
+
+  test("property: FIM and span-corruption are lossless — originals reconstruct " +
+      "exactly from the transformed outputs") {
+    val gen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))
+    (1 to 15).foreach { seed =>
+      val texts = Gen.listOfN(8, gen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      // documents schema expected by the fixture-bound queries: write a
+      // temp dir with the same table name
+      val dir = java.nio.file.Files.createTempDirectory("fimprop-").toString
+      texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+
+      // FIM: text == prefix + middle + suffix, recovered by cut indices
+      val fim = graft.ops.TextQueries.qFim(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (c1, c2, psm) = fim(i.toLong)
+        val p = psm.indexOf("<SUF>"); val m = psm.indexOf("<MID>")
+        val prefix = psm.substring(5, p)
+        val suffix = psm.substring(p + 5, m)
+        val middle = psm.substring(m + 5)
+        assert(prefix + middle + suffix === t, s"seed $seed doc $i")
+        assert(prefix.length === c1.toInt && middle.length === (c2 - c1).toInt)
+      }
+
+      // span corruption: splicing target spans back into the sentinels
+      // reproduces the original token stream
+      val sc = graft.ops.TextQueries.qSpanCorrupt(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (corrupted, target) = sc(i.toLong)
+        val spans = target.split("<X\\d+>").map(_.trim).filter(_.nonEmpty)
+        var rebuilt = corrupted
+        spans.zipWithIndex.foreach { case (span, j) =>
+          rebuilt = rebuilt.replace(s"<X$j>", span)
+        }
+        val origTokens = t.split(" ").filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt === origTokens, s"seed $seed doc $i: '$rebuilt' vs '$origTokens'")
+      }
+    }
+  }
+
   // ---- maxsim vs a naive double loop ----
 
   test("maxsim scoring equals the naive per-query-token max over doc vectors") {
