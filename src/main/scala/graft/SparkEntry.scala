@@ -190,6 +190,7 @@ object SparkEntry {
     "q_autocorr"        -> TemporalQueries.qAutocorr,
     "q_burst_detect"    -> TemporalQueries.qBurstDetect,
     "q_gini"            -> MiningQueries.qGini,
+    "q_coverage_curve"  -> MiningQueries.qCoverageCurve,
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect).
@@ -544,6 +545,7 @@ object SparkEntry {
     "q_autocorr" -> TemporalQueries.autocorrOracle,
     "q_burst_detect" -> TemporalQueries.burstDetectOracle,
     "q_gini" -> MiningQueries.giniOracle,
+    "q_coverage_curve" -> MiningQueries.coverageCurveOracle,
     // q_semdedup has no oracle: the kept set depends on the k-means
     // clustering (engine-specific by design); CurationSpec pins the
     // witness/determinism properties and the subset relation vs the

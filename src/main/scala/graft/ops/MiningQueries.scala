@@ -77,6 +77,51 @@ object MiningQueries {
       |    - (count(*) + 1)::DOUBLE / count(*)::DOUBLE, 6) AS gini
       |FROM r""".stripMargin
 
+  /** Vocabulary coverage curve: the smallest top-k vocabularies that
+    * cover 80 % / 95 % / 99 % of corpus tokens — the sizing question
+    * every tokenizer build answers first. One corpus shuffle for the
+    * frequency table; the cumulative sum runs over the
+    * vocabulary-sized frame ordered (count desc, word asc), and the
+    * thresholds are exact integer comparisons (cum·100 ≥ pct·total —
+    * no doubles anywhere). */
+  def qCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w").asc)
+    val cum = freq
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    cum.crossJoin(broadcast(freq.agg(sum(col("c")).as("__tot"),
+        count(lit(1)).as("n_types"))))
+      .agg(
+        first(col("n_types")).as("n_types"),
+        first(col("__tot")).as("n_tokens"),
+        min(when(col("__cum") * 100L >= col("__tot") * 80L, col("__r"))).as("k80"),
+        min(when(col("__cum") * 100L >= col("__tot") * 95L, col("__r"))).as("k95"),
+        min(when(col("__cum") * 100L >= col("__tot") * 99L, col("__r"))).as("k99"))
+  }
+
+  val coverageCurveOracle: String =
+    """WITH f AS (
+      |  SELECT w, count(*)::BIGINT AS c FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY w
+      |), r AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC)::BIGINT AS rk,
+      |    sum(c) OVER (ORDER BY c DESC, w ASC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |  FROM f
+      |), t AS (SELECT sum(c)::BIGINT AS tot, count(*)::BIGINT AS n_types FROM f)
+      |SELECT t.n_types, t.tot AS n_tokens,
+      |  min(CASE WHEN cum * 100 >= tot * 80 THEN rk END)::BIGINT AS k80,
+      |  min(CASE WHEN cum * 100 >= tot * 95 THEN rk END)::BIGINT AS k95,
+      |  min(CASE WHEN cum * 100 >= tot * 99 THEN rk END)::BIGINT AS k99
+      |FROM r CROSS JOIN t GROUP BY t.n_types, t.tot""".stripMargin
+
   // ----- winnowing fingerprints -----
 
   private val WinK = 8
