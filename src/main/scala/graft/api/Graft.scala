@@ -159,40 +159,42 @@ object Graft {
     * frequent units from every document preserving unit order.
     * Returns (id, cleaned, n_removed).
     *
-    * Scale shape: one explode (tokens), one distinct+agg for document
-    * frequencies (shuffle on unit), an anti-join of tokens against the
-    * frequent set, and a per-doc re-aggregation (shuffle on id). The
-    * frequent set is intrinsically tiny — a unit must occur in
-    * ≥ minDocFrac·nDocs distinct docs, so |frequent| ≤ 1/minDocFrac ×
-    * vocabulary-that-saturates — and AQE broadcasts it in the
-    * anti-join at runtime; no hint needed, and no driver-side
-    * collection anywhere. The corpus size enters as a 1-row aggregate
-    * cross-joined in, not a driver action. */
+    * Scale shape: ONE corpus explode, on per-row deduplicated units
+    * (`explode(array_distinct(split))` — the map-side array_distinct
+    * replaces the (doc,unit)-distinct shuffle), one agg shuffle on
+    * unit for document frequencies, then the frequent set — which is
+    * intrinsically tiny: a unit must occur in ≥ minDocFrac·nDocs
+    * distinct docs, so |frequent| ≤ maxDistinctUnitsPerDoc/minDocFrac
+    * — folds to a single-row array that a broadcast cross-join carries
+    * back. Cleaning is then a per-row HOF `filter` (order-preserving
+    * by construction — no posexplode/array_sort/collect_list
+    * re-aggregation, no groupBy(id) shuffle, no whole-document arrays
+    * in an aggregation buffer). The corpus size enters as a 1-row
+    * aggregate cross-joined in, not a driver action. For unusually
+    * small `minDocFrac` (huge frequent sets) the O(|frequent|)
+    * per-token array_contains would argue for an anti-join variant,
+    * but at the boilerplate-detection fractions this targets the set
+    * is a handful of template units. */
   def dropBoilerplate(df: DataFrame, id: String, text: String,
       delim: String = " ", minDocFrac: Double = 0.5): DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0,1], got $minDocFrac")
-    val toks = df.select(col(id),
-      posexplode(split(col(text), java.util.regex.Pattern.quote(delim))))
-      .toDF(id, "pos", "word")
+    // null text → empty unit array, mirroring posexplode-of-null (zero rows)
+    val parts = coalesce(
+      split(col(text), java.util.regex.Pattern.quote(delim)),
+      array().cast("array<string>"))
     val total = df.agg(count(lit(1)).as("__n"))
-    val frequent = toks.select(col(id), col("word")).distinct()
+    val frequent = df
+      .select(explode(array_distinct(parts)).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(total))
       .filter(col("__df") >= ceil(col("__n") * minDocFrac))
-      .select(col("word"))
-    val kept = toks.join(frequent, Seq("word"), "left_anti")
-    val keptAgg = kept.groupBy(col(id)).agg(
-      concat_ws(delim, transform(
-        array_sort(collect_list(struct(col("pos"), col("word")))),
-        x => x("word"))).as("cleaned"),
-      count(lit(1)).as("__kept"))
-    val totals = toks.groupBy(col(id)).agg(count(lit(1)).as("__words"))
-    df.select(col(id)).join(totals, Seq(id), "left").join(keptAgg, Seq(id), "left")
+      .agg(collect_list(col("word")).as("__fw"))
+    val keptArr = filter(parts, w => !array_contains(col("__fw"), w))
+    df.crossJoin(broadcast(frequent))
       .select(col(id),
-        coalesce(col("cleaned"), lit("")).as("cleaned"),
-        (coalesce(col("__words"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
-          .cast("long").as("n_removed"))
+        concat_ws(delim, keptArr).as("cleaned"),
+        (size(parts) - size(keptArr)).cast("long").as("n_removed"))
   }
 
   /** Per-document quality heuristics: stopword ratio, punctuation
@@ -308,8 +310,12 @@ object Graft {
     * [[decontaminate]]'s plus a position explode: gram equi-join (AQE
     * broadcasts a small benchmark side), covered-position expansion is
     * ≤ n rows per HIT (hits are rare by construction), and the
-    * positional re-agg shuffles each doc's surviving words once — the
-    * same order-preserving re-agg as [[dropBoilerplate]]. */
+    * positional re-agg shuffles each doc's surviving words once
+    * (order restored by array_sort on (pos, word) structs). Unlike
+    * [[dropBoilerplate]] the dropped set here is keyed by (doc, pos) —
+    * corpus-sized, not broadcastable — so the anti-join is the right
+    * shape; per-doc totals come from a per-row size() with no second
+    * explode. */
   def exciseContamination(train: DataFrame, id: String, text: String,
       bench: DataFrame, benchText: String, n: Int = 13): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
@@ -331,11 +337,11 @@ object Graft {
         array_sort(collect_list(struct(col("pos"), col("word")))),
         x => x("word"))).as("cleaned"),
       count(lit(1)).as("__kept"))
-    val totals = toks.groupBy(col(id)).agg(count(lit(1)).as("__words"))
-    train.select(col(id)).join(totals, Seq(id), "left").join(keptAgg, Seq(id), "left")
+    train.select(col(id), size(tokens(col(text))).cast("long").as("__words"))
+      .join(keptAgg, Seq(id), "left")
       .select(col(id),
         coalesce(col("cleaned"), lit("")).as("cleaned"),
-        (coalesce(col("__words"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+        (col("__words") - coalesce(col("__kept"), lit(0L)))
           .cast("long").as("n_removed"))
   }
 
@@ -3134,10 +3140,14 @@ object Graft {
     * so an insertion early in a document shifts chunk OFFSETS but not
     * chunk IDENTITIES, which fixed-size blocking cannot do. A cut is
     * placed after 1-based position `pos ≥ window` whenever
-    * Σ_{j=0..W−1} gear(c_{pos−j})·2^j ≡ 0 (mod `modulus`), with
-    * gear(c) = ascii(c)·2654435761 — pure 64-bit integer arithmetic
-    * (max |h| < 2⁵³), bit-identical across engines and replicated by
-    * the SQL oracle. Expected chunk length ≈ `modulus` chars. The
+    * (Σ_{j=0..W−1} gear(c_{pos−j})·2^j mod 2⁶³) ≡ 0 (mod `modulus`),
+    * with gear(c) = ascii(c)·2654435761. The hash is DEFINED mod 2⁶³
+    * on both engines: the Scala rolling recurrence is exact mod 2⁶⁴
+    * (Long wrap-around, a homomorphism onto mod 2⁶³ via the final
+    * mask) and the SQL oracle reduces its HUGEINT sum mod 2⁶³ — so
+    * windows up to 52 are bit-identical across engines even where the
+    * unreduced sum would exceed 2⁶³ (non-ASCII text or wide windows).
+    * Expected chunk length ≈ `modulus` chars. The
     * final position always closes the last chunk. Docs shorter than
     * `window` chars are skipped.
     *
@@ -3191,7 +3201,8 @@ object Graft {
               var idx = 1
               var pos = window // 1-based position of the newest window char
               while (pos <= n) {
-                if (h % modulus == 0L || pos == n) {
+                // mask to 63 bits: (h mod 2^64) & MaxValue = true-sum mod 2^63
+                if ((h & Long.MaxValue) % modulus == 0L || pos == n) {
                   val ctext = s.substring(cstart, pos)
                   out += Row(idv, idx, ctext.length.toLong,
                     graft.ops.DedupQueries.polyHashS(ctext),

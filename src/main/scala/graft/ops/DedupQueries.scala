@@ -512,7 +512,10 @@ object DedupQueries {
        |      (c, i) -> (ascii(c) * 2654435761) * (1::BIGINT << ($CdcW - i)))) AS hv
        |  FROM g
        |), cuts AS (
-       |  SELECT doc_id, pos FROM h WHERE hv % $CdcM = 0
+       |  -- hash defined mod 2^63 on both engines (HUGEINT keeps the sum
+       |  -- exact here; the Scala side masks its wrapped Long identically)
+       |  SELECT doc_id, pos FROM h
+       |  WHERE (hv::HUGEINT % 9223372036854775808) % $CdcM = 0
        |  UNION
        |  SELECT doc_id, length(text) FROM d
        |), b AS (

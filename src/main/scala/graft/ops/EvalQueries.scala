@@ -38,18 +38,24 @@ object EvalQueries {
       .select(col("query_id"), col("rank"),
         (col("__nl") === col("__ql")).as("__rel"), col("__rt"))
     val pool = least(lit(K.toLong), min(col("__rt")))
+    // Singleton-label guard: a query whose label has no other member has
+    // pool = 0 — recall/nDCG are undefined (division by zero; and
+    // sequence(1, 0) would be a DESCENDING [1,0] in Spark vs an empty
+    // range in DuckDB). Both engines yield NULL identically (CaseWhen
+    // evaluates branches lazily, so the guarded division never runs).
     j.groupBy(col("query_id"))
       .agg(
         sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel"),
-        round(sum(when(col("__rel"), 1L).otherwise(0L)).cast("double") /
-          least(lit(K.toLong), min(col("__rt"))).cast("double"), 6).as("recall_at_k"),
+        round(when(pool > 0L,
+          sum(when(col("__rel"), 1L).otherwise(0L)).cast("double") /
+            pool.cast("double")), 6).as("recall_at_k"),
         round(coalesce(lit(1.0) / min(when(col("__rel"), col("rank"))).cast("double"),
           lit(0.0)), 6).as("mrr"),
-        round(
+        round(when(pool > 0L,
           sum(when(col("__rel"), lit(1.0) / log2(col("rank").cast("double") + 1.0))
             .otherwise(0.0)) /
           aggregate(sequence(lit(1L), pool), lit(0.0),
-            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)), 6).as("ndcg"))
+            (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))), 6).as("ndcg"))
   }
 
   val rankEvalOracle: String =
@@ -64,14 +70,16 @@ object EvalQueries {
        |)
        |SELECT query_id,
        |  sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_rel,
-       |  round(sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE
-       |        / least($K, min(rt))::DOUBLE, 6) AS recall_at_k,
+       |  round(CASE WHEN least($K, min(rt)) > 0 THEN
+       |        sum(CASE WHEN rel THEN 1 ELSE 0 END)::DOUBLE
+       |        / least($K, min(rt))::DOUBLE END, 6) AS recall_at_k,
        |  round(coalesce(1.0::DOUBLE / min(CASE WHEN rel THEN rank END)::DOUBLE,
        |        0.0::DOUBLE), 6) AS mrr,
-       |  round(sum(CASE WHEN rel THEN 1.0::DOUBLE / log2((rank + 1)::DOUBLE)
+       |  round(CASE WHEN least($K, min(rt)) > 0 THEN
+       |        sum(CASE WHEN rel THEN 1.0::DOUBLE / log2((rank + 1)::DOUBLE)
        |            ELSE 0.0::DOUBLE END)
        |        / list_sum(list_transform(range(1, least($K, min(rt)) + 1),
-       |            i -> 1.0::DOUBLE / log2((i + 1)::DOUBLE))), 6) AS ndcg
+       |            i -> 1.0::DOUBLE / log2((i + 1)::DOUBLE))) END, 6) AS ndcg
        |FROM j GROUP BY query_id""".stripMargin
 
   /** Per-class confusion profile of the NB classifier gate run

@@ -455,12 +455,19 @@ object MultimodalQueries {
           ((col("__len") + (PageBytes - 1)) / PageBytes).cast("int") - 1)).as("__pg"))
       .select(col("doc_id"), col("__pg"),
         md5(expr(s"substring(blob, __pg * $PageBytes + 1, $PageBytes)")).as("page_md5"))
+      // packed (doc, page) keeper: page count per doc ≪ 1e5, so the
+      // integer min IS the lexicographic (doc, page) min — portable
+      // where struct-min aggregation is not. The packing is injective
+      // only for page < 1e5 and doc_id ∈ [0, MaxValue/1e5); out of
+      // range must fail LOUDLY, never mis-attribute a keeper.
+      .withColumn("__k0",
+        when(col("__pg") < 100000L && col("doc_id").between(0L, Long.MaxValue / 100000L - 1L),
+          col("doc_id") * 100000L + col("__pg"))
+          .otherwise(raise_error(format_string(
+            "blobDedup keeper packing out of range: doc_id=%d page=%d",
+            col("doc_id"), col("__pg")))))
       .groupBy(col("page_md5"))
-      .agg(count(lit(1)).as("cnt"),
-        // packed (doc, page) keeper: page count per doc ≪ 1e5, so the
-        // integer min IS the lexicographic (doc, page) min — portable
-        // where struct-min aggregation is not
-        min(col("doc_id") * 100000L + col("__pg")).as("__k"))
+      .agg(count(lit(1)).as("cnt"), min(col("__k0")).as("__k"))
       .filter(col("cnt") > 1L)
       .select(col("page_md5"), col("cnt"),
         (col("__k") / 100000L).cast("long").as("keeper_doc"),

@@ -254,7 +254,8 @@ object TemporalQueries {
       .withColumn("src_rank", row_number().over(w).cast("long"))
       .withColumn("sched_key",
         col("src_rank").cast("double") /
-          (lit(1.0) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L))
+          // unbounded slice — identical parse to the oracle's substr(source, 4)
+          (lit(1.0) + pmod(expr("substring(source, 4)").cast("long"), lit(4L))
             .cast("double")))
   }
 

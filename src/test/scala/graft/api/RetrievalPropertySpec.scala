@@ -21,7 +21,7 @@ class RetrievalPropertySpec extends SparkTestBase {
       for (i <- 0 until w) h = (h << 1) + s.charAt(i).toLong * 2654435761L
       var pos = w
       while (pos <= s.length) {
-        if (h % m == 0L || pos == s.length) cuts += pos
+        if ((h & Long.MaxValue) % m == 0L || pos == s.length) cuts += pos
         if (pos < s.length) {
           h = ((h - s.charAt(pos - w).toLong * 2654435761L * (1L << (w - 1))) << 1) +
             s.charAt(pos).toLong * 2654435761L
@@ -46,6 +46,45 @@ class RetrievalPropertySpec extends SparkTestBase {
       val want = texts.zipWithIndex.flatMap { case (t, i) =>
         refCdc(t, 8, 16L).zipWithIndex.map { case (c, j) =>
           (i.toLong, j + 1) -> ((c.length.toLong, graft.ops.DedupQueries.polyHashS(c)))
+        }
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
+  test("property: cdcChunks wide-window/non-ASCII hash equals the exact " +
+      "BigInt sum mod 2^63 (the wrap-around mask is a true mod-2^63 hash)") {
+    // window 30 × chars up to ￿ would overflow an unmasked Long sum;
+    // the masked rolling hash must still equal the EXACT sum mod 2^63.
+    val w = 30
+    val m = 37L // non-power-of-2: divisibility is NOT wrap-invariant
+    val gen = Gen.chooseNum(w, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'z', '\u4e2d', '\uffff', ' ')).map(_.mkString))
+    val two63 = BigInt(1) << 63
+    def exactCuts(s: String): List[Int] = {
+      val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var pos = w
+      while (pos <= s.length) {
+        val hv = (0 until w).map { j =>
+          BigInt(s.charAt(pos - 1 - j).toLong) * BigInt(2654435761L) * (BigInt(1) << j)
+        }.sum.mod(two63)
+        if (hv % m == 0 || pos == s.length) cuts += pos
+        pos += 1
+      }
+      cuts.toList
+    }
+    (1 to 10).foreach { seed =>
+      val texts = Gen.listOfN(4, gen)
+        .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Graft.cdcChunks(df, "doc_id", "text", window = w, modulus = m)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val cuts = exactCuts(t)
+        (0 +: cuts).sliding(2).zipWithIndex.collect {
+          case (List(a, b), j) => (i.toLong, j + 1) -> (b - a).toLong
         }
       }.toMap
       assert(got === want, s"seed $seed")

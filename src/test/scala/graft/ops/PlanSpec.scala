@@ -126,15 +126,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("row_number"), p)
   }
 
-  test("q_drop_boilerplate: anti-join candidate filter, no cartesian, " +
-      "map-side partial df aggregation") {
+  test("q_drop_boilerplate: ONE corpus explode feeding the frequency agg, " +
+      "per-row HOF cleaning, no cartesian, map-side partial df aggregation") {
     val p = plan(TextQueries.qDropBoilerplate(spark, dir))
-    assert(p.contains("LeftAnti"), s"anti-join gone:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
-    // exactly one nested-loop is fine and intentional: the corpus-count
-    // SCALAR (1-row aggregate) cross-joined onto the word-df table —
+    // two nested-loops are fine and intentional: the corpus-count SCALAR
+    // (1-row aggregate) cross-joined onto the word-df table, and the
+    // folded single-row frequent-set array carried back onto the corpus —
     // data-sized sides must never nested-loop
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"nested loop:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, s"nested loop:\n$p")
+    // the token stream is exploded exactly once (the frequency branch);
+    // cleaning is a per-row HOF filter, not a second explode + anti-join
+    assert("Generate".r.findAllIn(p).size === 1,
+      s"expected exactly one explode:\n$p")
+    assert(!p.contains("LeftAnti"), s"anti-join back:\n$p")
     assert(p.contains("partial_count"), s"df agg not partial:\n$p")
   }
 
