@@ -102,6 +102,7 @@ object SparkEntry {
     "q_profile_approx"  -> ClassifyQueries.qProfileApprox,
     "q_cross_dedup"     -> DedupQueries.qCrossDedup,
     "q_bpe_encode"      -> Bpe.qBpeEncode,
+    "q_bpe_bytes"       -> Bpe.qBpeBytes,
     "q_split_groups"    -> CoreQueries.qSplitGroups,
     "q_sample_k"        -> CoreQueries.qSampleK,
     "q_excise"          -> TextQueries.qExcise,
@@ -207,9 +208,10 @@ object SparkEntry {
     * production xxhash64 path (DuckDB has no xxhash64); its ScalaTest
     * pins collision-freedom vs exact text on the fixtures, and
     * q_fingerprint pins exact cross-engine hash semantics. Also
-    * omitted: q_bpe_encode — iterative argmax BPE training is not
-    * ANSI-SQL-expressible; BpeSpec pins it against a sequential
-    * reference implementation instead. Also omitted: q_lr_classify —
+    * omitted: q_bpe_encode and q_bpe_bytes — iterative argmax BPE
+    * training is not ANSI-SQL-expressible; BpeSpec pins both arms
+    * against sequential reference implementations (the byte arm
+    * additionally pins emoji/CJK lossless round-trips) instead. Also omitted: q_lr_classify —
     * iterative float gradient descent has no SQL oracle; LogRegSpec
     * pins local-reference parity and held-out accuracy instead. */
   def oracleSql: Map[String, String] = Map(

@@ -1973,39 +1973,69 @@ object Graft {
   /** Distributed PageRank over an edge list — the domain/page
     * authority signal crawl curation ranks sources by. Fixed
     * `iters` power iterations of r ← (1−d)/N + d·Σ_in r/outdeg from a
-    * uniform start; nodes without out-edges contribute no mass (pass a
-    * symmetrized edge list if the graph has sinks). Output: (node,
-    * rank rounded to 7 dp — in-sums are float-order-sensitive in the
-    * last bits).
+    * uniform start. With `redistributeDangling` (the standard sink
+    * completion) the mass held by nodes without out-edges is spread
+    * uniformly each iteration — Σ rank stays exactly 1 on graphs with
+    * sinks; off (the default, matching the pinned gate fixture) such
+    * nodes simply leak their mass, and a symmetrized edge list is the
+    * cheap alternative. Output: (node, rank rounded to 7 dp — in-sums
+    * are float-order-sensitive in the last bits).
     *
     * Scale shape: the textbook distributed formulation — edges joined
     * to ranks on src (both hash-partitioned on the join key), partial
     * map-side aggregation of contributions per dst, broadcast of
-    * nothing but the 1-row node count. Per iteration: one shuffle on
-    * src + one on dst; lineage stays flat because ranks are
-    * re-derived from the cached nodes/edges each round. Hub skew is
+    * nothing but the 1-row node count and (when redistributing) the
+    * 1-row dangling-mass aggregate. Per iteration: one shuffle on
+    * src + one on dst; lineage is truncated by an eager
+    * localCheckpoint every `checkpointEvery` iterations so deep runs
+    * (iters = 50) don't build a 100-join plan tree. Hub skew is
     * AQE's skew-join territory; d and iters are the usual 0.85/3. */
   def pageRank(edges: DataFrame, src: String, dst: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               redistributeDangling: Boolean = false,
+               checkpointEvery: Int = 10): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col(src).as("__src"), col(dst).as("__dst"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().cache()
     val nN = nodes.count().toDouble
     val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).cast("double").as("__deg"))
     val withDeg = e.join(outdeg, "__src").cache()
+    // sinks: nodes that appear only as destinations (no out-edges)
+    lazy val dangling = nodes
+      .join(outdeg.select(col("__src").as("node")), Seq("node"), "left_anti")
+      .cache()
     var ranks = nodes.select(col("node"), lit(1.0 / nN).as("rank"))
     var it = 0
     while (it < iters) {
+      // redistribution reads `ranks` TWICE per iteration (contributions
+      // + the dangling-mass aggregate): without truncation the plan
+      // tree would DOUBLE per iteration. An eager per-iteration
+      // localCheckpoint keeps it flat — and materializing the rank
+      // vector each round is what distributed PageRank does anyway.
+      if (redistributeDangling) ranks = ranks.localCheckpoint(true)
       val contribs = withDeg
         .join(ranks, withDeg("__src") === ranks("node"))
         .groupBy(col("__dst"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("__dst"), "left")
-        .select(nodes("node"),
+      // per-node uniform share of this iteration's dangling mass — a
+      // 1-row aggregate cross-joined in (broadcast), never a collect
+      val base =
+        if (redistributeDangling)
+          nodes.crossJoin(broadcast(dangling.join(ranks, "node")
+            .agg((coalesce(sum(col("rank")), lit(0.0)) / nN).as("__dshare"))))
+        else nodes.withColumn("__dshare", lit(0.0))
+      ranks = base
+        .join(contribs, base("node") === contribs("__dst"), "left")
+        .select(base("node"),
           (lit((1.0 - damping) / nN) +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dshare")))
+            .as("rank"))
       it += 1
+      // single-read path: lineage grows one join per iteration — a
+      // periodic truncation is enough
+      if (!redistributeDangling && it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), round(col("rank"), 7).as("rank"))
   }

@@ -93,10 +93,10 @@ object Bpe {
   }
 
   /** Driver-side merge iteration over a collected word-count table. */
-  private def trainLocal(words: Array[(String, Long)],
-                         numMerges: Int): Seq[(String, String)] = {
+  private def trainLocal(words: Array[(String, Long)], numMerges: Int,
+                         sym: String => Array[String] = wordSymbols): Seq[(String, String)] = {
     var vocab: Map[Seq[String], Long] = words
-      .map { case (w, c) => (wordSymbols(w).toSeq, c) }
+      .map { case (w, c) => (sym(w).toSeq, c) }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = true
@@ -127,12 +127,13 @@ object Bpe {
 
   /** Distributed merge rounds over the word-count frame — the path for
     * vocabularies too large to collect. */
-  private def trainDistributed(wc: DataFrame, numMerges: Int): Seq[(String, String)] = {
+  private def trainDistributed(wc: DataFrame, numMerges: Int,
+      sym: String => Array[String] = wordSymbols): Seq[(String, String)] = {
     val enc = Encoders.row(StructType(Seq(
       StructField("syms", ArrayType(StringType)), StructField("cnt", LongType))))
     var vocab = wc
       .mapPartitions { it =>
-        it.map(r => Row(wordSymbols(r.getString(0)).toSeq, r.getLong(1)))
+        it.map(r => Row(sym(r.getString(0)).toSeq, r.getLong(1)))
       }(enc)
       .cache()
     vocab.count()
@@ -185,8 +186,12 @@ object Bpe {
 
   /** Greedy merge-rank encoding of one word (the GPT-2 `bpe()` loop):
     * repeatedly merge the present pair with the lowest rank. */
-  private[ops] def encodeWord(w: String, rank: Map[(String, String), Int]): Array[String] = {
-    var syms = wordSymbols(w)
+  private[ops] def encodeWord(w: String, rank: Map[(String, String), Int]): Array[String] =
+    encodeSyms(wordSymbols(w), rank)
+
+  private[ops] def encodeSyms(start: Array[String],
+                              rank: Map[(String, String), Int]): Array[String] = {
+    var syms = start
     var done = false
     while (!done && syms.length > 1) {
       var best = Int.MaxValue; var bi = -1
@@ -242,5 +247,118 @@ object Bpe {
     val docs = Tables.documents(spark, dir)
     val merges = train(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", 24)
     encode(docs, "doc_id", "text", merges)
+  }
+
+  // ---------- byte-level arm (GPT-2 lineage) ----------
+  //
+  // Real pretraining tokenizers are BYTE-level with a pre-tokenization
+  // regex: initial symbols are the UTF-8 bytes of each pre-token (so any
+  // input encodes — no unknown symbols, and merge inventories differ
+  // from the code-point arm on non-ASCII), merges never cross pre-token
+  // boundaries, and the byte→printable-char table keeps symbols in
+  // string space so the whole word-level training machinery above is
+  // reused unchanged. Concatenating a document's pre-tokens reproduces
+  // the document exactly (the regex is a PARTITION of the input), so
+  // encode → decode is lossless by construction.
+
+  /** The GPT-2 byte→printable-unicode table: printable latin-1 bytes map
+    * to themselves, everything else to consecutive code points from
+    * U+0100 — a bijection over the 256 byte values. */
+  private[ops] val ByteToChar: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var next = 256
+    (0 until 256).foreach { b =>
+      if (direct(b)) arr(b) = b.toChar
+      else { arr(b) = next.toChar; next += 1 }
+    }
+    arr
+  }
+  private[ops] val CharToByte: Map[Char, Int] =
+    (0 until 256).map(b => ByteToChar(b) -> b).toMap
+
+  /** The GPT-2 pre-tokenization regex: contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, then whitespace
+    * (trailing-whitespace lookahead keeps a final space glued to the
+    * next pre-token, exactly as in the original). */
+  private[ops] val PreTok = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  /** Partition `s` into pre-tokens; concatenation reproduces `s`. */
+  private[ops] def preTokenize(s: String): Array[String] = {
+    val m = PreTok.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** One symbol per UTF-8 byte, in byte-mapped char space. */
+  private[ops] def byteSymbols(pt: String): Array[String] =
+    pt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => ByteToChar(b & 0xff).toString)
+
+  /** Invert the byte mapping and UTF-8-decode: the lossless round-trip
+    * (`decodeBytes(encodeBytes(...).bpe_tokens)` == original text). */
+  def decodeBytes(tokens: String): String = {
+    val chars = tokens.replace(" ", "")
+    val bytes = chars.map(c => CharToByte(c).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Learn `numMerges` byte-level merges. Same two-path design as
+    * [[train]]: the corpus-sized pre-token count is distributed, the
+    * merge iteration collects only when the distinct-pre-token table is
+    * small. Symbols are byte-mapped chars, so the UTF-8 tie-break
+    * ordering of the shared rounds applies unchanged. */
+  def trainBytes(df: DataFrame, text: String, numMerges: Int,
+                 maxLocalVocab: Int = 1 << 16): Seq[(String, String)] = {
+    val enc = Encoders.row(StructType(Seq(StructField("pt", StringType))))
+    val wc = df.select(coalesce(col(text), lit("")).as("__t"))
+      .mapPartitions { it =>
+        it.flatMap(r => preTokenize(r.getString(0)).iterator.map(Row(_)))
+      }(enc)
+      .groupBy("pt").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val n = wc.count()
+    val res =
+      if (n <= maxLocalVocab)
+        trainLocal(wc.collect().map(r => (r.getString(0), r.getLong(1))),
+          numMerges, byteSymbols)
+      else trainDistributed(wc, numMerges, byteSymbols)
+    wc.unpersist(false)
+    res
+  }
+
+  /** Byte-level encoding: pre-tokenize, then the greedy lowest-rank
+    * merge loop per pre-token. Output (id, n_tokens, bpe_tokens) —
+    * tokens are byte-mapped chars joined with real spaces (byte 0x20
+    * maps OUT of ASCII space, so the join is unambiguous and the
+    * output splits back losslessly). Shuffle-free over a wide corpus;
+    * NULL text encodes to zero tokens. */
+  def encodeBytes(df: DataFrame, id: String, text: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val enc = Encoders.row(StructType(Seq(
+      StructField(id, LongType), StructField("n_tokens", LongType),
+      StructField("bpe_tokens", StringType))))
+    Spread.widen(df.select(col(id), coalesce(col(text), lit(""))))
+      .mapPartitions { it =>
+        val rank = bc.value
+        it.map { r =>
+          val toks = preTokenize(r.getString(1))
+            .flatMap(pt => encodeSyms(byteSymbols(pt), rank))
+          Row(r.getLong(0), toks.length.toLong, toks.mkString(" "))
+        }
+      }(enc)
+  }
+
+  /** Gate binding (rows-only, like [[qBpeEncode]]): 24 byte-level
+    * merges trained on the even half of `documents`, applied to the
+    * full corpus. BpeSpec pins both training paths against a
+    * sequential byte-level reference and the emoji/CJK round-trip. */
+  def qBpeBytes(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = trainBytes(docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", 24)
+    encodeBytes(docs, "doc_id", "text", merges)
   }
 }

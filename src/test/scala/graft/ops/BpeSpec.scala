@@ -152,4 +152,128 @@ class BpeSpec extends SparkTestBase {
     val b = Bpe.train(corpus.toDF("id", "body").repartition(7), "body", 15)
     assert(a === b)
   }
+
+  // ---- byte-level arm ----
+
+  /** Sequential byte-level reference: GPT-2 pre-tokenize, UTF-8 bytes
+    * mapped through the byte→char table as initial symbols, textbook
+    * merge loop (count desc, pair UTF-8-order asc tie-break). */
+  private def refTrainBytes(texts: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    val pts = texts.flatMap(Bpe.preTokenize)
+    val wc = pts.groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    var vocab: Map[Seq[String], Long] = wc.toSeq
+      .map { case (pt, c) => (Bpe.byteSymbols(pt).toSeq, c) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    implicit val ord: Ordering[(String, String)] =
+      Ordering.Tuple2(Bpe.Utf8Order, Bpe.Utf8Order)
+    while (continue && merges.length < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      counts.toSeq.sortBy { case (p, n) => (-n, p) }.headOption match {
+        case Some(((a, b), n)) if n >= 2 =>
+          merges += ((a, b))
+          vocab = vocab.toSeq.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toSeq, c)
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        case _ => continue = false
+      }
+    }
+    merges.toSeq
+  }
+
+  test("byte mapping is a bijection over all 256 byte values") {
+    assert(Bpe.ByteToChar.distinct.length === 256)
+    (0 until 256).foreach { b =>
+      assert(Bpe.CharToByte(Bpe.ByteToChar(b)) === b)
+    }
+    // ASCII space maps OUT of space (token join stays unambiguous)
+    assert(Bpe.ByteToChar(0x20) !== ' ')
+  }
+
+  test("pre-tokenizer is a partition: concatenation reproduces the input " +
+      "(incl. contractions, emoji, CJK, trailing space)") {
+    Seq("it's a test, isn't it?  yes!", "汉字 mixed 123 text",
+      "tab\tand\nnewline ", "😀 emoji 🎉🎉 runs", "", " ", "a'll b'd 42x",
+      "trailing space ends here ").foreach { s =>
+      assert(Bpe.preTokenize(s).mkString("") === s, s"not a partition: '$s'")
+    }
+  }
+
+  test("byte-level training: distributed and local paths reproduce the " +
+      "sequential reference, including on emoji/CJK text") {
+    val texts = Seq(
+      "the cat sat on the mat, the cat sat again",
+      "汉字汉字 and more 汉字 here",
+      "😀😀 smile 😀😀 smile it's fine",
+      "numbers 123 123 123 and 456")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+    val want = refTrainBytes(texts, 20)
+    val local = Bpe.trainBytes(df, "body", 20)
+    val dist = Bpe.trainBytes(df, "body", 20, maxLocalVocab = 0)
+    assert(local === want, "local path diverges from sequential reference")
+    assert(dist === want, "distributed path diverges from sequential reference")
+    assert(want.nonEmpty)
+  }
+
+  test("byte-level encode → decode round-trips ANY text losslessly " +
+      "(emoji, CJK, control chars, lone-ish punctuation)") {
+    val texts = Seq(
+      "plain ascii text",
+      "mixed 汉字 and ascii",
+      "😀🎉 emoji, incl. 4-byte ones 😀",
+      "it's got contractions, isn't it",
+      "weirdcontrolbytes",
+      "  leading and trailing  ",
+      "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+    val merges = Bpe.trainBytes(df, "body", 12)
+    val out = Bpe.encodeBytes(df, "id", "body", merges)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(Bpe.decodeBytes(out(i.toLong)) === t, s"doc $i not lossless")
+    }
+  }
+
+  test("byte-level merge inventories differ from the code-point arm on " +
+      "non-ASCII (multi-byte chars start as multiple symbols)") {
+    val texts = Seq.fill(4)("汉字 汉字 汉字")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+    val byteMerges = Bpe.trainBytes(df, "body", 4)
+    // the first byte-level merge joins two mapped UTF-8 bytes — neither
+    // side is a full code point, which the code-point arm cannot produce
+    assert(byteMerges.nonEmpty)
+    val (a, b) = byteMerges.head
+    assert(a.length === 1 && b.length === 1)
+    assert(Bpe.CharToByte.contains(a.head) && Bpe.CharToByte.contains(b.head))
+    assert(Bpe.CharToByte(a.head) >= 0x80, "expected a UTF-8 continuation/lead byte")
+  }
+
+  test("byte-level gate query emits one row per document with positive " +
+      "token counts on non-empty docs") {
+    val out = Bpe.qBpeBytes(spark, "/root/testdata/sf0.001").cache()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    assert(out.count() === docs)
+    assert(out.filter($"n_tokens" <= 0).count() === 0)
+    // spot round-trip against the source text
+    val src = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.select($"doc_id", $"bpe_tokens").collect().take(50).foreach { r =>
+      assert(Bpe.decodeBytes(r.getString(1)) === src(r.getLong(0)))
+    }
+    out.unpersist()
+  }
 }

@@ -138,6 +138,55 @@ class MiningSpec extends SparkTestBase {
     assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
   }
 
+  /** Dense reference WITH the dangling-mass completion. */
+  private def refPageRankDangling(edges: Seq[(String, String)], iters: Int,
+                                  d: Double): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dmass = nodes.filterNot(out.contains).map(r).sum
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map(e => r(e._1) / out(e._1)).sum
+      }.toMap
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * (in.getOrElse(v, 0.0) + dmass / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank redistributeDangling: mass is conserved on a graph with sinks " +
+      "and matches the dense completion reference") {
+    // a chain into two pure sinks: without redistribution mass leaks
+    val edges = Seq("a" -> "b", "b" -> "c", "a" -> "d", "c" -> "sink1", "d" -> "sink2")
+    val leaky = Graft.pageRank(edges.toDF("s", "d"), "s", "d", 3, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(leaky.values.sum < 0.999, s"expected leakage without redistribution: $leaky")
+    val got = Graft.pageRank(edges.toDF("s", "d"), "s", "d", 3, 0.85,
+      redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass not conserved: $got")
+    val want = refPageRankDangling(edges, 3, 0.85)
+    want.foreach { case (v, rk) =>
+      assert(math.abs(got(v) - rk) < 1e-6, s"node $v: ${got(v)} vs $rk")
+    }
+  }
+
+  test("pageRank runs 50 iterations with lineage checkpointing and still " +
+      "matches the dense reference (converged fixed point)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 60).map(_ => (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}"))
+      .distinct.filter(e => e._1 != e._2)
+    val got = Graft.pageRank(edges.toDF("s", "d"), "s", "d", iters = 50,
+      damping = 0.85, redistributeDangling = true, checkpointEvery = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refPageRankDangling(edges, 50, 0.85)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    want.foreach { case (v, rk) =>
+      assert(math.abs(got(v) - rk) < 1e-6, s"node $v: ${got(v)} vs $rk")
+    }
+  }
+
   // ----- URL normalization -----
 
   test("urlNormalize: case, userinfo, default ports, tracking params, sort, fragment") {
