@@ -13,6 +13,41 @@ class PlanSpec extends SparkTestBase {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
+  /** Every unpartitioned (global) window in the plan must sit above a
+    * limit-bounded subtree — the WindowExec "moving all data to a single
+    * partition" WARN is then benign by construction (the single
+    * partition holds ≤ k rows). Returns how many global windows were
+    * seen so callers can assert non-vacuity across a family. */
+  private def globalWindowsLimitBounded(df: DataFrame, name: String): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    val globals = expand(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    globals.foreach { w =>
+      val below = w.child.toString
+      assert(below.contains("TakeOrderedAndProject") || below.contains("Limit"),
+        s"$name: global window WITHOUT a limit-bounded child:\n$w")
+    }
+    globals.size
+  }
+
+  test("ranked-retrieval family: every global (unpartitioned) window ranks a " +
+      "limit-bounded frame — the single-partition WARN is benign by construction") {
+    val family: Seq[(String, DataFrame)] = Seq(
+      "q_bm25_search"   -> CurationQueries.qBm25Search(spark, dir),
+      "q_chunk_search"  -> CurationQueries.qChunkSearch(spark, dir),
+      "q_hybrid_search" -> CurationQueries.qHybridSearch(spark, dir),
+      "q_phrase_search" -> CurationQueries.qPhraseSearch(spark, dir),
+      "q_maxsim_search" -> SimilarityQueries.qMaxsimSearch(spark, dir))
+    val seen = family.map { case (n, df) => globalWindowsLimitBounded(df, n) }.sum
+    assert(seen >= 1, "vacuous: no global window found anywhere in the family")
+  }
+
   test("q_filter_range pushes the half-open range into the parquet scan") {
     val p = plan(CoreQueries.qFilterRange(spark, dir))
     assert(p.contains("PushedFilters:"), p)
