@@ -2363,11 +2363,23 @@ object Graft {
     val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    bm25TopK(qtf, dfreq, dl, id, k, k1, b)
+  }
+
+  /** The shared BM25 scoring + top-k core behind [[bm25Search]] and the
+    * streaming [[graft.streaming.IncrementalBm25]] index: takes the
+    * already-built statistics frames — `qtf` (id, term, tf) restricted
+    * to the query's terms, `dfreq` (term, df), `dl` (id, dl) — so the
+    * batch path (stats from one corpus pass) and the incremental path
+    * (stats from the persisted postings store) are numerically THE SAME
+    * CODE, and the cross-path equality the spec pins cannot drift. */
+  private[graft] def bm25TopK(qtf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      id: String, k: Int, k1: Double, b: Double): DataFrame = {
     // explicit sum/count, not avg(): engines disagree in the last ulp of
     // streaming means, and the per-term quantization below only removes
     // fp risk if the raw doubles are bit-identical cross-engine
     val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__dlsum"))
-    val qtf = tf.filter(col("term").isin(queryTerms: _*))
     // Per-term score quantized to integer MICROS (floor(x*1e6 + 0.5) —
     // the tie-safe rounding form, see the verify notes), summed exactly
     // as longs (order-free), then cut to 4 decimals by integer

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.sources.FileStreamClient
+
+/** Ingest-time retrieval-index maintenance: the streaming postings /
+  * doc-stats store must answer BM25 queries exactly like the batch
+  * [[graft.api.Graft.bm25Search]] over everything admitted so far —
+  * across batch boundaries, through a restart, after replays, and
+  * after (possibly crashed) compaction. */
+class IncrementalBm25Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // deterministic mixed-frequency corpus: "spark" is common, "tungsten"
+  // rare, doc lengths vary — scores separate and ties are id-broken
+  private def mkDoc(i: Long): String = {
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    words ++= Seq.fill((i % 5 + 1).toInt)("spark")
+    if (i % 3 == 0) words ++= Seq.fill(2)("shuffle")
+    if (i % 7 == 0) words += "tungsten"
+    words ++= (1 to (i % 11 + 3).toInt).map(j => s"filler${(i + j) % 13}")
+    words.mkString(" ")
+  }
+  private val corpus: Seq[(Long, String)] = (1L to 30L).map(i => i -> mkDoc(i))
+  private val query = Seq("spark", "tungsten", "shuffle")
+
+  private def batchTopK(docs: Seq[(Long, String)], k: Int = 10) =
+    graft.api.Graft.bm25Search(docs.toDF("doc_id", "text"), "doc_id", "text", query, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+  private def storeTopK(store: String, k: Int = 10) =
+    IncrementalBm25.search(spark, store, query, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+  test("cross-batch equality: the incremental index answers exactly like the " +
+      "batch bm25Search over everything admitted, at every prefix") {
+    val store = Files.createTempDirectory("bm25store-").toString
+    val splits = Seq(corpus.take(9), corpus.slice(9, 21), corpus.drop(21))
+    var seen = Seq.empty[(Long, String)]
+    splits.foreach { s =>
+      val acct = IncrementalBm25.admitBatch(s.toDF("doc_id", "text"), "doc_id", "text", store)
+      assert(acct.filter(!col("admitted")).count() === 0L, "fresh docs must all admit")
+      seen ++= s
+      assert(storeTopK(store) === batchTopK(seen),
+        s"incremental diverges from batch after ${seen.size} docs")
+    }
+  }
+
+  test("replayed batch admits nothing and changes no answer; keep-first " +
+      "ignores a re-crawled id with different text") {
+    val store = Files.createTempDirectory("bm25store-replay-").toString
+    IncrementalBm25.admitBatch(corpus.take(12).toDF("doc_id", "text"), "doc_id", "text", store)
+    val before = storeTopK(store)
+    val nPostings = spark.read.parquet(s"$store/postings").count()
+
+    val replay = IncrementalBm25.admitBatch(
+      corpus.take(5).toDF("doc_id", "text"), "doc_id", "text", store)
+    assert(replay.filter(col("admitted")).count() === 0L, "replay re-admitted docs")
+    assert(spark.read.parquet(s"$store/postings").count() === nPostings)
+
+    // re-crawl of id 3 with totally different content: keep-first ignores it
+    val recrawl = IncrementalBm25.admitBatch(
+      Seq(3L -> "tungsten tungsten tungsten").toDF("doc_id", "text"),
+      "doc_id", "text", store)
+    assert(recrawl.filter(col("admitted")).count() === 0L)
+    assert(storeTopK(store) === before, "replay/re-crawl changed answers")
+  }
+
+  test("a restarted stream resumes from its checkpoint; post-restart answers " +
+      "equal the batch search over the union of both runs") {
+    val root = Files.createTempDirectory("bm25-rs-")
+    val client = new FileStreamClient(root)
+    client.createStream("docs", 1)
+    val store = Files.createTempDirectory("bm25-rs-store-").toString
+    val ck = Files.createTempDirectory("bm25-rs-ck-").toString
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("dis")
+        .option("client.root", root.toString).option("stream", "docs")
+        .option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", "4")
+        .load()
+        .select(from_json(col("value").cast("string"), schema).as("d"))
+        .select(col("d.*"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalBm25.admitBatch(batch, "doc_id", "text", store)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    def feed(id: Long, text: String): Unit =
+      client.append("docs", 0, null,
+        s"""{"doc_id":$id,"text":"$text"}""".getBytes("UTF-8"))
+
+    val run1 = corpus.take(10)
+    run1.foreach { case (i, t) => feed(i, t) }
+    runOnce()
+    assert(storeTopK(store) === batchTopK(run1), "run 1 diverges")
+
+    val run2 = corpus.slice(10, 18)
+    run2.foreach { case (i, t) => feed(i, t) }
+    runOnce()
+    assert(IncrementalBm25.admittedDocs(spark, store).count() === 18L,
+      "restart re-admitted already-indexed docs")
+    assert(storeTopK(store) === batchTopK(run1 ++ run2), "post-restart diverges")
+  }
+
+  test("a query's postings read is pruned to its terms' buckets; compaction " +
+      "(and a crash mid-compaction) preserve answers") {
+    val store = Files.createTempDirectory("bm25store-prune-").toString
+    // several batches so every bucket holds multiple small files
+    corpus.grouped(6).foreach { s =>
+      IncrementalBm25.admitBatch(s.toDF("doc_id", "text"), "doc_id", "text", store)
+    }
+    val expected = batchTopK(corpus)
+    assert(storeTopK(store) === expected)
+
+    val postingsPath = s"$store/postings"
+    val allFiles = IncrementalDedupSpec.walkParquet(postingsPath)
+    assert(allFiles.size > IncrementalBm25.TermBuckets / 4,
+      s"seed store too small to prove pruning: ${allFiles.size}")
+    val qBuckets = query
+      .map(t => math.floorMod(TermHash.xx64(t), IncrementalBm25.TermBuckets.toLong).toInt)
+      .distinct
+    val scan = spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(qBuckets.map(Int.box): _*))
+    scan.collect()
+    val filesRead = IncrementalDedupSpec.scannedFiles(scan)
+    assert(filesRead > 0 && filesRead < allFiles.size,
+      s"not a strict subset: $filesRead of ${allFiles.size}")
+    // the driver-side term hash must agree with the writer's xxhash64
+    val sparkBuckets = corpus.take(1).toDF("doc_id", "text")
+      .select(explode(split(lit(query.mkString(" ")), " ")).as("term"))
+      .select(pmod(xxhash64(col("term")), lit(IncrementalBm25.TermBuckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(qBuckets.toSet === sparkBuckets, "driver xxhash64 disagrees with Spark's")
+
+    IncrementalBm25.compactStore(spark, store)
+    assert(IncrementalDedupSpec.walkParquet(postingsPath).size < allFiles.size,
+      "compaction did not shrink the file count")
+    assert(storeTopK(store) === expected, "compaction changed answers")
+
+    // crash point: live moved aside, swap never completed → recovery
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(postingsPath),
+      new org.apache.hadoop.fs.Path(s"$store/__old_postings")))
+    assert(storeTopK(store) === expected, "postings lost in the rename window")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(postingsPath)), "live postings not restored")
+  }
+}
