@@ -14,7 +14,19 @@ import org.apache.spark.sql.types._
   *   value: STRING|BINARY (required) • key: STRING|BINARY (optional)
   *   partition: INT (optional; default hash(key) or round-robin)
   *   topic: STRING (optional; overrides the `stream` option per row)
-  */
+  *
+  * Opt-in idempotent read-back (`option("exactlyOnceKey", "true")`):
+  * each record's key is wrapped in an `(epoch, task partition, seq)`
+  * envelope — the idempotent-producer identity — and
+  * [[DisExactlyOnce.view]] over a batch read keeps exactly one copy of
+  * every identity, so replayed epochs and task retries deduplicate at
+  * read time. Delivery stays at-least-once on the wire (faithful to
+  * the reference's transactionless sink); the VIEW is the
+  * exactly-once surface. Requires per-partition deterministic input
+  * order (true of a deterministic plan replayed for the same epoch —
+  * the standard idempotent-producer assumption); batch writes must
+  * pass an explicit `exactlyOnceEpoch`, since only the streaming
+  * engine supplies epochs. */
 class DisWriteBuilder(options: Map[String, String], schema: StructType) extends WriteBuilder {
   override def build(): Write = new DisWrite(options, schema)
 }
@@ -43,12 +55,13 @@ private case object DisCommitMessage extends WriterCommitMessage
 class DisWriterFactory(options: Map[String, String], schema: StructType)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DisDataWriter(options, schema, partitionId)
+    new DisDataWriter(options, schema, partitionId, None)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new DisDataWriter(options, schema, partitionId)
+    new DisDataWriter(options, schema, partitionId, Some(epochId))
 }
 
-class DisDataWriter(options: Map[String, String], schema: StructType, taskPartitionId: Int)
+class DisDataWriter(options: Map[String, String], schema: StructType, taskPartitionId: Int,
+    epochId: Option[Long])
     extends DataWriter[InternalRow] {
   // lazily created on first send, like the reference's producer
   // (dis/DISSink.scala:25)
@@ -74,6 +87,16 @@ class DisDataWriter(options: Map[String, String], schema: StructType, taskPartit
         s"column '${schema.fields(i).name}' must be STRING or BINARY, got $dt")
     }
 
+  // idempotent-identity envelope state (keys pre-normalized to lower case)
+  private val xoEnabled = options.get("exactlyoncekey").exists(_.trim.toBoolean)
+  private val xoEpoch: Long =
+    if (!xoEnabled) -1L
+    else epochId.orElse(options.get("exactlyonceepoch").map(_.trim.toLong)).getOrElse(
+      throw new IllegalArgumentException(
+        "exactlyOnceKey in a batch write needs an explicit exactlyOnceEpoch " +
+          "(epochs come from the streaming engine)"))
+  private var xoSeq = 0L
+
   private var roundRobin = taskPartitionId
   private val nPartsCache = scala.collection.mutable.Map[String, Int]()
   // buffered producer: records batched per (stream, partition), flushed
@@ -95,12 +118,17 @@ class DisDataWriter(options: Map[String, String], schema: StructType, taskPartit
       s"null in the 'value' column cannot be produced to stream '$stream' " +
         "(keys may be null, values may not)")
     val n = nParts(stream)
+    // placement always follows the USER key — the envelope only changes
+    // the stored key bytes, never which partition a key routes to
     val partition =
       if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) row.getInt(partitionIdx)
       else if (key != null) java.lang.Math.floorMod(java.util.Arrays.hashCode(key), n)
       else { roundRobin += 1; java.lang.Math.floorMod(roundRobin, n) }
+    val outKey =
+      if (!xoEnabled) key
+      else { val k = DisExactlyOnce.envelope(xoEpoch, taskPartitionId, xoSeq, key); xoSeq += 1; k }
     val buf = buffers.getOrElseUpdate((stream, partition), scala.collection.mutable.ArrayBuffer())
-    buf += ((key, value))
+    buf += ((outKey, value))
     if (buf.size >= flushThreshold) flush(stream, partition)
   }
 

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+/** Opt-in idempotent sink read-back (`exactlyOnceKey`): at-least-once
+  * duplicates — replayed epochs after a crash between the sink write
+  * and the streaming commit log, or repeated batch writes of the same
+  * epoch — carry identical identity envelopes and collapse to exactly
+  * one row through [[DisExactlyOnce.view]], with user keys restored
+  * byte-exactly and plain records passing through untouched. */
+class ExactlyOnceSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("envelope/parse round-trips every user-key shape; plain keys pass through") {
+    val keys = Seq[Array[Byte]](
+      null,
+      Array.emptyByteArray,
+      "user-key".getBytes("UTF-8"),
+      Array[Byte](0, 1, -1, 58, 75, 78), // binary incl. ':' 'K' 'N'
+      "XO1:9:9:9:K-looking-user-key".getBytes("UTF-8"))
+    keys.foreach { k =>
+      val (tok, user) = DisExactlyOnce.parse(DisExactlyOnce.envelope(7L, 3, 11L, k))
+      assert(tok === "7:3:11")
+      if (k == null) assert(user === null)
+      else assert(java.util.Arrays.equals(user, k), s"user key mangled for ${k.toSeq}")
+    }
+    // plain keys (no magic / malformed envelopes) parse to (null, same bytes)
+    Seq("plain".getBytes("UTF-8"), "XO1:".getBytes("UTF-8"),
+      "XO1:1:2:3:Q".getBytes("UTF-8"), "XO1:a:b:c:K".getBytes("UTF-8"),
+      Array.emptyByteArray).foreach { k =>
+      val (tok, user) = DisExactlyOnce.parse(k)
+      assert(tok === null)
+      assert(java.util.Arrays.equals(user, k))
+    }
+    assert(DisExactlyOnce.parse(null) === ((null, null)))
+  }
+
+  test("repeated batch write of the same epoch: raw read doubles, the view " +
+      "keeps one copy per identity with user keys restored") {
+    val root = Files.createTempDirectory("xo-batch-")
+    new FileStreamClient(root).createStream("out", 2)
+    val rows = (1L to 40L).map(i => (s"k$i", s"v$i"))
+    def writeOnce(): Unit = rows.toDF("key", "value")
+      .write.format("dis")
+      .option("client.root", root.toString).option("stream", "out")
+      .option("exactlyOnceKey", "true").option("exactlyOnceEpoch", "5")
+      .mode("append").save()
+    writeOnce(); writeOnce() // the replayed-epoch shape
+
+    val raw = spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "out").load()
+    assert(raw.count() === 80L, "expected at-least-once duplicates on the wire")
+    val v = DisExactlyOnce.view(raw)
+    assert(v.count() === 40L, "view did not collapse the replayed epoch")
+    val got = v.select(col("key").cast("string"), col("value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got === rows.toSet, "view lost or mangled records")
+  }
+
+  test("batch write with exactlyOnceKey but no epoch fails loudly") {
+    val root = Files.createTempDirectory("xo-noepoch-")
+    new FileStreamClient(root).createStream("out", 1)
+    val e = intercept[Exception] {
+      Seq(("k", "v")).toDF("key", "value")
+        .write.format("dis")
+        .option("client.root", root.toString).option("stream", "out")
+        .option("exactlyOnceKey", "true")
+        .mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("exactlyOnceEpoch")),
+      s"unexpected error: $e")
+  }
+
+  test("mixed stream: plain records pass the view untouched next to enveloped ones") {
+    val root = Files.createTempDirectory("xo-mixed-")
+    new FileStreamClient(root).createStream("out", 1)
+    Seq(("p1", "plain1"), ("p2", "plain2")).toDF("key", "value")
+      .write.format("dis")
+      .option("client.root", root.toString).option("stream", "out")
+      .mode("append").save()
+    Seq(("e1", "env1")).toDF("key", "value")
+      .write.format("dis")
+      .option("client.root", root.toString).option("stream", "out")
+      .option("exactlyOnceKey", "true").option("exactlyOnceEpoch", "1")
+      .mode("append").save()
+    val v = DisExactlyOnce.view(spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "out").load())
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(v === Set("p1" -> "plain1", "p2" -> "plain2", "e1" -> "env1"))
+  }
+
+  test("mid-batch crash: a batch whose sink write landed but whose streaming " +
+      "commit never did is replayed on restart — duplicates on the wire, " +
+      "exactly one copy through the view") {
+    val root = Files.createTempDirectory("xo-restart-")
+    val client = new FileStreamClient(root)
+    client.createStream("in", 1)
+    client.createStream("out", 2)
+    val n = 30
+    (1 to n).foreach { i =>
+      client.append("in", 0, s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"))
+    }
+    val ck = Files.createTempDirectory("xo-restart-ck-").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("dis")
+        .option("client.root", root.toString).option("stream", "in")
+        .option("startingOffsets", "earliest")
+        .option("maxRecordsPerTrigger", "10") // several micro-batches
+        .load()
+        .select(col("key"), col("value"))
+        .writeStream.format("dis")
+        .option("client.root", root.toString).option("stream", "out")
+        .option("exactlyOnceKey", "true")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    runOnce()
+
+    // simulate the crash window: the LAST batch's sink output is on the
+    // wire but its commit-log entry is gone → the restart replays it
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 3, s"expected several micro-batches, got ${commits.length}")
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    require(commits.last.delete(), "could not delete the last commit entry")
+    if (crc.exists()) require(crc.delete(), "could not delete the commit crc")
+    runOnce()
+
+    val raw = spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "out").load()
+    assert(raw.count() > n.toLong,
+      s"replay produced no wire duplicates (${raw.count()} rows) — test is vacuous")
+    val v = DisExactlyOnce.view(raw)
+    assert(v.count() === n.toLong, s"view shows duplicates: ${v.count()} != $n")
+    val got = v.select(col("key").cast("string"), col("value").cast("string"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(got === (1 to n).map(i => s"k$i" -> s"v$i").toSet)
+  }
+}
