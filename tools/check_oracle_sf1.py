@@ -63,10 +63,30 @@ def norm(df):
             df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+# Planted-pair evidence for the SKIP queries (PlantedOracleDrive writes
+# target/planted_sf1.json): linear-cost constructed oracles at sf1 —
+# injected known-dup pairs with globally unique vocabulary / exact-copy
+# vectors, exact-set or full-recall assertions on the planted slice.
+planted = {}
+for cand in ("target/planted_sf1.json",
+             os.path.join(os.path.dirname(outdir), "planted_sf1.json")):
+    if os.path.exists(cand):
+        planted = json.load(open(cand))
+        break
+
 fails, ok, skipped = [], 0, 0
 for name, sql in sorted(oracle.items()):
     if name in SKIP:
-        skipped += 1
+        if name in planted:
+            p = planted[name]
+            if p.get("planted_ok"):
+                print(f"OK   {name} [planted-pair oracle] {p.get('detail', '')}")
+                ok += 1
+            else:
+                print(f"FAIL {name} [planted-pair oracle] {p.get('detail', '')}")
+                fails.append(name)
+        else:
+            skipped += 1
         continue
     spath = f"{outdir}/{name}"
     try:
