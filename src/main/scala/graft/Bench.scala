@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   * (default 3) and the MIN is reported. A single timed run on a loaded
   * machine can read 4-12x slower than the engine's steady state (round-2
   * bench recorded 60.8s for a 34.8s engine); min-of-N restores signal.
+  * Reps are INTERLEAVED across the suite (the whole query list runs N
+  * times, per-query min across passes) — back-to-back reps let one
+  * multi-second contention window swallow all N samples of one query
+  * (round-10: a 0.49 s query read 4.18 s as its min-of-3); spreading a
+  * query's samples minutes apart makes the min window-proof at the
+  * same total budget.
   *
   * SPARK_GRAFT_BENCH_ONLY (comma-separated query names) restricts the
   * run — the isolation-audit mode for chasing a drifted number without
@@ -52,25 +58,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val secs = (1 to reps).map { _ =>
-        var failed = false
-        val sec = time {
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            failed = true
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
+    // interleaved passes: pass 1 of EVERY query, then pass 2, ... — a
+    // query's samples land minutes apart, so no single contention
+    // window can swallow all of them
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to reps; (name, fn) <- queries) {
+      var failed = false
+      val sec = time {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          failed = true
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        if (failed) -1.0 else sec
       }
-      // min over successful reps; -1 only if every rep failed
-      val ok = secs.filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      if (!failed)
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
     }
+    // min over successful passes; -1 only if every pass failed
+    val results = queries.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
 
     val qs = (results :+ ("_warmup" -> warmup))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

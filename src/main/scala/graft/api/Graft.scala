@@ -337,7 +337,10 @@ object Graft {
         array_sort(collect_list(struct(col("pos"), col("word")))),
         x => x("word"))).as("cleaned"),
       count(lit(1)).as("__kept"))
-    train.select(col(id), size(tokens(col(text))).cast("long").as("__words"))
+    // coalesce null text to "" before size(): size(null) is null under
+    // ANSI (Spark 4.x) and -1 legacy — either would corrupt n_removed.
+    train.select(col(id),
+        size(tokens(coalesce(col(text), lit("")))).cast("long").as("__words"))
       .join(keptAgg, Seq(id), "left")
       .select(col(id),
         coalesce(col("cleaned"), lit("")).as("cleaned"),
@@ -2143,7 +2146,12 @@ object Graft {
                   minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
                   stopwords: Seq[String] =
                     Seq("the", "a", "of", "and", "to", "in")): DataFrame = {
-    val ts = tokens(coalesce(col(text), lit("")))
+    // Project the token array to an attribute ONCE (the codeDetect
+    // pattern): lambda subtrees defeat subexpression elimination, so
+    // inlining tokens(...) into each HOF re-splits the text per
+    // sibling expression.
+    val base = df.select(col(id), tokens(coalesce(col(text), lit(""))).as("__ts"))
+    val ts = col("__ts")
     val nWords = size(ts).cast("long")
     val meanLen = when(nWords > 0L,
       aggregate(ts, lit(0L), (acc, w) => acc + length(w).cast("long"))
@@ -2159,7 +2167,7 @@ object Graft {
         .when(alphaFrac < minAlphaFrac, "alpha_ratio")
         .when(stopHits < minStopHits, "stopwords")
         .otherwise("")
-    df.select(col(id), nWords.as("n_words"),
+    base.select(col(id), nWords.as("n_words"),
       round(meanLen, 6).as("mean_word_len"),
       round(alphaFrac, 6).as("alpha_frac"), stopHits.as("stop_hits"),
       when(reason === "", 1L).otherwise(0L).as("keep"), reason.as("reason"))
@@ -2375,11 +2383,19 @@ object Graft {
     * (stats from the persisted postings store) are numerically THE SAME
     * CODE, and the cross-path equality the spec pins cannot drift. */
   private[graft] def bm25TopK(qtf: DataFrame, dfreq: DataFrame, dl: DataFrame,
-      id: String, k: Int, k1: Double, b: Double): DataFrame = {
+      id: String, k: Int, k1: Double, b: Double): DataFrame =
     // explicit sum/count, not avg(): engines disagree in the last ulp of
     // streaming means, and the per-term quantization below only removes
     // fp risk if the raw doubles are bit-identical cross-engine
-    val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__dlsum"))
+    bm25TopKPre(qtf, dfreq, dl,
+      dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__dlsum")), id, k, k1, b)
+
+  /** [[bm25TopK]] with a PRECOMPUTED 1-row corpus aggregate
+    * (`__n` = doc count, `__dlsum` = Σdl, both long) — lets the
+    * incremental index feed its persisted stats deltas instead of
+    * re-aggregating the full docstats history per query. */
+  private[graft] def bm25TopKPre(qtf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      corpus: DataFrame, id: String, k: Int, k1: Double, b: Double): DataFrame = {
     // Per-term score quantized to integer MICROS (floor(x*1e6 + 0.5) —
     // the tie-safe rounding form, see the verify notes), summed exactly
     // as longs (order-free), then cut to 4 decimals by integer

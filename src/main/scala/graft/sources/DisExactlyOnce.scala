@@ -6,13 +6,30 @@ import org.apache.spark.sql.types._
 
 /** The read side of the opt-in idempotent sink
   * (`option("exactlyOnceKey", "true")`, see [[DisDataWriter]]): records
-  * carry an `XO1:<epoch>:<taskPartition>:<seq>:` identity envelope in
-  * their key; [[view]] strips it and keeps exactly ONE copy per
-  * identity — the keep-first pattern (min (partition, offset) wins, so
-  * the surviving copy is deterministic). At-least-once duplicates from
-  * replayed epochs or task retries carry the SAME identity (the
+  * carry an `XO2:<writerId>:<epoch>:<taskPartition>:<seq>:` identity
+  * envelope in their key; [[view]] strips it and keeps exactly ONE copy
+  * per identity — the keep-first pattern (min (partition, offset) wins,
+  * so the surviving copy is deterministic). At-least-once duplicates
+  * from replayed epochs or task retries carry the SAME identity (the
   * idempotent-producer contract) and collapse; records without an
   * envelope (plain writes into the same stream) pass through untouched.
+  *
+  * The `writerId` field scopes the (epoch, partition, seq) sequence to
+  * one logical producer — Kafka's idempotent producer scopes sequence
+  * numbers by a producer id for the same reason. Without it, two batch
+  * jobs reusing an epoch, or a restarted streaming query with a FRESH
+  * checkpoint (epochs restart at 0), would mint identical identities
+  * for different records and the view would silently drop all but one.
+  * The id must be stable across retries/restarts of the SAME logical
+  * query (the writer derives it from `exactlyOnceWriterId` or the
+  * checkpoint location) and distinct between independent writers.
+  *
+  * Known hazard (documented, not defended): a PLAIN record whose user
+  * key happens to match the full envelope grammar (`XO2:` + four
+  * all-digit fields + `K`/`N` flag) is indistinguishable from an
+  * enveloped one and will be treated as such. If a stream is known to
+  * be fully enveloped, pass `strict = true` to [[view]] and any
+  * non-parsing key fails loudly instead of passing through.
   *
   * Scale shape: one per-row parse kernel (shuffle-free), then a keyed
   * keeper agg on the identity token with map-side partial combine —
@@ -20,38 +37,59 @@ import org.apache.spark.sql.types._
   * exchange. */
 object DisExactlyOnce {
 
-  private val MagicStr = "XO1:"
-  private val Magic: Array[Byte] = MagicStr.getBytes("UTF-8")
+  // v2 (current writer): 4 fields incl. writer id. v1 (legacy, no
+  // writer id) is still accepted on read; its tokens are prefixed with
+  // their version so v1/v2 identities can never collide.
+  private val MagicStr = "XO2:"
+
+  /** Stable non-negative writer id from a caller-supplied identity
+    * string (FNV-1a 64, masked to keep the envelope grammar decimal). */
+  private[sources] def writerId(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    h & Long.MaxValue
+  }
 
   /** Wrap a user key in the identity envelope:
-    * `XO1:<epoch>:<taskPartition>:<seq>:K<userKey>` (or `...:N` when
-    * the user key is null — a flag, not a sentinel byte, so every
-    * user-key byte string round-trips exactly). */
-  private[sources] def envelope(epoch: Long, taskPartition: Int, seq: Long,
-      userKey: Array[Byte]): Array[Byte] = {
-    val head = s"$MagicStr$epoch:$taskPartition:$seq:${if (userKey == null) "N" else "K"}"
-      .getBytes("UTF-8")
+    * `XO2:<writerId>:<epoch>:<taskPartition>:<seq>:K<userKey>` (or
+    * `...:N` when the user key is null — a flag, not a sentinel byte,
+    * so every user-key byte string round-trips exactly). */
+  private[sources] def envelope(writerId: Long, epoch: Long, taskPartition: Int,
+      seq: Long, userKey: Array[Byte]): Array[Byte] = {
+    val head =
+      s"$MagicStr$writerId:$epoch:$taskPartition:$seq:${if (userKey == null) "N" else "K"}"
+        .getBytes("UTF-8")
     if (userKey == null) head else head ++ userKey
   }
 
   /** Parse an enveloped key → (identity token, user key); null token if
-    * the key carries no (well-formed) envelope. */
+    * the key carries no (well-formed) envelope. Accepts v2 (4 fields)
+    * and legacy v1 (3 fields); every field needs >= 1 digit, so
+    * degenerate shapes like `XO2::::N` are plain keys, not envelopes. */
   private[sources] def parse(key: Array[Byte]): (String, Array[Byte]) = {
-    if (key == null || key.length < Magic.length + 6) return (null, key)
-    var i = 0
-    while (i < Magic.length) { if (key(i) != Magic(i)) return (null, key); i += 1 }
-    // three ':'-terminated decimal fields, then the K/N flag + ':'-free tail
+    if (key == null || key.length < 7) return (null, key)
+    if (key(0) != 'X' || key(1) != 'O' || key(3) != ':') return (null, key)
+    val nFields = key(2) match {
+      case '1' => 3
+      case '2' => 4
+      case _   => return (null, key)
+    }
+    var i = 4
     var fields = 0
-    val start = i
-    while (i < key.length && fields < 3) {
+    var digits = 0
+    while (i < key.length && fields < nFields) {
       val c = key(i)
-      if (c == ':') fields += 1
-      else if (c < '0' || c > '9') return (null, key)
+      if (c == ':') {
+        if (digits == 0) return (null, key)
+        fields += 1; digits = 0
+      } else if (c >= '0' && c <= '9') digits += 1
+      else return (null, key)
       i += 1
     }
-    if (fields < 3 || i >= key.length) return (null, key)
+    if (fields < nFields || i >= key.length) return (null, key)
     val flag = key(i)
-    val tok = new String(key, start, i - start - 1, "UTF-8")
+    // token keeps the version prefix: "XO1:…" and "XO2:…" never collide
+    val tok = new String(key, 0, i - 1, "UTF-8")
     if (flag == 'N' && i == key.length - 1) (tok, null)
     else if (flag == 'K') (tok, java.util.Arrays.copyOfRange(key, i + 1, key.length))
     else (null, key)
@@ -59,8 +97,11 @@ object DisExactlyOnce {
 
   /** Exactly-once view over a batch read of an exactlyOnceKey-written
     * stream: same schema as the dis source (key restored to the USER
-    * key), one row per identity. */
-  def view(df: DataFrame): DataFrame = {
+    * key), one row per identity. With `strict = true`, a record whose
+    * key does not parse as an envelope fails the job loudly instead of
+    * passing through — use when the stream is known to be fully
+    * enveloped (kills the envelope-looking-user-key hazard). */
+  def view(df: DataFrame, strict: Boolean = false): DataFrame = {
     val cols = df.columns
     val ki = cols.indexOf("key")
     require(ki >= 0, s"view needs the dis read schema (key column), got ${df.schema.simpleString}")
@@ -68,7 +109,11 @@ object DisExactlyOnce {
       StructField("__tok", StringType) +: df.schema.fields))
     val parsed = df.mapPartitions { it =>
       it.map { r =>
-        val (tok, userKey) = parse(r.getAs[Array[Byte]](ki))
+        val raw = r.getAs[Array[Byte]](ki)
+        val (tok, userKey) = parse(raw)
+        if (strict && tok == null) throw new IllegalStateException(
+          "strict exactly-once view hit a record without a well-formed " +
+            s"identity envelope (key = ${if (raw == null) "null" else new String(raw, "UTF-8")})")
         Row.fromSeq(tok +: r.toSeq.updated(ki, userKey))
       }
     }(enc)

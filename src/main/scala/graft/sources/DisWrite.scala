@@ -26,7 +26,10 @@ import org.apache.spark.sql.types._
   * order (true of a deterministic plan replayed for the same epoch —
   * the standard idempotent-producer assumption); batch writes must
   * pass an explicit `exactlyOnceEpoch`, since only the streaming
-  * engine supplies epochs. */
+  * engine supplies epochs. Every enveloped write also needs a writer
+  * identity (`exactlyOnceWriterId`, or the `checkpointLocation` writer
+  * option for streaming) scoping the sequence to one logical producer
+  * — see [[DisExactlyOnce]]. */
 class DisWriteBuilder(options: Map[String, String], schema: StructType) extends WriteBuilder {
   override def build(): Write = new DisWrite(options, schema)
 }
@@ -95,6 +98,23 @@ class DisDataWriter(options: Map[String, String], schema: StructType, taskPartit
       throw new IllegalArgumentException(
         "exactlyOnceKey in a batch write needs an explicit exactlyOnceEpoch " +
           "(epochs come from the streaming engine)"))
+  // Writer identity scoping the (epoch, partition, seq) sequence — the
+  // idempotent-producer id. Must be stable across retries/restarts of
+  // the SAME logical query and distinct between independent writers:
+  // explicit exactlyOnceWriterId wins, else the streaming checkpoint
+  // location (stable across restarts, unique per query). Epoch reuse
+  // across writers without distinct ids is unsafe — identities collide
+  // and the read-back view silently drops rows — hence fail-loudly.
+  private val xoWriterId: Long =
+    if (!xoEnabled) -1L
+    else options.get("exactlyoncewriterid").map(_.trim)
+      .orElse(options.get("checkpointlocation").map(_.trim))
+      .map(DisExactlyOnce.writerId)
+      .getOrElse(throw new IllegalArgumentException(
+        "exactlyOnceKey needs a stable writer identity: pass exactlyOnceWriterId " +
+          "(or, for streaming, set checkpointLocation as a writer option). Two " +
+          "writers sharing an epoch without distinct ids mint colliding identities " +
+          "and the exactly-once view would silently drop rows"))
   private var xoSeq = 0L
 
   private var roundRobin = taskPartitionId
@@ -126,7 +146,10 @@ class DisDataWriter(options: Map[String, String], schema: StructType, taskPartit
       else { roundRobin += 1; java.lang.Math.floorMod(roundRobin, n) }
     val outKey =
       if (!xoEnabled) key
-      else { val k = DisExactlyOnce.envelope(xoEpoch, taskPartitionId, xoSeq, key); xoSeq += 1; k }
+      else {
+        val k = DisExactlyOnce.envelope(xoWriterId, xoEpoch, taskPartitionId, xoSeq, key)
+        xoSeq += 1; k
+      }
     val buf = buffers.getOrElseUpdate((stream, partition), scala.collection.mutable.ArrayBuffer())
     buf += ((outKey, value))
     if (buf.size >= flushThreshold) flush(stream, partition)

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Crash-safe maintenance for the append-only parquet stores the
   * incremental-dedup operators keep ([[IncrementalDedup]],
@@ -12,6 +13,42 @@ import org.apache.spark.sql.SparkSession
   * writers AND readers both call [[recover]], so none of them may run
   * concurrently with an in-flight compaction — crash-vs-running is
   * undecidable from the filesystem alone. */
+/** Loud in-batch admission guards shared by the Incremental* stores:
+  * every admission store assumes one row per key per micro-batch —
+  * violations would silently race keep-first or merge two payloads
+  * under one key, so they fail the batch instead (the repo's
+  * fail-loudly convention; dedup the batch upstream). */
+private[streaming] object Admission {
+
+  /** Fail if any `keys` tuple appears more than once in the batch. */
+  def requireUnique(batch: DataFrame, op: String, keys: String*): Unit = {
+    val dup = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"$op: key (${keys.mkString(", ")}) = " +
+        s"(${dup.head.toSeq.dropRight(1).mkString(", ")}) appears " +
+        s"${dup.head.getLong(keys.size)} times in one batch — in-batch duplicates " +
+        "would silently corrupt keep-first admission; dedup upstream")
+  }
+
+  /** Fail if any `keys` tuple carries more than one distinct `payload`
+    * value in the batch (exact duplicate rows are fine — replays
+    * re-offer identical rows by contract; CONFLICTING payloads are
+    * not). */
+  def requireConsistent(batch: DataFrame, op: String, payload: String,
+      keys: String*): Unit = {
+    val dup = batch.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col(payload)).as("__n")).filter(col("__n") > 1L)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(
+      s"$op: key (${keys.mkString(", ")}) = " +
+        s"(${dup.head.toSeq.dropRight(1).mkString(", ")}) carries " +
+        s"${dup.head.getLong(keys.size)} conflicting '$payload' values in one batch — " +
+        "a replay re-offers IDENTICAL rows; conflicting payloads would be " +
+        "resolved arbitrarily, so the batch fails instead")
+  }
+}
+
 private[streaming] object AtomicStore {
 
   def exists(spark: SparkSession, path: String): Boolean = {

@@ -25,22 +25,38 @@ import org.apache.spark.sql.functions._
   *    read is pruned to its own terms' buckets;
   *  - `docstats/` — (doc_id, dl), partitioned by
   *    `dbucket = pmod(doc_id, DocBuckets)` so admission's seen-check
-  *    reads only the batch's own doc buckets.
+  *    reads only the batch's own doc buckets;
+  *  - `stats/` — one (anchor, n, dlsum) delta row per admitted batch,
+  *    so a query's corpus aggregate (N, avgdl) reads O(batches) tiny
+  *    rows instead of scanning the full docstats history; compaction
+  *    folds it back to one row.
   *
   * Semantics: keep-FIRST per doc_id — a document is indexed the first
   * time its id is admitted; later arrivals of the same id (streaming
-  * replays, re-crawls) are ignored, which is also what makes
-  * at-least-once `foreachBatch` idempotent: a replayed batch finds all
-  * its ids in `docstats` and appends nothing. Documents tokenizing to
-  * zero terms are not admitted, mirroring the batch side (they carry
-  * no dl row there either).
+  * replays, re-crawls) are ignored. Ids must be unique WITHIN a batch
+  * (enforced loudly — in-batch duplicates would silently merge two
+  * texts under one id). Documents tokenizing to zero terms are not
+  * admitted, mirroring the batch side (no dl row there either).
+  *
+  * Crash contract (at-least-once `foreachBatch` is idempotent): the
+  * three appends are ordered postings → stats → docstats, and
+  * `docstats` is the COMMIT RECORD — only once it lands does a replay
+  * see the batch's ids as already admitted. A crash between any two
+  * appends leaves the batch uncommitted, so the replay re-appends
+  * everything: the duplicate postings rows are EXACT duplicates
+  * (collapsed by the read-side `distinct` and by compaction), and the
+  * duplicate stats row carries the same `anchor` (the min fresh
+  * doc_id — unique per fresh set because keep-first makes fresh sets
+  * disjoint), so reads fold stats by anchor. Compaction additionally
+  * garbage-collects rows whose ids never committed (crashed batches
+  * that were never replayed).
   *
   * Scale shape: per-batch cost ∝ batch + its doc buckets' stats (the
   * pruned anti-join), never the postings history; queries read the
-  * query terms' posting buckets + the 2-column docstats table (one
-  * aggregate scan for N/avgdl and a join for dl — the matched-docs
-  * side is top-k-bound small, AQE broadcasts it). Scoring and top-k
-  * are [[graft.api.Graft.bm25TopK]] — numerically the same code as the
+  * query terms' posting buckets, the candidates' docstats buckets
+  * (runtime dbucket pruning), and the O(batches) stats rows — no read
+  * scales with the full history. Scoring and top-k are
+  * [[graft.api.Graft.bm25TopK]] — numerically the same code as the
   * batch path, so the equality the spec pins cannot drift. */
 object IncrementalBm25 {
 
@@ -52,23 +68,39 @@ object IncrementalBm25 {
   /** Doc-stats bucket fan-out for the admission seen-check. */
   val DocBuckets = 64
 
+  /** Anchor of the folded stats row compaction writes (below any real
+    * doc id, so it can never collide with a batch's min-fresh-id). */
+  private val FoldedAnchor = Long.MinValue
+
   private def termBucket = pmod(xxhash64(col("term")), lit(TermBuckets.toLong)).cast("int")
   private def docBucket(c: String) = pmod(col(c), lit(DocBuckets.toLong)).cast("int")
 
   private[streaming] def recoverStore(spark: SparkSession, storeDir: String): Unit =
-    AtomicStore.recover(spark, storeDir, Seq("postings", "docstats"))
+    AtomicStore.recover(spark, storeDir, Seq("postings", "docstats", "stats"))
 
   /** Admit one micro-batch: index every doc_id not yet in the store.
     * Returns per-doc accounting (id, dl, admitted) — `admitted = false`
-    * rows are replays/re-crawls of already-indexed ids. Requires ids
-    * unique WITHIN the batch (duplicate in-batch ids would race for
-    * keep-first; callers dedup upstream — documents streams are keyed). */
+    * rows are replays/re-crawls of already-indexed ids. Ids must be
+    * unique within the batch (fails loudly otherwise). */
   def admitBatch(batch: DataFrame, id: String, text: String,
-                 storeDir: String): DataFrame = {
+                 storeDir: String): DataFrame =
+    admitBatchImpl(batch, id, text, storeDir, crashAfter = 0)
+
+  /** Test seam: `crashAfter` injects a crash after the Nth append
+    * (1 = postings, 2 = stats) to exercise the commit-record ordering. */
+  private[streaming] def admitBatchImpl(batch: DataFrame, id: String, text: String,
+      storeDir: String, crashAfter: Int): DataFrame = {
     val spark = batch.sparkSession
     recoverStore(spark, storeDir)
     val postingsPath = s"$storeDir/postings"
     val docstatsPath = s"$storeDir/docstats"
+    val statsPath = s"$storeDir/stats"
+
+    // loud in-batch duplicate-id guard: two rows sharing an id would
+    // silently MERGE their texts under one doc (the tf groupBy spans both)
+    Admission.requireUnique(batch, "IncrementalBm25.admitBatch", id)
+
+    bootstrapStats(spark, storeDir)
 
     val tf = batch
       .select(col(id).cast("long").as("doc_id"),
@@ -78,8 +110,8 @@ object IncrementalBm25 {
       .withColumn("dbucket", docBucket("doc_id"))
       .cache()
 
-    // keep-first: ids already in the store are replays — the read is
-    // pruned to the batch's own doc buckets (static partition filter)
+    // keep-first: ids already COMMITTED (present in docstats) are
+    // replays — the read is pruned to the batch's own doc buckets
     val fresh =
       if (AtomicStore.exists(spark, docstatsPath)) {
         val batchBuckets = dl.select(col("dbucket")).distinct()
@@ -89,19 +121,35 @@ object IncrementalBm25 {
           .select(col("doc_id"))
         dl.join(seen, Seq("doc_id"), "left_anti")
       } else dl
-    // eager checkpoint: the append below must not feed back into the
+    // eager checkpoint: the appends below must not feed back into the
     // plan that decided freshness on a recompute
     val freshIds = fresh.select(col("doc_id"), col("dl"), col("dbucket"))
       .localCheckpoint(true)
+    val fr = freshIds
+      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"), sum(col("dl")).as("s"))
+      .head()
 
-    freshIds.select(col("doc_id"), col("dl"), col("dbucket"))
-      .repartition(col("dbucket"))
-      .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docstatsPath)
-    tf.join(freshIds.select(col("doc_id")), Seq("doc_id"))
-      .select(col("term"), col("doc_id"), col("tf"))
-      .withColumn("bucket", termBucket)
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(postingsPath)
+    if (fr.getLong(1) > 0L) {
+      // 1. postings — on a crash-then-replay these rows appear twice as
+      //    EXACT duplicates; reads distinct them, compaction removes them
+      tf.join(freshIds.select(col("doc_id")), Seq("doc_id"))
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("bucket", termBucket)
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(postingsPath)
+      if (crashAfter == 1) throw new InjectedCrash("after postings")
+      // 2. stats delta — anchored by the min fresh id so a replayed
+      //    duplicate folds away at read time
+      import spark.implicits._
+      Seq((fr.getLong(0), fr.getLong(1), fr.getLong(2))).toDF("anchor", "n", "dlsum")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(statsPath)
+      if (crashAfter == 2) throw new InjectedCrash("after stats")
+      // 3. docstats — the COMMIT RECORD: lands last, so an uncommitted
+      //    batch is always fully re-appended by its replay
+      freshIds.select(col("doc_id"), col("dl"), col("dbucket"))
+        .repartition(col("dbucket"))
+        .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docstatsPath)
+    }
 
     val out = dl.select(col("doc_id").as(id), col("dl"))
       .join(freshIds.select(col("doc_id").as(id), lit(true).as("admitted")), Seq(id), "left")
@@ -110,6 +158,29 @@ object IncrementalBm25 {
     dl.unpersist()
     out
   }
+
+  /** One-time migration for stores written before the stats sub
+    * existed: seed it with a single folded row from the docstats
+    * history. */
+  private def bootstrapStats(spark: SparkSession, storeDir: String): Unit = {
+    val docstatsPath = s"$storeDir/docstats"
+    val statsPath = s"$storeDir/stats"
+    if (AtomicStore.exists(spark, docstatsPath) && !AtomicStore.exists(spark, statsPath)) {
+      import spark.implicits._
+      val r = spark.read.parquet(docstatsPath)
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+      Seq((FoldedAnchor, r.getLong(0), r.getLong(1))).toDF("anchor", "n", "dlsum")
+        .coalesce(1).write.parquet(statsPath)
+    }
+  }
+
+  /** Corpus aggregate (N, Σdl) from the stats deltas: fold replayed
+    * duplicates by anchor, then sum — O(batches) rows, never the
+    * docstats history. */
+  private def statsCorpus(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/stats")
+      .groupBy(col("anchor")).agg(first(col("n")).as("n"), first(col("dlsum")).as("dlsum"))
+      .agg(sum(col("n")).as("__n"), sum(col("dlsum")).as("__dlsum"))
 
   /** Every admitted doc id (store entry point — rolls a crashed
     * compaction forward first). */
@@ -122,8 +193,10 @@ object IncrementalBm25 {
 
   /** BM25 top-k over everything admitted so far — identical output to
     * `Graft.bm25Search(admittedCorpus, ...)`: the statistics frames are
-    * assembled from the store (postings read pruned to the query
-    * terms' buckets) and handed to the SAME scoring/top-k core. */
+    * assembled from the store (postings pruned to the query terms'
+    * buckets, docstats pruned to the candidates' dbuckets, N/avgdl from
+    * the O(batches) stats deltas) and handed to the SAME scoring/top-k
+    * core. No read scales with the full docstats history. */
   def search(spark: SparkSession, storeDir: String, queryTerms: Seq[String],
              k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "search needs at least one query term")
@@ -134,28 +207,69 @@ object IncrementalBm25 {
         !AtomicStore.exists(spark, postingsPath))
       return spark.range(0).select(col("id").as("doc_id"),
         lit(0.0).as("score"), col("id").as("rank"))
-    val dl = spark.read.parquet(docstatsPath).select(col("doc_id"), col("dl"))
     val qBuckets = queryTerms
       .map(t => math.floorMod(TermHash.xx64(t), TermBuckets.toLong).toInt)
       .distinct
-    val qtf = spark.read.parquet(postingsPath)
+    // distinct kills the exact-duplicate rows a crash-then-replay leaves
+    val qtfRaw = spark.read.parquet(postingsPath)
       .filter(col("bucket").isin(qBuckets.map(Int.box): _*))
       .filter(col("term").isin(queryTerms: _*))
       .select(col("term"), col("doc_id"), col("tf"))
+      .distinct()
+    // dl read pruned to the candidates' dbuckets (bounded driver-side
+    // collect, ≤ DocBuckets — the admitBatch pattern)
+    val candBuckets = qtfRaw.select(docBucket("doc_id").as("dbucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (candBuckets.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"),
+        lit(0.0).as("score"), col("id").as("rank"))
+    val dl = spark.read.parquet(docstatsPath)
+      .filter(col("dbucket").isin(candBuckets.map(Int.box): _*))
+      .select(col("doc_id"), col("dl"))
+    // drop postings of UNCOMMITTED docs (crashed batch not yet
+    // replayed): docstats is the commit record, and the pruned dl
+    // covers every candidate, so the semi-join is exact
+    val qtf = qtfRaw.join(dl.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    graft.api.Graft.bm25TopK(qtf, dfreq, dl, "doc_id", k, k1, b)
+    val corpus =
+      if (AtomicStore.exists(spark, s"$storeDir/stats")) statsCorpus(spark, storeDir)
+      else spark.read.parquet(docstatsPath) // pre-stats store, one-time shape
+        .agg(count(lit(1)).as("__n"), sum(col("dl")).as("__dlsum"))
+    graft.api.Graft.bm25TopKPre(qtf, dfreq, dl, corpus, "doc_id", k, k1, b)
   }
 
-  /** Compact both subs to one file per non-empty bucket, clustered by
-    * their read keys; crash-safe via [[AtomicStore.swapIn]]. */
+  /** Compact all subs: postings/docstats to one file per non-empty
+    * bucket, clustered by their read keys; stats folded to ONE row.
+    * Also garbage-collects rows of batches that crashed uncommitted
+    * and were never replayed (ids absent from the docstats commit
+    * record). Crash-safe via [[AtomicStore.swapIn]]. */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
+    val committed =
+      if (AtomicStore.exists(spark, s"$storeDir/docstats"))
+        spark.read.parquet(s"$storeDir/docstats").select(col("doc_id")).cache()
+      else spark.range(0).select(col("id").as("doc_id"))
     AtomicStore.swapIn(spark, storeDir, "postings") { (live, tmp) =>
       spark.read.parquet(live)
         .select(col("term"), col("doc_id"), col("tf"), col("bucket")).distinct()
+        .join(committed, Seq("doc_id"), "left_semi")
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
         .write.partitionBy("bucket").parquet(tmp)
+    }
+    AtomicStore.swapIn(spark, storeDir, "stats") { (live, tmp) =>
+      val deduped = spark.read.parquet(live)
+        .groupBy(col("anchor")).agg(first(col("n")).as("n"), first(col("dlsum")).as("dlsum"))
+      // an uncommitted batch's delta has a real-doc anchor that never
+      // reached docstats — drop it (the replay will re-append it); the
+      // FoldedAnchor row from an earlier compaction is always kept
+      val kept = deduped.filter(col("anchor") === FoldedAnchor).unionByName(
+        deduped.filter(col("anchor") =!= FoldedAnchor)
+          .join(committed.select(col("doc_id").as("anchor")), Seq("anchor"), "left_semi"))
+      kept.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(sum(col("dlsum")), lit(0L)).as("dlsum"))
+        .select(lit(FoldedAnchor).as("anchor"), col("n"), col("dlsum"))
+        .coalesce(1).write.parquet(tmp)
     }
     AtomicStore.swapIn(spark, storeDir, "docstats") { (live, tmp) =>
       spark.read.parquet(live)
@@ -164,7 +278,12 @@ object IncrementalBm25 {
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(tmp)
     }
+    committed.unpersist()
   }
+
+  /** Marker for the injected-crash test seam. */
+  private[streaming] final class InjectedCrash(where: String)
+    extends RuntimeException(s"injected crash $where")
 }
 
 /** Driver-side xxhash64 of a UTF-8 string with Spark's seed (42) —

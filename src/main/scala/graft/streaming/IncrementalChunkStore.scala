@@ -71,6 +71,9 @@ object IncrementalChunkStore {
       window: Int = 16, modulus: Long = 64L): DataFrame = {
     val spark = batch.sparkSession
     recoverStore(spark, storeDir)
+    // two rows sharing an id would collide on (doc, chunk_idx) and the
+    // per-doc novelty accounting would silently merge their chunks
+    Admission.requireUnique(batch, "IncrementalChunkStore.admitBatch", id)
     val chunksPath = s"$storeDir/chunks"
 
     val rows = graft.api.Graft

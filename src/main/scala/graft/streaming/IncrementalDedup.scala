@@ -121,6 +121,9 @@ object IncrementalDedup {
       threshold: Double, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
     recoverStore(spark, storeDir)
+    // two rows sharing an id would both survive within-batch
+    // canonicalization (self-pairs are excluded) and double-append
+    Admission.requireUnique(batch, "IncrementalDedup.admitBatch", id)
     val docsPath = s"$storeDir/docs"
     val bandsPath = s"$storeDir/bands"
 

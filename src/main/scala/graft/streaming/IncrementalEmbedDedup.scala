@@ -104,6 +104,9 @@ object IncrementalEmbedDedup {
       ivf: Ivf.Params = Ivf.Params()): DataFrame = {
     val spark = batch.sparkSession
     recoverStore(spark, storeDir)
+    // two rows sharing an id would both survive within-batch
+    // canonicalization (self-pairs are excluded) and double-append
+    Admission.requireUnique(batch, "IncrementalEmbedDedup.admitBatch", id)
     val vecsPath = s"$storeDir/vecs"
     val radiiPath = s"$storeDir/radii"
     val indexPath = s"$storeDir/index"

@@ -68,6 +68,14 @@ object IncrementalReservoir {
         col(id).cast("long").as("id"),
         col(weight).cast("double").as("weight"),
         Graft.aresKey(col(id), col(weight)).as("__key"))
+    // exact re-offers (replays) are identical rows by contract; a
+    // CONFLICTING weight for a (stratum, id) — in the batch or against
+    // the store — would be resolved arbitrarily by dropDuplicates, so
+    // it fails loudly instead (store side is ≤ k rows per stratum)
+    Admission.requireConsistent(
+      spark.read.parquet(live).select(col("stratum"), col("id"), col("weight"))
+        .unionByName(keyed.select(col("stratum"), col("id"), col("weight"))),
+      "IncrementalReservoir.admitBatch", "weight", "stratum", "id")
     val next = spark.read.parquet(live)
       .unionByName(keyed)
       // a replayed batch re-offers rows already in the store: the key is

@@ -22,22 +22,65 @@ class ExactlyOnceSinkSpec extends SparkTestBase {
       Array.emptyByteArray,
       "user-key".getBytes("UTF-8"),
       Array[Byte](0, 1, -1, 58, 75, 78), // binary incl. ':' 'K' 'N'
-      "XO1:9:9:9:K-looking-user-key".getBytes("UTF-8"))
+      "XO2:9:9:9:9:K-looking-user-key".getBytes("UTF-8"))
     keys.foreach { k =>
-      val (tok, user) = DisExactlyOnce.parse(DisExactlyOnce.envelope(7L, 3, 11L, k))
-      assert(tok === "7:3:11")
+      val (tok, user) = DisExactlyOnce.parse(DisExactlyOnce.envelope(42L, 7L, 3, 11L, k))
+      assert(tok === "XO2:42:7:3:11")
       if (k == null) assert(user === null)
       else assert(java.util.Arrays.equals(user, k), s"user key mangled for ${k.toSeq}")
     }
-    // plain keys (no magic / malformed envelopes) parse to (null, same bytes)
-    Seq("plain".getBytes("UTF-8"), "XO1:".getBytes("UTF-8"),
+    // legacy v1 envelopes (no writer id) still parse, version-prefixed
+    // so they can never collide with a v2 identity
+    val (ltok, luser) = DisExactlyOnce.parse("XO1:7:3:11:Kold".getBytes("UTF-8"))
+    assert(ltok === "XO1:7:3:11")
+    assert(new String(luser, "UTF-8") === "old")
+    // plain keys (no magic / malformed / empty-field envelopes) parse
+    // to (null, same bytes)
+    Seq("plain".getBytes("UTF-8"), "XO1:".getBytes("UTF-8"), "XO2:".getBytes("UTF-8"),
       "XO1:1:2:3:Q".getBytes("UTF-8"), "XO1:a:b:c:K".getBytes("UTF-8"),
+      "XO2:1:2:3:K".getBytes("UTF-8"), // v2 needs 4 fields
+      "XO1::::N".getBytes("UTF-8"), "XO2:::::N".getBytes("UTF-8"), // empty fields rejected
+      "XO3:1:2:3:4:K".getBytes("UTF-8"), // unknown version
       Array.emptyByteArray).foreach { k =>
       val (tok, user) = DisExactlyOnce.parse(k)
-      assert(tok === null)
+      assert(tok === null, s"expected plain for ${new String(k, "UTF-8")}")
       assert(java.util.Arrays.equals(user, k))
     }
     assert(DisExactlyOnce.parse(null) === ((null, null)))
+  }
+
+  test("two independent batch writers reusing the same epoch do NOT collide " +
+      "when they carry distinct writer ids") {
+    val root = Files.createTempDirectory("xo-writers-")
+    new FileStreamClient(root).createStream("out", 2)
+    def writeAs(wid: String, rows: Seq[(String, String)]): Unit =
+      rows.toDF("key", "value").write.format("dis")
+        .option("client.root", root.toString).option("stream", "out")
+        .option("exactlyOnceKey", "true").option("exactlyOnceEpoch", "0")
+        .option("exactlyOnceWriterId", wid)
+        .mode("append").save()
+    writeAs("jobA", (1 to 10).map(i => s"a$i" -> s"va$i"))
+    writeAs("jobB", (1 to 10).map(i => s"b$i" -> s"vb$i"))
+    val v = DisExactlyOnce.view(spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "out").load())
+    assert(v.count() === 20L,
+      "distinct writers sharing an epoch collided in the exactly-once view")
+  }
+
+  test("strict view fails loudly on a non-enveloped record") {
+    val root = Files.createTempDirectory("xo-strict-")
+    new FileStreamClient(root).createStream("out", 1)
+    Seq(("p1", "plain1")).toDF("key", "value")
+      .write.format("dis")
+      .option("client.root", root.toString).option("stream", "out")
+      .mode("append").save()
+    val raw = spark.read.format("dis")
+      .option("client.root", root.toString).option("stream", "out").load()
+    val e = intercept[Exception] { DisExactlyOnce.view(raw, strict = true).count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("identity envelope")), s"unexpected: $e")
   }
 
   test("repeated batch write of the same epoch: raw read doubles, the view " +
@@ -49,6 +92,7 @@ class ExactlyOnceSinkSpec extends SparkTestBase {
       .write.format("dis")
       .option("client.root", root.toString).option("stream", "out")
       .option("exactlyOnceKey", "true").option("exactlyOnceEpoch", "5")
+      .option("exactlyOnceWriterId", "job-1")
       .mode("append").save()
     writeOnce(); writeOnce() // the replayed-epoch shape
 
@@ -79,6 +123,23 @@ class ExactlyOnceSinkSpec extends SparkTestBase {
       s"unexpected error: $e")
   }
 
+  test("batch write with exactlyOnceKey but no writer id fails loudly") {
+    val root = Files.createTempDirectory("xo-nowid-")
+    new FileStreamClient(root).createStream("out", 1)
+    val e = intercept[Exception] {
+      Seq(("k", "v")).toDF("key", "value")
+        .write.format("dis")
+        .option("client.root", root.toString).option("stream", "out")
+        .option("exactlyOnceKey", "true").option("exactlyOnceEpoch", "3")
+        .mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("exactlyOnceWriterId")),
+      s"unexpected error: $e")
+  }
+
   test("mixed stream: plain records pass the view untouched next to enveloped ones") {
     val root = Files.createTempDirectory("xo-mixed-")
     new FileStreamClient(root).createStream("out", 1)
@@ -90,6 +151,7 @@ class ExactlyOnceSinkSpec extends SparkTestBase {
       .write.format("dis")
       .option("client.root", root.toString).option("stream", "out")
       .option("exactlyOnceKey", "true").option("exactlyOnceEpoch", "1")
+      .option("exactlyOnceWriterId", "job-mixed")
       .mode("append").save()
     val v = DisExactlyOnce.view(spark.read.format("dis")
       .option("client.root", root.toString).option("stream", "out").load())

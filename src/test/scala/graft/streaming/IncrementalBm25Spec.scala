@@ -118,6 +118,116 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(storeTopK(store) === batchTopK(run1 ++ run2), "post-restart diverges")
   }
 
+  // fold the stats deltas the way reads do: dedup by anchor, then sum
+  private def foldedStats(store: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$store/stats")
+      .groupBy(col("anchor")).agg(first(col("n")).as("n"), first(col("dlsum")).as("dlsum"))
+      .agg(sum(col("n")), sum(col("dlsum"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def recomputedStats(store: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$store/docstats")
+      .agg(count(lit(1)), sum(col("dl"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("a duplicate-id batch fails loudly instead of silently merging texts") {
+    val store = Files.createTempDirectory("bm25store-dup-").toString
+    val dup = Seq(1L -> "spark shuffle", 2L -> "tungsten", 1L -> "totally different text")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalBm25.admitBatch(dup.toDF("doc_id", "text"), "doc_id", "text", store)
+    }
+    assert(e.getMessage.contains("duplicates"), s"unexpected: $e")
+    // nothing was committed
+    assert(IncrementalBm25.admittedDocs(spark, store).count() === 0L)
+  }
+
+  test("crash between the postings and docstats appends: the replayed batch " +
+      "re-appends everything; answers and stats equal the batch side exactly") {
+    for (crashPoint <- Seq(1, 2)) {
+      val store = Files.createTempDirectory(s"bm25store-crash$crashPoint-").toString
+      IncrementalBm25.admitBatch(corpus.take(8).toDF("doc_id", "text"), "doc_id", "text", store)
+      val second = corpus.slice(8, 16)
+      intercept[IncrementalBm25.InjectedCrash] {
+        IncrementalBm25.admitBatchImpl(second.toDF("doc_id", "text"),
+          "doc_id", "text", store, crashAfter = crashPoint)
+      }
+      // the batch is NOT committed: docstats (the commit record) has
+      // only the first batch, so a replay re-admits all of it
+      assert(IncrementalBm25.admittedDocs(spark, store).count() === 8L,
+        s"crash point $crashPoint leaked a partial commit")
+      val replay = IncrementalBm25.admitBatch(
+        second.toDF("doc_id", "text"), "doc_id", "text", store)
+      assert(replay.filter(col("admitted")).count() === second.size.toLong,
+        s"crash point $crashPoint: replay did not re-admit the uncommitted batch")
+      // the crashed attempt left duplicate postings rows on disk …
+      if (crashPoint >= 1) {
+        val raw = spark.read.parquet(s"$store/postings").count()
+        val distinctRows = spark.read.parquet(s"$store/postings")
+          .select(col("term"), col("doc_id"), col("tf")).distinct().count()
+        assert(raw > distinctRows, s"crash point $crashPoint test is vacuous (no dups on disk)")
+      }
+      // … but answers and the folded stats are exact
+      assert(storeTopK(store) === batchTopK(corpus.take(16)),
+        s"crash point $crashPoint: post-replay answers diverge")
+      assert(foldedStats(store) === recomputedStats(store),
+        s"crash point $crashPoint: stats deltas diverge from the docstats history")
+      // compaction garbage-collects the duplicate rows
+      IncrementalBm25.compactStore(spark, store)
+      assert(spark.read.parquet(s"$store/postings").count() ===
+        spark.read.parquet(s"$store/postings")
+          .select(col("term"), col("doc_id"), col("tf")).distinct().count())
+      assert(storeTopK(store) === batchTopK(corpus.take(16)))
+      assert(foldedStats(store) === recomputedStats(store))
+    }
+  }
+
+  test("a crashed batch that is NEVER replayed: search scores only committed " +
+      "docs, and compaction garbage-collects the orphan postings") {
+    val store = Files.createTempDirectory("bm25store-orphan-").toString
+    IncrementalBm25.admitBatch(corpus.take(10).toDF("doc_id", "text"), "doc_id", "text", store)
+    intercept[IncrementalBm25.InjectedCrash] {
+      IncrementalBm25.admitBatchImpl(corpus.slice(10, 20).toDF("doc_id", "text"),
+        "doc_id", "text", store, crashAfter = 1) // postings landed, nothing else
+    }
+    // orphan postings are invisible to search (docstats is the commit record)
+    assert(storeTopK(store) === batchTopK(corpus.take(10)),
+      "uncommitted postings leaked into scoring")
+    IncrementalBm25.compactStore(spark, store)
+    val orphans = spark.read.parquet(s"$store/postings")
+      .filter(col("doc_id") > 10L).count()
+    assert(orphans === 0L, s"compaction kept $orphans orphan postings rows")
+    assert(storeTopK(store) === batchTopK(corpus.take(10)))
+    assert(foldedStats(store) === recomputedStats(store))
+    // the replay still lands cleanly after the GC
+    IncrementalBm25.admitBatch(corpus.slice(10, 20).toDF("doc_id", "text"), "doc_id", "text", store)
+    assert(storeTopK(store) === batchTopK(corpus.take(20)))
+  }
+
+  test("search reads no full docstats scan: the dl read is pruned to the " +
+      "candidates' dbuckets and the corpus aggregate comes from the stats deltas") {
+    val store = Files.createTempDirectory("bm25store-dlprune-").toString
+    // docs spread over many dbuckets, queried term confined to a few docs
+    val docs = (1L to 200L).map(i => i -> (if (i % 64 == 3) "needle haystack" else mkDoc(i)))
+    docs.grouped(50).foreach { s =>
+      IncrementalBm25.admitBatch(s.toDF("doc_id", "text"), "doc_id", "text", store)
+    }
+    val res = IncrementalBm25.search(spark, store, Seq("needle"), 5)
+    res.collect()
+    val allDocstatsFiles = IncrementalDedupSpec.walkParquet(s"$store/docstats").size
+    val prunedScan = spark.read.parquet(s"$store/docstats")
+      .filter(col("dbucket").isin(Seq(3).map(Int.box): _*))
+    prunedScan.collect()
+    val docstatsRead = IncrementalDedupSpec.scannedFiles(prunedScan)
+    assert(docstatsRead > 0 && docstatsRead < allDocstatsFiles,
+      s"dbucket pruning inert: $docstatsRead of $allDocstatsFiles")
+    // equality with the batch side through the stats-delta corpus path
+    assert(res.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      graft.api.Graft.bm25Search(docs.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("needle"), 5).collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq)
+    assert(foldedStats(store) === recomputedStats(store))
+  }
+
   test("a query's postings read is pruned to its terms' buckets; compaction " +
       "(and a crash mid-compaction) preserve answers") {
     val store = Files.createTempDirectory("bm25store-prune-").toString
