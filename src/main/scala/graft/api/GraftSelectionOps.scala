@@ -1,0 +1,812 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VecMath.float_dot
+
+/** Scale joins, data selection, monitoring & near-dup kernels — one slice of the [[Graft]] facade, split from a single
+  * 3,300-line object purely to keep source files reviewable. All
+  * operators remain accessible ONLY as `Graft.<op>` (the self-type
+  * pins the mixin to the facade object); see [[Graft]] for the API
+  * conventions and SparkEntry for the graded fixture bindings. */
+trait GraftSelectionOps { this: Graft.type =>
+
+  // ---------- scale joins ----------
+
+  /** Interval join without the nested loop: `left` rows joined to every
+    * `right` interval containing their timestamp (inclusive bounds, SQL
+    * BETWEEN). Spark plans a raw `ts BETWEEN start AND end` join — no
+    * equi-key — as a BroadcastNestedLoopJoin: O(|left|·|right|) compares
+    * and a hard broadcast requirement. This operator buckets time into
+    * `bucketSeconds`-wide chunks, explodes each interval to the buckets
+    * it covers, and equi-joins on the bucket id, re-checking the exact
+    * bounds on the (bounded) candidates.
+    *
+    * Scale shape: one hash equi-join, shuffled (or AQE-broadcast) on
+    * the bucket id; interval replication is ⌈len/width⌉+1 rows — pick
+    * `bucketSeconds` near the median interval length so it stays O(1).
+    * Long-tail intervals degrade by their own length only, never by
+    * corpus size. Point events bucket to exactly one row. */
+  def rangeJoin(left: DataFrame, ts: String,
+      right: DataFrame, start: String, end: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val w = lit(bucketSeconds * 1000000L)
+    val l = left.withColumn("__b", floor(unix_micros(col(ts)) / w))
+    val r = right
+      .withColumn("__b", explode(sequence(
+        floor(unix_micros(col(start)) / w), floor(unix_micros(col(end)) / w))))
+    l.join(r, Seq("__b"))
+      .filter(col(ts) >= col(start) && col(ts) <= col(end))
+      .drop("__b")
+  }
+
+  /** Salted equi-join for skewed keys: `big` rows carry a deterministic
+    * salt in [0, salts) derived from `saltCol` (a per-row id, NOT the
+    * join key), `small` is replicated `salts` times, and the join runs
+    * on (key, salt) — a hot key's rows spread over `salts` reducers
+    * instead of one. Result set is exactly `big ⋈ small` on `key`.
+    *
+    * When to reach for it: AQE's skew-join split already rebalances
+    * sort-merge joins by partition SIZE, but only after a skewed
+    * partition materializes, and not for shuffled-hash plans or
+    * non-AQE sessions. Salting bakes the balance into the key itself —
+    * deterministic layout, no runtime detection, works under every
+    * join strategy. Cost: `small` is shipped `salts`× (keep salts ≈
+    * executor fan-out, not thousands), so it fits the
+    * small-dim-too-big-to-broadcast gap between broadcast joins and
+    * AQE skew handling. The salt is value-derived (xxhash64 of
+    * `saltCol`), so retries and repartitionings reproduce the same
+    * layout. */
+  def skewJoin(big: DataFrame, small: DataFrame, key: String,
+      saltCol: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val b = big.withColumn("__salt", pmod(xxhash64(col(saltCol)), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** SemDeDup (Abbas et al., 2023): cluster-local semantic dedup — the
+    * cheap, intentionally incomplete sibling of [[embedNearDup]]. The
+    * corpus is k-means-clustered ([[graft.ops.Ivf]] spherical centroids,
+    * deterministic bounded-sample training), each vector lives in its
+    * single home cell, and within each cell any vector with a LOWER-id
+    * cell-mate at cosine ≥ `tau` is dropped; cross-cluster near-dups
+    * are out of scope by design (the paper's trade: O(Σ m_c²) work over
+    * cells of mean size n/nlist ≈ √n instead of a corpus-wide candidate
+    * join). Keep rule is pairwise-witnessed and deterministic, so the
+    * admitted set is reproducible across partitionings and retries.
+    * Output: the kept rows as (id, cell).
+    *
+    * Use [[embedNearDup]] + [[dupClusters]] when completeness matters
+    * more than cost; use this when the corpus is huge and the dedup
+    * budget is one equi-join. Within-cell pairing is an equi-join on
+    * the cell id — never a corpus-wide nested loop; the default
+    * nlist ≈ √n keeps expected per-cell work at O(n) total pairs. */
+  def semDedup(df: DataFrame, id: String, vec: String, tau: Double,
+      p: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    import graft.ops.Ivf
+    val centroids = Ivf.trainCentroids(df, id, vec, p)
+    val assigned = Ivf.assign(df, id, vec, centroids, 1)
+      .select(col(id), col(vec), col("nrm"), col("cell"))
+    val a = assigned.select(col(id).as("__ida"), col(vec).as("__va"),
+      col("nrm").as("__na"), col("cell"))
+    val bb = assigned.select(col(id).as("__idb"), col(vec).as("__vb"),
+      col("nrm").as("__nb"), col("cell"))
+    val dropped = a.join(bb, Seq("cell"))
+      .filter(col("__ida") < col("__idb") &&
+        float_dot(col("__va"), col("__vb")) / col("__na") / col("__nb") >= tau)
+      .select(col("__idb").as(id)).distinct()
+    assigned.select(col(id), col("cell"))
+      .join(dropped, Seq(id), "left_anti")
+  }
+
+  // ---------- data selection & corpus monitoring ----------
+
+  /** Base-31 polynomial extension of `acc` over the UTF-16 units of
+    * `s`, mod 2³¹ — plain integer arithmetic, no engine-native hash,
+    * so an external engine replays every bucket id with
+    * `(acc*31 + ascii(c)) % 2147483648`. */
+  @inline private def polyExtend(acc0: Long, s: String): Long = {
+    var acc = acc0
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i).toInt) % 2147483648L; i += 1 }
+    acc
+  }
+
+  /** Streams the unigram+bigram feature buckets of a tokenized doc to
+    * `f`, unigrams first then bigrams — the order the SQL replay and
+    * the scoring sum both use. A bigram "a b" hashes identically to
+    * the concatenated string without allocating it (polynomial over a
+    * concatenation is sequential extension). */
+  private def gramBucketsForeach(toks: Array[String], buckets: Long)(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < toks.length) { f(polyExtend(0L, toks(i)) % buckets); i += 1 }
+    i = 1
+    while (i < toks.length) {
+      f(polyExtend(polyExtend(polyExtend(0L, toks(i - 1)), " "), toks(i)) % buckets)
+      i += 1
+    }
+  }
+
+  /** Whitespace tokens, empties dropped — the kernel twin of
+    * [[tokens]] (split on ' ', filter non-empty). */
+  @inline private def splitTokens(s: String): Array[String] =
+    s.split(" ").filter(_.nonEmpty)
+
+  /** (bucket, n) histogram of `df`'s gram buckets. The char loop lives
+    * in a mapPartitions kernel (the interpreted-HOF form re-split each
+    * gram per character — measured 20.7 s vs 0.9 s at sf0.1): each
+    * partition accumulates a dense `buckets`-sized count array and
+    * emits only its non-zero cells, so the exchange carries at most
+    * `buckets` rows per partition regardless of corpus size — map-side
+    * combine by construction. */
+  private def bucketHist(df: DataFrame, text: String, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    graft.ops.Spread.widen(df.select(coalesce(col(text), lit("")).cast("string")))
+      .as[String]
+      .mapPartitions { rows =>
+        val counts = new Array[Long](buckets)
+        rows.foreach { s =>
+          gramBucketsForeach(splitTokens(s), b)(bk => counts(bk.toInt) += 1L)
+        }
+        Iterator.range(0, buckets).filter(counts(_) > 0L)
+          .map(i => (i.toLong, counts(i)))
+      }
+      .toDF("bucket", "n")
+      .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+  }
+
+  /** DSIR importance weights (Xie et al., 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed n-gram features are
+    * under a target corpus than under the raw corpus —
+    * log w(x) = Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)], with
+    * add-one smoothing over `buckets` feature buckets. High-weight
+    * documents resemble the target distribution; resample by weight to
+    * select pretraining data. Output: (id, log_w) for every raw row
+    * (empty documents score 0).
+    *
+    * Scale shape: both feature distributions are single aggregations
+    * whose output is bounded at `buckets` rows regardless of corpus
+    * size (per-partition dense count arrays — map-side combine by
+    * construction); the log-ratio table is assembled on the driver
+    * from those two bounded histograms (≤`buckets` doubles, capped at
+    * 2²² cells) and broadcast once, so scoring is a per-row
+    * mapPartitions kernel over the corpus wherever it already lives —
+    * only a narrow test-scale input is first spread across the
+    * cluster ([[graft.ops.Spread.widen]]). Two corpus scans total
+    * (one for p̂_raw, one to score), the DSIR minimum. The kernel sums
+    * lam in gram order (unigrams then bigrams), so the double result
+    * is reproducible across partitionings and engines. */
+  def dsirWeights(raw: DataFrame, id: String, text: String,
+      target: DataFrame, targetText: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 22),
+      s"buckets must be in [2, ${1 << 22}], got $buckets")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    val ct = new Array[Long](buckets)
+    bucketHist(target, targetText, buckets).collect()
+      .foreach(r => ct(r.getLong(0).toInt) = r.getLong(1))
+    val cr = new Array[Long](buckets)
+    bucketHist(raw, text, buckets).collect()
+      .foreach(r => cr(r.getLong(0).toInt) = r.getLong(1))
+    val tt = ct.sum
+    val tr = cr.sum
+    val lam = new Array[Double](buckets)
+    var i = 0
+    while (i < buckets) {
+      lam(i) = math.log((ct(i) + 1L).toDouble / (tt + b).toDouble) -
+        math.log((cr(i) + 1L).toDouble / (tr + b).toDouble)
+      i += 1
+    }
+    val lamB = spark.sparkContext.broadcast(lam)
+    graft.ops.Spread.widen(
+        raw.select(col(id).cast("long"), coalesce(col(text), lit("")).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val l = lamB.value
+        it.map { case (docId, s) =>
+          var acc = 0.0d
+          gramBucketsForeach(splitTokens(s), b)(bk => acc += l(bk.toInt))
+          (docId, acc)
+        }
+      }
+      .toDF(id, "__lw")
+      .select(col(id), round(col("__lw"), 4).as("log_w"))
+  }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis,
+    * 2006): keep the `k` rows with the largest key ln(u_i)/w_i, where
+    * u_i ∈ (0,1) — inclusion probability proportional to the weight,
+    * exactly the A-Res scheme. The randomness is a DETERMINISTIC
+    * 31-bit LCG of the row id (overflow-folded, the engine-portable
+    * form used by every sampler here), so the sample is reproducible
+    * across engines, retries, and partitionings. Rows with
+    * non-positive weight are excluded (they can never be sampled).
+    * Output: (id, weight, rank), rank 1 = largest key.
+    *
+    * Scale shape: the key is a shuffle-free projection;
+    * top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+    * heaps, no global sort); the rank window runs over k rows. */
+  /** The Efraimidis–Spirakis A-Res selection key ln(u)/w with the
+    * engine's deterministic 31-bit LCG as u — shared by
+    * [[weightedSample]], [[weightedSamplePerStratum]], and the
+    * incremental reservoir ([[graft.streaming.IncrementalReservoir]]),
+    * so their kept sets agree exactly by construction. */
+  private[graft] def aresKey(id: Column, weight: Column): Column = {
+    val u = ((pmod(id.cast("long"), lit(2147483648L)) * 1103515245L + 12345L)
+      % 2147483648L).cast("double")
+    log((u + 0.5d) / 2147483648.0d) / weight.cast("double")
+  }
+
+  def weightedSample(df: DataFrame, id: String, weight: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val top = df.filter(col(weight).cast("double") > 0.0d)
+      .select(col(id), col(weight), aresKey(col(id), col(weight)).as("__key"))
+      .orderBy(col("__key").desc, col(id).asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("__key").desc, col(id).asc)).cast("long"))
+      .select(col(id), col(weight), col("rank"))
+  }
+
+  /** [[weightedSample]] per stratum — the language/source-balanced form
+    * of the selection step (draw k docs per language, inclusion odds ∝
+    * weight within each). Same key, same determinism guarantees; rank
+    * is 1-based within the stratum.
+    *
+    * Scale shape: the rank-filter window rewrites to WindowGroupLimit
+    * (map-side top-k per stratum before the exchange, the
+    * [[domainCap]] plan), so a monster stratum ships tasks×k rows,
+    * never its full population. One shuffle on the stratum key. */
+  def weightedSamplePerStratum(df: DataFrame, stratum: String, id: String,
+      weight: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(col("__key").desc, col(id).asc)
+    df.filter(col(weight).cast("double") > 0.0d)
+      .select(col(stratum), col(id), col(weight),
+        aresKey(col(id), col(weight)).as("__key"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(stratum), col(id), col(weight), col("rank").cast("long").as("rank"))
+  }
+
+  /** Population Stability Index between two corpus snapshots — the
+    * standard drift monitor for an ingest pipeline: for each category
+    * of `feature`, PSI_c = (p_a − p_b)·ln(p_a/p_b) with add-½
+    * smoothing over the union of categories (so a category present in
+    * only one snapshot contributes a finite term instead of ∞).
+    * Σ PSI_c < 0.1 is conventionally "no shift", > 0.25 "major shift".
+    * Output: one row per category — (feature value, n_a, n_b, psi) —
+    * so the report shows WHICH categories moved, not just the total.
+    *
+    * Scale shape: two aggregations bounded at |categories| rows, a
+    * full-outer join on the category, and two 1-row totals broadcast;
+    * the snapshots themselves are never joined row-to-row. */
+  def psiDrift(a: DataFrame, b: DataFrame, feature: String): DataFrame =
+    psiDriftFromCounts(
+      a.groupBy(col(feature)).agg(count(lit(1)).as("n_a")),
+      b.groupBy(col(feature)).agg(count(lit(1)).as("n_b")), feature)
+
+  /** The PSI arithmetic over two PRE-AGGREGATED category histograms —
+    * `ca` with (feature, n_a), `cb` with (feature, n_b). This is the
+    * form a per-batch stream monitor calls: aggregate the reference
+    * corpus ONCE, persist the (tiny) histogram, and compare each
+    * arriving micro-batch against it — never re-scan the reference per
+    * trigger ([[graft.streaming.StreamingQueries.psiMonitorBatch]]). */
+  def psiDriftFromCounts(ca: DataFrame, cb: DataFrame, feature: String): DataFrame = {
+    require(ca.columns.contains("n_a") && cb.columns.contains("n_b"),
+      "ca needs (feature, n_a), cb needs (feature, n_b)")
+    val cats = ca.join(cb, Seq(feature), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val nc = cats.agg(count(lit(1)).as("__c"))
+    val tots = cats.agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    cats.crossJoin(broadcast(nc)).crossJoin(broadcast(tots))
+      .select(col(feature), col("n_a"), col("n_b"),
+        round((
+          (col("n_a") + 0.5d) / (col("__ta") + col("__c") * 0.5d) -
+          (col("n_b") + 0.5d) / (col("__tb") + col("__c") * 0.5d)) *
+          log(((col("n_a") + 0.5d) / (col("__ta") + col("__c") * 0.5d)) /
+              ((col("n_b") + 0.5d) / (col("__tb") + col("__c") * 0.5d))),
+          6).as("psi"))
+  }
+
+  /** Unicode normalization — the first transform of every multilingual
+    * ingest: NFC composition (byte-level dedup keys must not distinguish
+    * 'é' from 'e'+U+0301) and an accent-folded form (NFD, combining
+    * marks removed — the matching key for language-id and URL/domain
+    * comparisons). Characters without a combining-mark decomposition
+    * (ß, Ł, œ) pass through the fold unchanged, matching utf8proc-based
+    * engines. Output: (id, nfc_text, folded_text).
+    *
+    * Scale shape: a per-partition mapPartitions kernel (java.text
+    * .Normalizer has no Catalyst equivalent) — shuffle-free, one
+    * compiled regex per partition, streams rows without
+    * materializing the partition. */
+  def unicodeNormalize(df: DataFrame, id: String, text: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val marks = "\\p{M}+"
+    df.select(col(id).cast("long"), coalesce(col(text), lit("")).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import java.text.Normalizer
+        val re = marks.r
+        it.map { case (i, s) =>
+          val nfc = Normalizer.normalize(s, Normalizer.Form.NFC)
+          val folded = re.replaceAllIn(Normalizer.normalize(s, Normalizer.Form.NFD), "")
+          (i, nfc, folded)
+        }
+      }
+      .toDF(id, "nfc_text", "folded_text")
+  }
+
+  // ---------- collocation mining ----------
+
+  /** Top-K collocations by pointwise mutual information — the classic
+    * corpus-mining pass (Church & Hanks, 1990) behind phrase
+    * vocabularies and tokenizer merge seeding: for each adjacent token
+    * pair seen ≥ `minCount` times, PMI = ln(p(w1,w2) / (p(w1)·p(w2)))
+    * with p over total token / bigram occurrences, ranked descending.
+    * Ties break on (w1, w2) byte order so the cut is deterministic
+    * (ASCII-identical across engines; see the BPE ordering note for
+    * the non-ASCII caveat). Output: (w1, w2, c12, pmi).
+    *
+    * Scale shape: unigram and bigram counts are keyed aggregations
+    * with map-side combine, persisted so the totals (which are sums
+    * OVER those bounded tables, not corpus re-scans) and the candidate
+    * join reuse them; the two unigram-count joins are plain equi-joins
+    * on the token key (AQE broadcasts a small vocabulary at runtime);
+    * the final rank is orderBy+limit → TakeOrderedAndProject
+    * (per-partition heaps, no global sort). The corpus is scanned
+    * twice (once per gram order), never joined row-to-row. The PMI
+    * arithmetic is pure double division/log in a fixed op order, so an
+    * external engine reproduces the exact ranking doubles. */
+  def pmiCollocations(df: DataFrame, text: String,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toksDf = df.select(tokens(coalesce(col(text), lit(""))).as("__t"))
+    val uni = toksDf.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__cu"))
+      .persist()
+    val biAll = toksDf.filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
+    val n = uni.agg(sum(col("__cu")).as("__n"))
+    val nb = biAll.agg(sum(col("c12")).as("__nb"))
+    val pmi =
+      log((col("c12").cast("double") / col("__nb").cast("double")) /
+        ((col("__c1").cast("double") / col("__n").cast("double")) *
+         (col("__c2").cast("double") / col("__n").cast("double"))))
+    biAll.filter(col("c12") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("__cu").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__cu").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"), pmi.as("__pmi"))
+      .orderBy(col("__pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c12"), round(col("__pmi"), 4).as("pmi"))
+  }
+
+  // ---------- term blocklist filtering ----------
+
+  /** Term-blocklist content filter — the bad-words curation gate
+    * (Jigsaw/LDNOOBW-style lists): count occurrences of blocklisted
+    * terms (single words and two-word phrases, case-insensitive, on
+    * token boundaries) and keep documents with at most `maxHits`.
+    * Flag, not drop — (id, n_tokens, n_bad, kept 0/1) — so the caller
+    * can quarantine or sample the rejects.
+    *
+    * Scale shape: blocklists are KBs — both term sets ride the task
+    * closure; matching is a per-row kernel (lowercase tokens → hash-set
+    * membership for singles, adjacent-pair lookup for phrases — the
+    * two-word-bounded form of an Aho-Corasick scan), shuffle-free over
+    * the corpus wherever it already lives; only a narrow test-scale
+    * input is first spread ([[graft.ops.Spread.widen]]). Never a
+    * per-row scan over the term list. */
+  def blocklistFilter(df: DataFrame, id: String, text: String,
+      terms: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(maxHits >= 0L, s"maxHits must be >= 0, got $maxHits")
+    val norm = terms.map(t =>
+      t.trim.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty).toSeq)
+    require(norm.forall(t => t.nonEmpty && t.size <= 2),
+      "each term must be one or two words")
+    val singles = norm.filter(_.size == 1).map(_.head).toSet
+    val pairs = norm.filter(_.size == 2).map(_.mkString(" ")).toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.ops.Spread.widen(
+        df.select(col(id).cast("long"), coalesce(col(text), lit("")).cast("string")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, s) =>
+          val toks = s.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+          var bad = 0L
+          var i = 0
+          while (i < toks.length) {
+            if (singles.contains(toks(i))) bad += 1L
+            if (i >= 1 && pairs.contains(toks(i - 1) + " " + toks(i))) bad += 1L
+            i += 1
+          }
+          (docId, toks.length.toLong, bad, if (bad <= maxHits) 1L else 0L)
+        }
+      }
+      .toDF(id, "n_tokens", "n_bad", "kept")
+  }
+
+  // ---------- soft dedup / novelty / vocabulary spectrum ----------
+
+  /** Tie-safe 4-decimal cut used by the operators below: floor(x·1e4 +
+    * 0.5) in doubles on BOTH engines — Spark round() (decimal-string
+    * HALF_UP) and DuckDB round() (binary) disagree exactly at the
+    * .00005 ties these small-integer ratios land on. */
+  private[graft] def cut4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Soft deduplication — reweight common content instead of dropping
+    * it (the SoftDeDup/SlimPajama curation move): a document whose word
+    * n-grams each appear in many other documents is "common" and gets a
+    * proportionally smaller sampling weight; pristine-unique content
+    * keeps weight 1.0. Commonness = mean corpus document-frequency of
+    * the doc's DISTINCT n-grams (≥ 1); weight = 1/commonness ∈ (0, 1].
+    * Unlike hard dedup ([[dedupExact]], minhash) nothing is removed —
+    * the weight column feeds [[weightedSample]]/[[mixtureWeights]]-style
+    * downstream sampling, which is how you keep one Wikipedia while not
+    * training on it 8000 times.
+    *
+    * Scale shape: distinct-per-doc grams are exploded once
+    * (array_distinct BEFORE the explode — the dedup is map-side), the
+    * gram document-frequency table is a keyed agg with map-side partial
+    * combine, and the df lookup is an equi-join on the gram hash
+    * partitioning Catalyst already produced for the agg (exchange
+    * reuse) — linear rows, no pairwise term anywhere. The (sum_df,
+    * n_grams) pair aggregates as exact longs; the ratio is cut to 4
+    * decimals with the tie-safe floor form on both engines. */
+  def softDedupWeights(df: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    // tokens() is projected to an attribute BEFORE wordGrams (a HOF
+    // lambda re-evaluates any non-attribute subtree per element — the
+    // fused form re-splits the text once per gram, measured 2.7× at
+    // sf0.1), and what shuffles to the df agg + join is the gram's
+    // 64-bit hash, never the n-word string (the q_dup_spans rule:
+    // hash-collision-exact at ≪10⁻⁹ for billions of grams)
+    val grams = df.select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), explode(array_distinct(wordGrams(col("__ts"), n))).as("__s"))
+      .select(col(id), xxhash64(col("__s")).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(dfreq, Seq("__g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__ng"), sum(col("__df")).as("__sumdf"))
+    df.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__ng"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(cut4(col("__sumdf").cast("double") / col("__ng").cast("double")),
+          lit(1.0)).as("commonness"),
+        coalesce(cut4(col("__ng").cast("double") / col("__sumdf").cast("double")),
+          lit(1.0)).as("weight"))
+  }
+
+  /** n-gram novelty — the inverse lens of [[softDedupWeights]]: the
+    * fraction of a document's distinct word n-grams that occur in NO
+    * other document (global document frequency exactly 1). High-novelty
+    * docs carry content the corpus has nowhere else — the "keep at any
+    * cost" tail of a curation pass; near-zero novelty means the doc is
+    * reconstructible from the rest of the corpus (boilerplate, mirrors,
+    * template spam). Docs too short to form a single n-gram report
+    * (0, 0, 0.0).
+    *
+    * Scale shape: identical lineage to [[softDedupWeights]] — one
+    * map-side-distinct gram explode, one df agg, one exchange-reused
+    * equi-join, one per-doc re-agg; the novelty ratio is exact-long
+    * arithmetic until the final tie-safe 4-decimal cut. */
+  def ngramNovelty(df: DataFrame, id: String, text: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    // same tokens-to-attribute projection + 64-bit gram hashing as
+    // softDedupWeights (HOF lambdas re-evaluate non-attribute subtrees
+    // per element; hashes shuffle, strings don't)
+    val grams = df.select(col(id), tokens(col(text)).as("__ts"))
+      .select(col(id), explode(array_distinct(wordGrams(col("__ts"), n))).as("__s"))
+      .select(col(id), xxhash64(col("__s")).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(dfreq, Seq("__g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__df") === 1L, lit(1L)).otherwise(lit(0L))).as("__nov"))
+    df.select(col(id)).join(per, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__ng"), lit(0L)).cast("long").as("n_grams"),
+        coalesce(col("__nov"), lit(0L)).cast("long").as("novel_grams"),
+        coalesce(cut4(col("__nov").cast("double") / col("__ng").cast("double")),
+          lit(0.0)).as("novelty"))
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary rate: build the corpus's
+    * top-`vocabK` token vocabulary (by total frequency, ties to the
+    * lexicographically smaller token so the cutoff is deterministic),
+    * then score every document by the fraction of its token
+    * OCCURRENCES outside that vocabulary — the tokenizer-fit /
+    * domain-mismatch signal (a doc full of OOV tokens is boilerplate,
+    * another language, or markup the cleaner missed). Output:
+    * (id, n_tokens, oov_tokens, oov_rate) over the full corpus
+    * (token-less docs score 0.0).
+    *
+    * Scale shape: one (doc, token) hash agg over the corpus scan, a
+    * vocabulary-sized total agg cut by a distributed
+    * TakeOrderedAndProject (never a global vocabulary sort), and the
+    * `vocabK`-bounded vocab BROADCAST back against the per-doc term
+    * table — the corpus shuffles only as (doc, token, count) rows,
+    * and the final per-doc agg is keyed on the id. */
+  def oovRate(df: DataFrame, id: String, text: String, vocabK: Int = 100): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val tf = df.select(col(id).as("__id"), explode(tokens(col(text))).as("__w"))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__c"))
+    val vocab = tf.groupBy(col("__w")).agg(sum(col("__c")).as("__g"))
+      .orderBy(col("__g").desc, col("__w").asc).limit(vocabK)
+      .select(col("__w").as("__v"))
+    val per = tf.join(broadcast(vocab), col("__w") === col("__v"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).cast("long").as("n_tokens"),
+        sum(when(col("__v").isNull, col("__c")).otherwise(lit(0L))).cast("long").as("oov_tokens"))
+      .withColumnRenamed("__id", "__pid")
+    df.select(col(id))
+      .join(per, col(id) === col("__pid"), "left")
+      .select(col(id),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"))
+      .withColumn("oov_rate", cut4(col("oov_tokens").cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double")))
+  }
+
+  /** Zipf rank–frequency spectrum — the corpus-health diagnostic: OLS
+    * slope of log10(freq) against log10(rank) over the top-`topK`
+    * vocabulary (natural text sits near −1; slope drifting toward 0
+    * flags template/boilerplate floods, much steeper flags vocabulary
+    * collapse). One row: (slope, intercept, top_k, n_types, n_tokens).
+    *
+    * Cross-engine determinism: each per-rank OLS component
+    * (log10 r, log10 f, and their products) is quantized to integer
+    * MICROS (floor(x·1e6 + 0.5) — the tie-safe form) and summed as
+    * exact longs, so the driver-side arithmetic sees bit-identical
+    * inputs regardless of summation order; the slope itself is then cut
+    * to 4 decimals. Tied frequencies make the (rank, freq) multiset —
+    * and hence every sum — invariant to HOW ties are broken, so engine
+    * collation differences can't shift the answer, including at the
+    * top-K cutoff.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (a keyed agg
+    * with map-side combine over the corpus scan), the top-K cut is a
+    * distributed TakeOrderedAndProject (never a global sort of the
+    * vocabulary), and the window that assigns ranks runs over exactly
+    * `topK` surviving rows. */
+  def zipfSlope(df: DataFrame, text: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val freq = df.select(explode(tokens(col(text))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val totals = freq.agg(count(lit(1)).cast("long").as("n_types"),
+      sum(col("__c")).cast("long").as("n_tokens"))
+    val top = freq.orderBy(col("__c").desc, col("__w").asc).limit(topK)
+    val ranked = top.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c").desc, col("__w").asc))
+        .cast("double"))
+    val lx = log10(col("__r"))
+    val ly = log10(col("__c").cast("double"))
+    def micros(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val s = ranked.select(micros(lx).as("__x"), micros(ly).as("__y"),
+        micros(lx * lx).as("__xx"), micros(lx * ly).as("__xy"))
+      .agg(count(lit(1)).as("__k"), sum(col("__x")).as("__sxl"),
+        sum(col("__y")).as("__syl"), sum(col("__xx")).as("__sxxl"),
+        sum(col("__xy")).as("__sxyl"))
+    val k = col("__k").cast("double")
+    val sx = col("__sxl").cast("double") / lit(1e6)
+    val sy = col("__syl").cast("double") / lit(1e6)
+    val sxx = col("__sxxl").cast("double") / lit(1e6)
+    val sxy = col("__sxyl").cast("double") / lit(1e6)
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    s.crossJoin(broadcast(totals))
+      .select(cut4(slope).as("slope"),
+        cut4((sy - slope * sx) / k).as("intercept"),
+        col("__k").cast("long").as("top_k"),
+        col("n_types"), col("n_tokens"))
+  }
+
+  // ---------- edit-distance near-dup (PassJoin blocking) ----------
+
+  /** Even k+1-way partition of a length-`len` string: segment i
+    * (0-based) gets length ⌊len/(k+1)⌋, with the remainder spread over
+    * the LAST `len mod (k+1)` segments. Returns (start, len) pairs,
+    * 0-based starts. Both the index and probe sides derive layouts
+    * from this one function, so the equi-join keys line up exactly. */
+  private def segLayout(len: Int, k: Int): Array[(Int, Int)] = {
+    val parts = k + 1
+    val base = len / parts
+    val rem = len % parts
+    val out = new Array[(Int, Int)](parts)
+    var start = 0
+    var i = 0
+    while (i < parts) {
+      val l = if (i >= parts - rem) base + 1 else base
+      out(i) = (start, l)
+      start += l
+      i += 1
+    }
+    out
+  }
+
+  /** Typo-level near-duplicate pairs: documents whose lowercased
+    * `prefixLen`-char text prefixes are within `k` Levenshtein edits.
+    * Emits (a_id, b_id, dist) with a_id < b_id; only prefixes of at
+    * least `minLen` (> 2k, so no zero-length segment exists) chars
+    * participate.
+    *
+    * Blocking is the PassJoin pigeonhole (Li/Deng/Feng 2011, public
+    * algorithm): partition each string into k+1 contiguous segments —
+    * k edits can corrupt at most k of them, so any string within k
+    * edits contains at least one segment VERBATIM, displaced at most k
+    * positions. Each row therefore emits k+1 index keys
+    * (segment, i, len) and, for every candidate indexed length
+    * ℓ ∈ [m−k, m], the O(k) substrings of itself that could match
+    * segment i of a length-ℓ string — a constant number of short keys
+    * per row. Candidates come from one hash equi-join on those keys
+    * (never an all-pairs product); the exact Levenshtein verify
+    * (Spark's codegen'd levenshtein) runs only on the deduped
+    * candidate set. Probing only ℓ ≤ m orients each pair
+    * shorter←longer exactly once (equal lengths are caught twice and
+    * deduped).
+    *
+    * Scale shape: linear emit per row, hash join on ≤ prefixLen-char
+    * segment strings, broadcast nothing; the verify set is the join
+    * output, which the pigeonhole bound keeps near the true-pair count
+    * for natural text. */
+  def editDupes(df: DataFrame, id: String, text: String, k: Int = 2,
+      prefixLen: Int = 64, minLen: Int = 8): DataFrame = {
+    require(minLen > 2 * k, s"minLen ($minLen) must exceed 2k (${2 * k})")
+    val base = df
+      .select(col(id).cast("long").as("__id"),
+        lower(substring(col(text), 1, prefixLen)).as("__s"))
+      .filter(length(col("__s")) >= minLen)
+    val segEnc = Encoders.row(StructType(Seq(
+      StructField("__seg", StringType), StructField("__i", IntegerType),
+      StructField("__l", IntegerType), StructField("__id", LongType),
+      StructField("__s", StringType))))
+    val index = base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idv = r.getLong(0); val s = r.getString(1)
+        segLayout(s.length, k).iterator.zipWithIndex.map { case ((p, l), i) =>
+          Row(s.substring(p, p + l), i, s.length, idv, s)
+        }
+      }
+    }(segEnc)
+    val probe = base.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val idv = r.getLong(0); val s = r.getString(1); val m = s.length
+        for {
+          lt <- (math.max(minLen, m - k) to m).iterator
+          ((p, l), i) <- segLayout(lt, k).iterator.zipWithIndex
+          start <- (math.max(0, p - k) to math.min(m - l, p + k)).iterator
+        } yield Row(s.substring(start, start + l), i, lt, idv, s)
+      }
+    }(segEnc)
+    val cand = probe.toDF("__seg", "__i", "__l", "__pid", "__ps")
+      .join(index.toDF("__seg", "__i", "__l", "__iid", "__is"),
+        Seq("__seg", "__i", "__l"))
+      .filter(col("__pid") =!= col("__iid"))
+      .select(
+        least(col("__pid"), col("__iid")).as("a_id"),
+        greatest(col("__pid"), col("__iid")).as("b_id"),
+        when(col("__pid") < col("__iid"), col("__ps")).otherwise(col("__is")).as("__a"),
+        when(col("__pid") < col("__iid"), col("__is")).otherwise(col("__ps")).as("__b"))
+      .distinct()
+    // 3-arg levenshtein abandons a pair the moment the running band
+    // exceeds k (returns -1): O(k·len) per candidate instead of O(len²)
+    cand
+      .withColumn("dist", levenshtein(col("__a"), col("__b"), k).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  // ---------- content-defined chunking (gear-hash CDC) ----------
+
+  /** Content-defined chunking over `text` with a windowed gear hash —
+    * the storage-dedup primitive (FastCDC-family, public algorithm)
+    * applied to corpus text: boundaries depend only on local content,
+    * so an insertion early in a document shifts chunk OFFSETS but not
+    * chunk IDENTITIES, which fixed-size blocking cannot do. A cut is
+    * placed after 1-based position `pos ≥ window` whenever
+    * (Σ_{j=0..W−1} gear(c_{pos−j})·2^j mod 2⁶³) ≡ 0 (mod `modulus`),
+    * with gear(c) = ascii(c)·2654435761. The hash is DEFINED mod 2⁶³
+    * on both engines: the Scala rolling recurrence is exact mod 2⁶⁴
+    * (Long wrap-around, a homomorphism onto mod 2⁶³ via the final
+    * mask) and the SQL oracle reduces its HUGEINT sum mod 2⁶³ — so
+    * windows up to 52 are bit-identical across engines even where the
+    * unreduced sum would exceed 2⁶³ (non-ASCII text or wide windows).
+    * Expected chunk length ≈ `modulus` chars. The
+    * final position always closes the last chunk. Docs shorter than
+    * `window` chars are skipped.
+    *
+    * Emits one row per chunk: (id, chunk_idx (1-based), chunk_len,
+    * chunk_hash, dup_cnt) where chunk_hash is the portable polynomial
+    * hash (DedupQueries.polyHashS) and dup_cnt counts occurrences of
+    * the identical chunk TEXT across the whole corpus — dup_cnt > 1
+    * marks content shareable under chunk-level dedup.
+    *
+    * Scale shape: an O(len) rolling kernel per document wherever it
+    * already lives (no shuffle to compute boundaries), then ONE keyed
+    * agg on chunk text with map-side partial combine and an equi-join
+    * back — the same skew-safe shape as [[lineDedup]]; a chunk
+    * repeated 10⁹ times collapses per-task before the shuffle. */
+  def cdcChunks(df: DataFrame, id: String, text: String, window: Int = 16,
+      modulus: Long = 64L): DataFrame = {
+    val chunks = cdcChunkRows(df, id, text, window, modulus)
+    val dups = chunks.groupBy(col("__ctext")).agg(count(lit(1)).as("dup_cnt"))
+    chunks.join(dups, Seq("__ctext"))
+      .select(col("__id").as(id), col("chunk_idx"), col("chunk_len"),
+        col("chunk_hash"), col("dup_cnt"))
+  }
+
+  /** The shared CDC kernel behind [[cdcChunks]] and the streaming
+    * [[graft.streaming.IncrementalChunkStore]]: one row per chunk —
+    * (__id, chunk_idx, chunk_len, chunk_hash (portable 31-bit),
+    * chunk_fp (FNV-1a 64-bit store fingerprint), __ctext). */
+  private[graft] def cdcChunkRows(df: DataFrame, id: String, text: String,
+      window: Int, modulus: Long): DataFrame = {
+    require(window >= 2 && window <= 52, s"window must be in [2,52], got $window")
+    val enc = Encoders.row(StructType(Seq(
+      StructField("__id", LongType), StructField("chunk_idx", IntegerType),
+      StructField("chunk_len", LongType), StructField("chunk_hash", LongType),
+      StructField("chunk_fp", LongType), StructField("__ctext", StringType))))
+    df.select(col(id).cast("long").as("__id"), col(text))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) Iterator.empty
+          else {
+            val s = r.getString(1)
+            val n = s.length
+            if (n < window) Iterator.empty
+            else {
+              val idv = r.getLong(0)
+              val topW = 1L << (window - 1)
+              var h = 0L
+              var i = 0
+              while (i < window) { h = (h << 1) + s.charAt(i).toLong * 2654435761L; i += 1 }
+              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+              var cstart = 0 // 0-based exclusive-start of the open chunk
+              var idx = 1
+              var pos = window // 1-based position of the newest window char
+              while (pos <= n) {
+                // mask to 63 bits: (h mod 2^64) & MaxValue = true-sum mod 2^63
+                if ((h & Long.MaxValue) % modulus == 0L || pos == n) {
+                  val ctext = s.substring(cstart, pos)
+                  out += Row(idv, idx, ctext.length.toLong,
+                    graft.ops.DedupQueries.polyHashS(ctext),
+                    graft.ops.DedupQueries.fnv64(ctext), ctext)
+                  cstart = pos
+                  idx += 1
+                }
+                if (pos < n) {
+                  h = ((h - s.charAt(pos - window).toLong * 2654435761L * topW) << 1) +
+                    s.charAt(pos).toLong * 2654435761L
+                }
+                pos += 1
+              }
+              out.iterator
+            }
+          }
+        }
+      }(enc)
+  }
+}
