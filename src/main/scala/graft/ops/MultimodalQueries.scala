@@ -534,28 +534,60 @@ object MultimodalQueries {
     * VERBATIM equal — complete for the threshold), so pairing is an
     * equi-join on (band, value), never all-pairs; the exact popcount
     * verify runs on candidates only — the [[DedupQueries.simhashOn]]
-    * machinery at image granularity. */
+    * machinery at image granularity.
+    *
+    * Scale shape: the banding join runs over the DISTINCT signature
+    * space, not the corpus — duplicate-heavy data collapses before any
+    * quadratic step (the sf1 audit: 50k docs → 8.9k hashes; banding
+    * docs directly put 290M candidate pairs through the verify because
+    * one-byte bands saturate at 256 values, 78 s → banding hashes cuts
+    * candidates ~250×). Doc multiplicity re-enters only through two
+    * output-bounded joins: same-hash groups expand to their own
+    * hamming-0 pairs, and verified cross-hash pairs expand to member
+    * docs — both ∝ the result size, which is the floor for a
+    * materialize-all-pairs operator. If the distinct-signature space
+    * itself outgrows the 256-value bands (no duplication to collapse),
+    * widen them: completeness needs only PhashHam + 1 bands. */
   def qPhashDupes(spark: SparkSession, dir: String): DataFrame = {
     val ph = qPhash(spark, dir)
+    val hashes = ph.select(col("phash_lo"), col("phash_hi")).distinct()
     val bandExprs = (0 until 8).map { j =>
       val src = if (j < 4) col("phash_lo") else col("phash_hi")
       shiftright(src, 8 * (j % 4)).bitwiseAND(lit(255L))
     }
-    val bands = ph.select(col("doc_id"), col("phash_lo"), col("phash_hi"),
+    val bands = hashes.select(col("phash_lo"), col("phash_hi"),
       posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    val cand = bands.as("a").join(bands.as("b"),
+    // strict lexicographic order on the hash pair: each unordered pair
+    // of DISTINCT hashes is generated once per shared band, deduped
+    val candHash = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.phash_lo").as("__la"), col("a.phash_hi").as("__ha"),
+          (col("a.phash_lo") < col("b.phash_lo") ||
+            (col("a.phash_lo") === col("b.phash_lo") &&
+              col("a.phash_hi") < col("b.phash_hi"))))
+      .select(col("a.phash_lo").as("__la"), col("a.phash_hi").as("__ha"),
         col("b.phash_lo").as("__lb"), col("b.phash_hi").as("__hb"))
       .distinct()
-    cand
+    val nearHash = candHash
       .withColumn("hamming",
         expr("bit_count(__la ^ __lb) + bit_count(__ha ^ __hb)").cast("long"))
       .filter(col("hamming") <= PhashHam)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // expansion 1: docs sharing a signature are hamming-0 pairs
+    val samePairs = ph.as("a").join(ph.as("b"),
+        col("a.phash_lo") === col("b.phash_lo") &&
+          col("a.phash_hi") === col("b.phash_hi") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // expansion 2: verified cross-hash pairs × their member docs
+    val crossPairs = nearHash
+      .join(ph.select(col("doc_id").as("__ida"),
+        col("phash_lo").as("__la"), col("phash_hi").as("__ha")), Seq("__la", "__ha"))
+      .join(ph.select(col("doc_id").as("__idb"),
+        col("phash_lo").as("__lb"), col("phash_hi").as("__hb")), Seq("__lb", "__hb"))
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"), col("hamming"))
+    samePairs.unionByName(crossPairs)
   }
 
   /** Quadratic pairwise reference (fine at the gate's sf0.01; the

@@ -40,18 +40,10 @@ class IncrementalChunkStoreSpec extends SparkTestBase {
       s"CDC resync failed: $novel3 novel chars for a 14-char prefix edit")
   }
 
-  test("total novelty is invariant under batch boundaries") {
-    val docs = (1L to 12L).map(i => i -> (rnd(i.toInt % 4, 800) + rnd(100 + i.toInt, 200)))
-    def totalNovel(splits: Seq[Seq[(Long, String)]]): Long = {
-      val store = Files.createTempDirectory("chunkstore-inv-").toString
-      splits.map(s => admit(s, store).agg(sum("novel_chars")).collect().head.getLong(0)).sum
-    }
-    val oneShot = totalNovel(Seq(docs))
-    val twoBatches = totalNovel(Seq(docs.take(5), docs.drop(5)))
-    val fourBatches = totalNovel(Seq(docs.take(3), docs.slice(3, 6), docs.slice(6, 9), docs.drop(9)))
-    assert(oneShot === twoBatches, s"$oneShot vs $twoBatches")
-    assert(oneShot === fourBatches, s"$oneShot vs $fourBatches")
-  }
+  // Batch-boundary invariance of total novelty is covered (in stronger,
+  // chunk-set form) by the shared StoreContractSpec harness: Σ novel
+  // chars == Σ chunk_len over the stored keys, so key-set invariance
+  // implies the old novelty-sum assertion.
 
   test("replayed batch reports zero novelty and leaves the store unchanged") {
     val store = Files.createTempDirectory("chunkstore-replay-").toString

@@ -40,38 +40,9 @@ class IncrementalReservoirSpec extends SparkTestBase {
     }
   }
 
-  test("replayed batch leaves the store unchanged (at-least-once safety)") {
-    val store = Files.createTempDirectory("resv-replay-").toString
-    IncrementalReservoir.init(spark, store)
-    IncrementalReservoir.admitBatch(docs(0, 80), "lang", "doc_id", "w", 7, store)
-    val after1 = sampleSet(IncrementalReservoir.current(spark, store))
-    IncrementalReservoir.admitBatch(docs(0, 80), "lang", "doc_id", "w", 7, store)
-    assert(sampleSet(IncrementalReservoir.current(spark, store)) === after1)
-    // evicted rows can never re-enter: offering them again changes nothing
-    IncrementalReservoir.admitBatch(docs(0, 40), "lang", "doc_id", "w", 7, store)
-    assert(sampleSet(IncrementalReservoir.current(spark, store)) === after1)
-  }
-
-  test("a crash between the swap renames rolls forward on next entry") {
-    val store = Files.createTempDirectory("resv-crash-").toString
-    IncrementalReservoir.init(spark, store)
-    IncrementalReservoir.admitBatch(docs(0, 60), "lang", "doc_id", "w", 5, store)
-    val before = sampleSet(IncrementalReservoir.current(spark, store))
-    // simulate: live moved aside, new dir never swapped in
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$store/sample"),
-      new org.apache.hadoop.fs.Path(s"$store/__old_sample")))
-    assert(sampleSet(IncrementalReservoir.current(spark, store)) === before,
-      "recover() must restore the moved-aside store")
-    // and the next admit proceeds normally
-    val got = sampleSet(
-      IncrementalReservoir.admitBatch(docs(60, 100), "lang", "doc_id", "w", 5, store))
-    val want = sampleSet(
-      Graft.weightedSamplePerStratum(docs(0, 100), "lang", "doc_id", "w", 5)
-        .toDF("stratum", "id", "weight", "rank"))
-    assert(got === want)
-  }
+  // Replay idempotence (incl. re-offering evicted rows) and the
+  // rename-window crash roll-forward are covered by the shared
+  // StoreContractSpec harness.
 
   test("zero and negative weights are never admitted") {
     val store = Files.createTempDirectory("resv-w-").toString
