@@ -109,8 +109,15 @@ object Bench {
     // full runs persist — a BENCH_ONLY isolation run must not clobber
     // the full-run artifact the drift gate reads.
     if (only.isEmpty) try {
+      // sf1 runs persist to their own artifact by default: clobbering
+      // target/bench_last.json would poison the sf0.1 drift fallback
+      // with ~10x numbers, and check_bench_drift.py --sf1 reads
+      // bench_sf1_last.json
+      val defaultOut =
+        if (sfDir.replaceAll("/+$", "").endsWith("sf1")) "target/bench_sf1_last.json"
+        else "target/bench_last.json"
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     } catch { case e: Throwable =>

@@ -549,7 +549,13 @@ object MultimodalQueries {
     * itself outgrows the 256-value bands (no duplication to collapse),
     * widen them: completeness needs only PhashHam + 1 bands. */
   def qPhashDupes(spark: SparkSession, dir: String): DataFrame = {
-    val ph = qPhash(spark, dir)
+    // eager checkpoint: (doc_id, lo, hi) is 24 B/doc, but its subtree
+    // is the full decode+resample pipeline and this plan consumes it
+    // five times (distinct-hash table, both sides of the same-hash
+    // self-join, both expansion joins) — without materialization each
+    // consumer re-decodes the corpus (exchange reuse is not guaranteed
+    // across the differing projections)
+    val ph = qPhash(spark, dir).localCheckpoint(true)
     val hashes = ph.select(col("phash_lo"), col("phash_hi")).distinct()
     val bandExprs = (0 until 8).map { j =>
       val src = if (j < 4) col("phash_lo") else col("phash_hi")

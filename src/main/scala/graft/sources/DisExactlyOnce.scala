@@ -31,6 +31,14 @@ import org.apache.spark.sql.types._
   * be fully enveloped, pass `strict = true` to [[view]] and any
   * non-parsing key fails loudly instead of passing through.
   *
+  * Upgrade caveat: v1 and v2 identities never collide BY DESIGN, which
+  * also means a batch written as v1, crashed before its streaming
+  * commit, and REPLAYED by an upgraded (v2-writing) binary produces
+  * v2 identities that do not collapse against the v1 copies already
+  * on the wire — that batch duplicates through the view. Upgrade a
+  * live exactly-once query only at a committed checkpoint (let the
+  * old binary finish its in-flight batch first).
+  *
   * Scale shape: one per-row parse kernel (shuffle-free), then a keyed
   * keeper agg on the identity token with map-side partial combine —
   * the q_dedup_exact shape; duplicates collapse per-task before the

@@ -3,16 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Crash-safe maintenance for the append-only parquet stores the
-  * incremental-dedup operators keep ([[IncrementalDedup]],
-  * [[IncrementalEmbedDedup]]): each store is a directory of
-  * subdirectories ("subs"), rewritten via a temp dir + two renames, with
-  * roll-forward recovery on every entry point.
-  *
-  * Single-OPERATOR contract (see [[IncrementalDedup.compactStore]]):
-  * writers AND readers both call [[recover]], so none of them may run
-  * concurrently with an in-flight compaction — crash-vs-running is
-  * undecidable from the filesystem alone. */
 /** Loud in-batch admission guards shared by the Incremental* stores:
   * every admission store assumes one row per key per micro-batch —
   * violations would silently race keep-first or merge two payloads
@@ -49,6 +39,16 @@ private[streaming] object Admission {
   }
 }
 
+/** Crash-safe maintenance for the append-only parquet stores the
+  * incremental-dedup operators keep ([[IncrementalDedup]],
+  * [[IncrementalEmbedDedup]]): each store is a directory of
+  * subdirectories ("subs"), rewritten via a temp dir + two renames, with
+  * roll-forward recovery on every entry point.
+  *
+  * Single-OPERATOR contract (see [[IncrementalDedup.compactStore]]):
+  * writers AND readers both call [[recover]], so none of them may run
+  * concurrently with an in-flight compaction — crash-vs-running is
+  * undecidable from the filesystem alone. */
 private[streaming] object AtomicStore {
 
   def exists(spark: SparkSession, path: String): Boolean = {

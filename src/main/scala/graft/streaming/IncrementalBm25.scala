@@ -49,7 +49,12 @@ import org.apache.spark.sql.functions._
   * doc_id — unique per fresh set because keep-first makes fresh sets
   * disjoint), so reads fold stats by anchor. Compaction additionally
   * garbage-collects rows whose ids never committed (crashed batches
-  * that were never replayed).
+  * that were never replayed) and RECONCILES the stats row from the
+  * docstats commit record. Each individual append is assumed
+  * job-commit atomic (Spark's committer makes a partial multi-file
+  * commit a narrow window, not an impossibility); if one does land
+  * partially, the damage is bounded to a stats-delta overcount that
+  * the next compaction repairs — never lost documents.
   *
   * Scale shape: per-batch cost ∝ batch + its doc buckets' stats (the
   * pruned anti-join), never the postings history; queries read the
@@ -161,7 +166,10 @@ object IncrementalBm25 {
 
   /** One-time migration for stores written before the stats sub
     * existed: seed it with a single folded row from the docstats
-    * history. */
+    * history. Written via temp-dir + rename (the [[AtomicStore]]
+    * pattern): a crash mid-write must not leave a partial stats/ that
+    * later entries would trust as complete — that would silently
+    * corrupt N/avgdl forever. */
   private def bootstrapStats(spark: SparkSession, storeDir: String): Unit = {
     val docstatsPath = s"$storeDir/docstats"
     val statsPath = s"$storeDir/stats"
@@ -169,8 +177,14 @@ object IncrementalBm25 {
       import spark.implicits._
       val r = spark.read.parquet(docstatsPath)
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+      val tmp = s"$storeDir/__compact_stats"
+      val fs = new org.apache.hadoop.fs.Path(storeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       Seq((FoldedAnchor, r.getLong(0), r.getLong(1))).toDF("anchor", "n", "dlsum")
-        .coalesce(1).write.parquet(statsPath)
+        .coalesce(1).write.parquet(tmp)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(statsPath)), "bootstrapStats: rename failed")
     }
   }
 
@@ -239,10 +253,12 @@ object IncrementalBm25 {
   }
 
   /** Compact all subs: postings/docstats to one file per non-empty
-    * bucket, clustered by their read keys; stats folded to ONE row.
-    * Also garbage-collects rows of batches that crashed uncommitted
-    * and were never replayed (ids absent from the docstats commit
-    * record). Crash-safe via [[AtomicStore.swapIn]]. */
+    * bucket, clustered by their read keys; stats RECONCILED to one row
+    * recomputed from the docstats commit record (repairing any drift
+    * the delta log picked up — see the in-line note). Also
+    * garbage-collects rows of batches that crashed uncommitted and
+    * were never replayed (ids absent from docstats). Crash-safe via
+    * [[AtomicStore.swapIn]]. */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
     val committed =
@@ -257,26 +273,26 @@ object IncrementalBm25 {
         .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
         .write.partitionBy("bucket").parquet(tmp)
     }
-    AtomicStore.swapIn(spark, storeDir, "stats") { (live, tmp) =>
-      val deduped = spark.read.parquet(live)
-        .groupBy(col("anchor")).agg(first(col("n")).as("n"), first(col("dlsum")).as("dlsum"))
-      // an uncommitted batch's delta has a real-doc anchor that never
-      // reached docstats — drop it (the replay will re-append it); the
-      // FoldedAnchor row from an earlier compaction is always kept
-      val kept = deduped.filter(col("anchor") === FoldedAnchor).unionByName(
-        deduped.filter(col("anchor") =!= FoldedAnchor)
-          .join(committed.select(col("doc_id").as("anchor")), Seq("anchor"), "left_semi"))
-      kept.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-          coalesce(sum(col("dlsum")), lit(0L)).as("dlsum"))
-        .select(lit(FoldedAnchor).as("anchor"), col("n"), col("dlsum"))
-        .coalesce(1).write.parquet(tmp)
-    }
     AtomicStore.swapIn(spark, storeDir, "docstats") { (live, tmp) =>
       spark.read.parquet(live)
         .select(col("doc_id"), col("dl"), col("dbucket")).distinct()
         .repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(tmp)
+    }
+    // stats are RECONCILED, not folded: recompute the single row from
+    // the (just-compacted) docstats commit record. Folding the deltas
+    // would preserve any drift the deltas picked up — e.g. a docstats
+    // job commit that landed PARTIALLY (non-atomic multi-file rename)
+    // splits one fresh set between committed and replayed, and the
+    // replay's second delta double-counts the committed part. Between
+    // compactions that window is open (appends are assumed job-commit
+    // atomic, the store-wide assumption); compaction closes it.
+    AtomicStore.swapIn(spark, storeDir, "stats") { (_, tmp) =>
+      spark.read.parquet(s"$storeDir/docstats")
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("dlsum"))
+        .select(lit(FoldedAnchor).as("anchor"), col("n"), col("dlsum"))
+        .coalesce(1).write.parquet(tmp)
     }
     committed.unpersist()
   }

@@ -70,8 +70,13 @@ object IncrementalReservoir {
         Graft.aresKey(col(id), col(weight)).as("__key"))
     // exact re-offers (replays) are identical rows by contract; a
     // CONFLICTING weight for a (stratum, id) — in the batch or against
-    // the store — would be resolved arbitrarily by dropDuplicates, so
-    // it fails loudly instead (store side is ≤ k rows per stratum)
+    // the LIVE store rows — would be resolved arbitrarily by
+    // dropDuplicates, so it fails loudly instead (store side is ≤ k
+    // rows per stratum). Scope: the guard cannot see EVICTED ids (the
+    // store keeps only the top-k), so a conflicting re-offer of an
+    // evicted id is undetectable without remembering every id ever
+    // seen — it re-enters on its new key. Keep weights value-derived
+    // upstream and that case cannot arise.
     Admission.requireConsistent(
       spark.read.parquet(live).select(col("stratum"), col("id"), col("weight"))
         .unionByName(keyed.select(col("stratum"), col("id"), col("weight"))),
