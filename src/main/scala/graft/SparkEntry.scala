@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,7 @@ object SparkEntry {
     "q_cross_dedup"     -> DedupQueries.qCrossDedup,
     "q_bpe_encode"      -> Bpe.qBpeEncode,
     "q_bpe_bytes"       -> Bpe.qBpeBytes,
+    "q_unigram_encode"  -> Unigram.qUnigramEncode,
     "q_split_groups"    -> CoreQueries.qSplitGroups,
     "q_sample_k"        -> CoreQueries.qSampleK,
     "q_excise"          -> TextQueries.qExcise,
@@ -211,7 +212,12 @@ object SparkEntry {
     * omitted: q_bpe_encode and q_bpe_bytes — iterative argmax BPE
     * training is not ANSI-SQL-expressible; BpeSpec pins both arms
     * against sequential reference implementations (the byte arm
-    * additionally pins emoji/CJK lossless round-trips) instead. Also omitted: q_lr_classify —
+    * additionally pins emoji/CJK lossless round-trips) instead.
+    * Also omitted: q_unigram_encode — iterative Viterbi-EM unigram-LM
+    * training is not ANSI-SQL-expressible; UnigramSpec pins the
+    * distributed rounds bit-identical to the driver-side reference,
+    * the Viterbi optimum against exhaustive segmentation, and the
+    * whitespace-normalized round-trip instead. Also omitted: q_lr_classify —
     * iterative float gradient descent has no SQL oracle; LogRegSpec
     * pins local-reference parity and held-out accuracy instead. */
   def oracleSql: Map[String, String] = Map(
