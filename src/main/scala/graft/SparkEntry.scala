@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, SelectionQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, SelectionQueries, SftQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,9 @@ object SparkEntry {
     "q_window_sliding"  -> CoreQueries.qWindowSliding,
     "q_window_rank"     -> CoreQueries.qWindowRank,
     "q_sessionize"      -> CoreQueries.qSessionize,
+    "q_sft_assemble"    -> SftQueries.qSftAssemble,
+    "q_sft_spans"       -> SftQueries.qSftSpans,
+    "q_pref_pairs"      -> SftQueries.qPrefPairs,
     "q_late_data"       -> CoreQueries.qLateData,
     "q_dedup_exact"     -> CoreQueries.qDedupExact,
     "q_dedup_approx"    -> CoreQueries.qDedupApprox,
@@ -200,6 +203,32 @@ object SparkEntry {
   private val wsTokens = "list_filter(string_split(text, ' '), t -> t <> '')"
   private val stopEn = "('the','a','an','and','of','to','in','is','on','for')"
 
+  /** Shared CTE prefix of the two SFT oracles: gap-sessionized events
+    * with parity roles and the rendered chat-template turn (sid cast
+    * to BIGINT — DuckDB's windowed sum(int) is HUGEINT). */
+  private val sftTurnsCte =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type, props,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, event_id, event_type, props,
+      |    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+      |  FROM flagged
+      |), turns AS (
+      |  SELECT user_id, sid, ts, event_id, event_type, props,
+      |    row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS turn_idx
+      |  FROM sess
+      |), rendered AS (
+      |  SELECT user_id, sid, ts, event_id, turn_idx,
+      |    CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+      |    concat('<|', CASE WHEN turn_idx % 2 = 1 THEN 'user' ELSE 'assistant' END,
+      |      '|>', event_type, ' ', props) AS rendered
+      |  FROM turns
+      |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted (→ rows-only check): the
     * approximate operators whose sketch impls differ across engines —
@@ -291,6 +320,42 @@ object SparkEntry {
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  count(*)::BIGINT AS n_events, sum(value) AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q_sft_assemble" ->
+      s"""$sftTurnsCte
+        |SELECT user_id, sid, count(*)::BIGINT AS n_turns,
+        |  string_agg(rendered, '' ORDER BY ts, event_id) AS transcript,
+        |  length(string_agg(rendered, '' ORDER BY ts, event_id))::BIGINT AS transcript_chars,
+        |  sum(CASE WHEN role = 'assistant' THEN length(rendered) ELSE 0 END)::BIGINT AS assistant_chars,
+        |  floor(sum(CASE WHEN role = 'assistant' THEN length(rendered) ELSE 0 END)::DOUBLE
+        |        / greatest(length(string_agg(rendered, '' ORDER BY ts, event_id)), 1) * 1e4 + 0.5) / 1e4 AS mask_frac
+        |FROM rendered GROUP BY user_id, sid""".stripMargin,
+
+    "q_sft_spans" ->
+      s"""$sftTurnsCte
+        |SELECT user_id, sid, turn_idx, role,
+        |  coalesce(sum(length(rendered)) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS span_start,
+        |  (coalesce(sum(length(rendered)) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(rendered))::BIGINT AS span_end,
+        |  rendered
+        |FROM rendered""".stripMargin,
+
+    "q_pref_pairs" ->
+      """WITH ranked AS (
+        |  SELECT source, lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents
+        |)
+        |SELECT source, lang, ((rn + 1) // 2)::BIGINT AS pair_idx,
+        |  max(CASE WHEN rn % 2 = 1 THEN doc_id END) AS chosen_id,
+        |  max(CASE WHEN rn % 2 = 0 THEN doc_id END) AS rejected_id,
+        |  max(CASE WHEN rn % 2 = 1 THEN n_chars END) AS chosen_chars,
+        |  max(CASE WHEN rn % 2 = 0 THEN n_chars END) AS rejected_chars,
+        |  max(CASE WHEN rn % 2 = 1 THEN n_chars END)
+        |    - max(CASE WHEN rn % 2 = 0 THEN n_chars END) AS gap
+        |FROM ranked GROUP BY source, lang, (rn + 1) // 2
+        |HAVING max(CASE WHEN rn % 2 = 0 THEN doc_id END) IS NOT NULL""".stripMargin,
 
     "q_late_data" ->
       """SELECT event_id, ts, user_id FROM (

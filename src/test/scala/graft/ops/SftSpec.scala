@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Specs for the SFT data-assembly family (SftQueries). The gate
+  * hash-checks each query against DuckDB; these pin the CROSS-query
+  * invariants the per-query oracles cannot see — that the span table
+  * actually tiles the assembled transcript, character for character.
+  */
+class SftSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sft spans tile the transcript: contiguous, exact substrings, mask sums match") {
+    val spans = SftQueries.qSftSpans(spark, dir).cache()
+    val assembled = SftQueries.qSftAssemble(spark, dir).cache()
+
+    // spans are contiguous per session: span_start == prev span_end, first starts at 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"sid").orderBy($"turn_idx")
+    val gaps = spans
+      .withColumn("__prev_end", lag($"span_end", 1).over(w))
+      .filter(
+        (col("__prev_end").isNull && $"span_start" =!= 0L) ||
+        (col("__prev_end").isNotNull && $"span_start" =!= col("__prev_end")))
+      .count()
+    assert(gaps === 0L, "spans must be contiguous from offset 0")
+
+    // joined to the transcript, every span's substring equals its rendered turn
+    val joined = spans.join(assembled, Seq("user_id", "sid"))
+    val mismatches = joined.filter(
+      expr("substring(transcript, span_start + 1, span_end - span_start) <> rendered"))
+      .count()
+    assert(mismatches === 0L, "span [start,end) must cut exactly its rendered turn")
+
+    // per-session totals: last span_end == transcript_chars; assistant span
+    // lengths sum to assistant_chars
+    val totals = spans.groupBy($"user_id", $"sid").agg(
+      max($"span_end").as("last_end"),
+      count(lit(1)).as("n_turns_spans"),
+      sum(when($"role" === "assistant", $"span_end" - $"span_start").otherwise(0L))
+        .as("asst_len"))
+    val bad = totals.join(assembled, Seq("user_id", "sid")).filter(
+      $"last_end" =!= $"transcript_chars" ||
+      $"n_turns_spans" =!= $"n_turns" ||
+      $"asst_len" =!= $"assistant_chars").count()
+    assert(bad === 0L, "span totals must reconcile with the assembled summary")
+
+    // roles alternate starting at user
+    val badRole = spans.filter(
+      ($"turn_idx" % 2 === 1 && $"role" =!= "user") ||
+      ($"turn_idx" % 2 === 0 && $"role" =!= "assistant")).count()
+    assert(badRole === 0L)
+
+    spans.unpersist(); assembled.unpersist()
+  }
+
+  test("sft assemble: mask_frac bounded and zero-assistant sessions are single-turn") {
+    val assembled = SftQueries.qSftAssemble(spark, dir)
+    assert(assembled.filter($"mask_frac" < 0.0 || $"mask_frac" > 1.0).count() === 0L)
+    // a session with no assistant chars can only be a single (user) turn
+    assert(assembled.filter($"assistant_chars" === 0L && $"n_turns" > 1L).count() === 0L)
+  }
+
+  test("pref pairs: dominance, disjoint membership, stratum pair counts") {
+    val pairs = SftQueries.qPrefPairs(spark, dir).cache()
+
+    // chosen dominates rejected (ties allowed: ordering breaks on doc_id)
+    assert(pairs.filter($"chosen_chars" < $"rejected_chars").count() === 0L)
+    assert(pairs.filter($"gap" =!= $"chosen_chars" - $"rejected_chars").count() === 0L)
+
+    // every doc appears in at most one pair across the whole output
+    val members = pairs.select(explode(array($"chosen_id", $"rejected_id")).as("doc_id"))
+    assert(members.groupBy($"doc_id").count().filter($"count" > 1L).count() === 0L)
+
+    // pair count per stratum == floor(stratum size / 2)
+    val expected = Tables.documents(spark, dir)
+      .groupBy($"source", $"lang").agg((count(lit(1)) / 2).cast("long").as("exp_pairs"))
+    val actual = pairs.groupBy($"source", $"lang").agg(count(lit(1)).as("act_pairs"))
+    val off = expected.join(actual, Seq("source", "lang"), "left")
+      .filter(coalesce($"act_pairs", lit(0L)) =!= $"exp_pairs").count()
+    assert(off === 0L)
+
+    pairs.unpersist()
+  }
+}
