@@ -45,6 +45,7 @@ object SparkEntry {
     "q_sft_assemble"    -> SftQueries.qSftAssemble,
     "q_sft_spans"       -> SftQueries.qSftSpans,
     "q_pref_pairs"      -> SftQueries.qPrefPairs,
+    "q_pref_pairs_quality" -> SftQueries.qPrefPairsQuality,
     "q_late_data"       -> CoreQueries.qLateData,
     "q_dedup_exact"     -> CoreQueries.qDedupExact,
     "q_dedup_approx"    -> CoreQueries.qDedupApprox,
@@ -249,6 +250,35 @@ object SparkEntry {
     * whitespace-normalized round-trip instead. Also omitted: q_lr_classify —
     * iterative float gradient descent has no SQL oracle; LogRegSpec
     * pins local-reference parity and held-out accuracy instead. */
+  /** Per-query ANSI SQL the driver runs in DuckDB against the same
+    * parquet tables; row/schema/hash compare against the Spark output.
+    *
+    * Twelve `queries` entries are ABSENT here BY DESIGN (the driver
+    * records a weaker rows-only check; each carries a ScalaTest
+    * accuracy/equivalence/round-trip bound instead) — one line each on
+    * why ANSI SQL cannot express the check:
+    *  - q_bpe_encode / q_bpe_bytes / q_unigram_encode: iterative
+    *    merge-loop / EM training — the vocabulary is an argmax
+    *    FIXPOINT, not a query (BpeSpec/UnigramSpec pin the distributed
+    *    rounds bit-identical to a driver-side reference + round-trips);
+    *  - q_compress_ratio: zlib DEFLATE byte lengths — no SQL engine
+    *    exposes the codec (spec pins known-ratio fixtures);
+    *  - q_dedup_approx: HLL sketch cardinality — estimator-specific
+    *    hashing (spec bounds the error vs exact distinct);
+    *  - q_fingerprint64: xxhash64 — engine-specific hash constants
+    *    (spec pins values; the SQL-portable rolling hash is
+    *    q_fingerprint, which IS oracled);
+    *  - q_lr_classify: iterative gradient descent — per-step float
+    *    argmax drift makes cross-engine replay meaningless (spec pins
+    *    convergence + accuracy floor);
+    *  - q_percentiles / q_profile_approx: approx_percentile /
+    *    approx_count_distinct sketches — implementation-defined
+    *    nearest-rank answers (specs bound vs exact by rank window; the
+    *    exact variants q_percentiles_exact / q_profile ARE oracled);
+    *  - q_semdedup / q_similarity_ivf / q_similarity_pq: k-means
+    *    centroid / coarse-quantizer assignment — Lloyd iterations are
+    *    the BPE argument again (specs pin recall/equivalence floors
+    *    against the exact kNN, which IS oracled). */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" -> s"SELECT $evCols FROM events",
 
@@ -354,6 +384,29 @@ object SparkEntry {
         |  max(CASE WHEN rn % 2 = 0 THEN n_chars END) AS rejected_chars,
         |  max(CASE WHEN rn % 2 = 1 THEN n_chars END)
         |    - max(CASE WHEN rn % 2 = 0 THEN n_chars END) AS gap
+        |FROM ranked GROUP BY source, lang, (rn + 1) // 2
+        |HAVING max(CASE WHEN rn % 2 = 0 THEN doc_id END) IS NOT NULL""".stripMargin,
+
+    "q_pref_pairs_quality" ->
+      """WITH scored AS (
+        |  SELECT source, lang, doc_id,
+        |    (100 * len(list_filter(list_transform(
+        |       list_filter(string_split(text, ' '), w -> w <> ''), w -> lower(w)),
+        |       w -> w IN ('the','a','an','and','of','to','in','is','on','for')))
+        |     + len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT AS quality
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT source, lang, doc_id, quality,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM scored
+        |)
+        |SELECT source, lang, ((rn + 1) // 2)::BIGINT AS pair_idx,
+        |  max(CASE WHEN rn % 2 = 1 THEN doc_id END) AS chosen_id,
+        |  max(CASE WHEN rn % 2 = 0 THEN doc_id END) AS rejected_id,
+        |  max(CASE WHEN rn % 2 = 1 THEN quality END) AS chosen_quality,
+        |  max(CASE WHEN rn % 2 = 0 THEN quality END) AS rejected_quality,
+        |  max(CASE WHEN rn % 2 = 1 THEN quality END)
+        |    - max(CASE WHEN rn % 2 = 0 THEN quality END) AS gap
         |FROM ranked GROUP BY source, lang, (rn + 1) // 2
         |HAVING max(CASE WHEN rn % 2 = 0 THEN doc_id END) IS NOT NULL""".stripMargin,
 

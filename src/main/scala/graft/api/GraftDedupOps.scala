@@ -700,21 +700,30 @@ trait GraftDedupOps { this: Graft.type =>
     * budget faster — what a mixture spec actually means. Returns every
     * row with its running total and a 0/1 `kept`.
     *
-    * Scale shape: one window partitioned by stratum (strata are few and
-    * large → each window partition is one shuffle partition's sort, no
-    * global sort, no driver loop). Deterministic across engines,
-    * partitionings and retries by the hashSample argument. A stratum
-    * absent from `budgets` keeps nothing (budget 0). */
+    * Scale shape: strata are FIXED-cardinality (a mixture spec names a
+    * handful of domains), so a dense running-sum window partitioned by
+    * the stratum would single-task-sort each domain's full slice at
+    * 100 TB (the round-11 weak class). The running total therefore
+    * comes from the distributed two-pass [[graft.ops.StratifiedRank]]
+    * kernel instead: chunk the LCG key space by quantiles, per-(domain,
+    * chunk) weight sums, broadcast exclusive prefix, within-chunk
+    * running sum — identical values, parallelism = strata × chunks.
+    * Deterministic across engines, partitionings and retries by the
+    * hashSample argument. A stratum absent from `budgets` keeps
+    * nothing (budget 0). */
   def tokenBudgetSample(df: DataFrame, id: String, stratumCol: String,
       tokensCol: String, budgets: Map[String, Long]): DataFrame = {
     require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
     val order = pmod(pmod(col(id), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
       lit(2147483648L))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(order.asc, col(id).asc)
     val budgetExpr = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
       when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+    graft.ops.StratifiedRank.stratifiedRank(
+        df.select(col(id), col(stratumCol), col(tokensCol)),
+        Seq(stratumCol), order, Seq(col(id).asc),
+        weight = Some(col(tokensCol)), psumName = "__below")
+      .withColumn("__cum", col("__below") + col(tokensCol))
       .select(col(id), col(stratumCol), col(tokensCol),
         col("__cum").cast("long").as("cum_tokens"),
         (col("__cum") <= budgetExpr).cast("long").as("kept"))
@@ -734,7 +743,11 @@ trait GraftDedupOps { this: Graft.type =>
     * followed by per-shard sorts (pinned in PlanSpec: exactly one
     * exchange, no rangepartitioning). Each shard sorts independently
     * in its own partition, so the job scales out with nShards instead
-    * of funneling 100 TB through a global range partitioner. */
+    * of funneling 100 TB through a global range partitioner. Unlike a
+    * fixed-cardinality stratum key, nShards is the op's PARALLELISM
+    * parameter — it names physical shard files, so at 100 TB a caller
+    * sets it to data / shard-file-size (thousands), and each per-shard
+    * sort stays shard-file-sized by construction. */
   def epochShuffle(df: DataFrame, id: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val key = pmod(pmod(col(id), lit(2147483648L)) * lit(1103515245L) + lit(12345L),

@@ -26,19 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object SftQueries {
 
-  private val GapMicros = 30L * 60 * 1000000 // 30-minute session gap
+  /** 30-minute session gap — shared with the streaming sibling
+    * ([[graft.streaming.StreamingSft]]) so the two stay one kernel. */
+  private[graft] val GapMicros = 30L * 60 * 1000000
 
   /** Events annotated with session id, turn index, role, and the
     * rendered chat-template turn — the shared prefix of the two SFT
     * queries. Roles alternate user/assistant in (ts, event_id) order
     * within each session (odd turn = user), the template is
     * `<|role|>event_type props`. */
-  private def turns(spark: SparkSession, dir: String): DataFrame = {
+  private def turns(spark: SparkSession, dir: String): DataFrame =
+    turnsOf(Tables.events(spark, dir))
+
+  /** [[turns]] over an arbitrary events frame — public so the
+    * streaming sibling's spec can pin batch equality on synthetic
+    * sessions ([[graft.streaming.StreamingSft]]). */
+  private[graft] def turnsOf(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val isNew = when(lag(col("ts"), 1).over(byUser).isNull
       || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) >= GapMicros,
       1L).otherwise(0L)
-    val withSid = Tables.events(spark, dir)
+    val withSid = events
       .withColumn("__new", isNew)
       .withColumn("sid", sum(col("__new")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -65,7 +73,13 @@ object SftQueries {
     * collected (ts, event_id, rendered) structs, so the output is
     * independent of partitioning and arrival order. */
   def qSftAssemble(spark: SparkSession, dir: String): DataFrame =
-    turns(spark, dir)
+    sftAssemble(turns(spark, dir))
+
+  /** Assembly over an arbitrary pre-annotated turn frame (see
+    * [[turnsOf]]) — the batch kernel StreamingSftSpec compares the
+    * streaming operator against. */
+  private[graft] def sftAssemble(turnFrame: DataFrame): DataFrame =
+    turnFrame
       .groupBy(col("user_id"), col("sid"))
       .agg(
         count(lit(1)).as("n_turns"),
@@ -107,22 +121,54 @@ object SftQueries {
     * rank 2k `rejected`, so every document lands in at most one pair
     * and each pair's chosen side dominates its rejected side. An odd
     * stratum's last document has no partner and is dropped. */
-  def qPrefPairs(spark: SparkSession, dir: String): DataFrame = {
-    val byStratum = Window.partitionBy(col("source"), col("lang"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    Tables.documents(spark, dir)
-      .withColumn("__rn", row_number().over(byStratum).cast("long"))
+  def qPrefPairs(spark: SparkSession, dir: String): DataFrame =
+    pairByRank(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("lang"), col("doc_id"), col("n_chars")),
+      spark, rankCol = "n_chars")
+
+  /** Rank documents inside each (source, lang) stratum by `rankCol`
+    * (desc, doc_id tiebreak) with the distributed two-pass
+    * [[StratifiedRank]] kernel — a dense per-stratum window here would
+    * single-task-sort ~1 TB per stratum at 100 TB (round-11 weak
+    * class) — then pair adjacent ranks. */
+  private def pairByRank(docs: DataFrame, spark: SparkSession,
+      rankCol: String, chosenName: String = "chosen_chars",
+      rejectedName: String = "rejected_chars"): DataFrame = {
+    StratifiedRank.stratifiedRank(docs, Seq("source", "lang"),
+        negate(col(rankCol)), Seq(col("doc_id").asc), rankName = "__rn")
       .withColumn("pair_idx", ((col("__rn") + 1L) / lit(2L)).cast("long"))
       .groupBy(col("source"), col("lang"), col("pair_idx"))
       .agg(
         max(when(col("__rn") % 2 === 1, col("doc_id"))).as("chosen_id"),
         max(when(col("__rn") % 2 === 0, col("doc_id"))).as("rejected_id"),
-        max(when(col("__rn") % 2 === 1, col("n_chars"))).as("chosen_chars"),
-        max(when(col("__rn") % 2 === 0, col("n_chars"))).as("rejected_chars"))
+        max(when(col("__rn") % 2 === 1, col(rankCol))).as(chosenName),
+        max(when(col("__rn") % 2 === 0, col(rankCol))).as(rejectedName))
       .filter(col("rejected_id").isNotNull)
       .select(col("source"), col("lang"), col("pair_idx"),
-        col("chosen_id"), col("rejected_id"), col("chosen_chars"),
-        col("rejected_chars"),
-        (col("chosen_chars") - col("rejected_chars")).as("gap"))
+        col("chosen_id"), col("rejected_id"), col(chosenName),
+        col(rejectedName),
+        (col(chosenName) - col(rejectedName)).as("gap"))
+  }
+
+  /** Preference pairs ranked by the engine's quality score instead of
+    * raw length — the reward-model shape real RM data uses: within each
+    * (source, lang) stratum the higher-quality document of each
+    * adjacent-rank pair is `chosen`. The score is the exact integer
+    * 100·stopword_hits + n_tokens surrogate (monotone in the
+    * stopword-ratio/length family of [[graft.api.Graft.qualityScore]],
+    * and integral so rank order — and thus the whole output — is
+    * tie-broken identically in both engines). Same two-pass
+    * [[StratifiedRank]] plan shape as [[qPrefPairs]]. */
+  def qPrefPairsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val score = (size(filter(transform(toks, t => lower(t)),
+        t => t.isin(TextQueries.StopwordsEn: _*))).cast("long") * 100L +
+      size(toks).cast("long")).as("quality")
+    pairByRank(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("lang"), col("doc_id"), score),
+      spark, rankCol = "quality",
+      chosenName = "chosen_quality", rejectedName = "rejected_quality")
   }
 }

@@ -182,13 +182,30 @@ object TemporalQueries {
 
   /** Equal-frequency quartile assignment per event_type (ntile over a
     * deterministic (value, event_id) order) — the bucketing step of
-    * monotone feature binning. One window shuffle on event_type; the
-    * SQL-standard ntile definition is engine-portable. */
+    * monotone feature binning. event_type is a FIXED-cardinality key,
+    * so `ntile().over(partitionBy(event_type))` would single-task-sort
+    * each stratum at scale (round-11 weak class); instead the
+    * per-stratum row number comes from the distributed two-pass
+    * [[StratifiedRank]] kernel and the quartile is the SQL-standard
+    * closed form over (rn, stratum count): with q = n div 4,
+    * r = n mod 4, the first r buckets hold q+1 rows — bit-identical to
+    * every engine's ntile. */
   def qNtile(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
+    val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
+    val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+    StratifiedRank.stratifiedRank(e, Seq("event_type"), col("value"),
+        Seq(col("event_id")), rankName = "__rn")
+      .join(broadcast(totals), "event_type")
+      // exact integer arithmetic only (div, %) — the greatest() guard is
+      // unreachable arithmetic (the ELSE branch implies __n div 4 >= 1)
+      // but keeps the plan ANSI-safe
+      .withColumn("quartile", expr(
+        """CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+          |THEN (__rn - 1) div (__n div 4 + 1) + 1
+          |ELSE (__n % 4) + (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+          |       div greatest(__n div 4, 1) + 1
+          |END""".stripMargin).cast("long"))
       .select(col("event_id"), col("event_type"), col("quartile"))
   }
 
@@ -248,10 +265,12 @@ object TemporalQueries {
     * is a distributed range-partitioned sort on sched_key (Spark's
     * sample-based exchange), never a single-point row_number. */
   def qInterleave(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .withColumn("src_rank", row_number().over(w).cast("long"))
+    // per-source rank via the distributed two-pass kernel — `source` is
+    // fixed-cardinality, so a dense row_number window over it would be
+    // the single-point sort the Scaladoc above promises to avoid
+    StratifiedRank.stratifiedRank(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("source"), col("doc_id"), rankName = "src_rank")
       .withColumn("sched_key",
         col("src_rank").cast("double") /
           // unbounded slice — identical parse to the oracle's substr(source, 4)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
-  private val StopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
   private val StopwordsDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
   private val StopwordsEs = Seq("el", "la", "los", "de", "y", "es", "un", "en", "que")
   private val StopwordsFr = Seq("le", "les", "des", "et", "est", "un", "une", "du", "que")

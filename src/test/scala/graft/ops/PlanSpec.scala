@@ -533,4 +533,80 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"grid frames not broadcast:\n$p")
   }
+
+  /** The round-11 weak class, pinned structurally: a WindowExec
+    * partitioned ONLY by fixed-cardinality columns (source, lang,
+    * event_type, domain — keys whose distinct count does not grow with
+    * the data) is a single-task sort per stratum at 100×. Every
+    * partitioned window in the gate must therefore be one of:
+    *   - keyed by a data-derived column — an id/key/hash whose
+    *     cardinality grows with the corpus (user_id, query_id, __s, a
+    *     time bucket _wN from date_trunc), or the shard parallelism
+    *     parameter of epochShuffle;
+    *   - chunk-partitioned — the StratifiedRank/packSequences two-pass
+    *     kernels partition by (strata..., __chunk), and their bounded
+    *     prefix windows sit above an Aggregate that collapsed the frame
+    *     to ≤ strata × chunkCount rows;
+    *   - limit-bounded — a rank ≤ k filter Spark rewrites to a
+    *     map-side WindowGroupLimit below the window's exchange;
+    *   - above an Aggregate — the frame was already collapsed to a
+    *     bounded grain (hourly bars, (src, dst) transition pairs).
+    * Anything else fails here, which is exactly what the pre-fix
+    * q_pref_pairs / q_ntile / q_rank_funcs / q_interleave /
+    * q_token_budget_sample plans would do. */
+  test("no gate query carries an unbounded window partitioned by a " +
+      "fixed-cardinality stratum (round-11 weak class)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    // data-derived partition keys: cardinality grows with the corpus
+    val dataDerived =
+      """(?i).*(id|key)$|^sid$|^__chunk$|^__s$|^shard$|^_w\d+$""".r
+    def hasAgg(p: SparkPlan): Boolean =
+      p.toString.contains("Aggregate") // Hash/ObjectHash/SortAggregate
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val root = fn(spark, dir).queryExecution.executedPlan
+        expand(root).collect { case w: WindowExec => w }.flatMap { w =>
+          val partNames = w.partitionSpec.map(_.sql)
+          val safe =
+            w.partitionSpec.isEmpty || // global windows: separate rule
+            partNames.exists(n => dataDerived.matches(n)) ||
+            w.child.toString.contains("WindowGroupLimit") ||
+            hasAgg(w.child)
+          if (safe) None else Some(s"$name: Window partitioned by " +
+            s"[${partNames.mkString(", ")}] with an unbounded data-sized child")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("stratified-rank family: every partitioned window is either " +
+      "chunk-partitioned or a bounded prefix over the chunk-count aggregate") {
+    val family: Seq[(String, DataFrame)] = Seq(
+      "q_pref_pairs" -> SftQueries.qPrefPairs(spark, dir),
+      "q_pref_pairs_quality" -> SftQueries.qPrefPairsQuality(spark, dir),
+      "q_ntile" -> TemporalQueries.qNtile(spark, dir),
+      "q_rank_funcs" -> EvalQueries.qRankFuncs(spark, dir),
+      "q_interleave" -> TemporalQueries.qInterleave(spark, dir),
+      "q_token_budget_sample" -> CoreQueries.qTokenBudgetSample(spark, dir))
+    var seen = 0
+    family.foreach { case (name, df) =>
+      val windows = windowsOf(df)
+      assert(windows.nonEmpty, s"$name: expected WindowExec:\n${plan(df)}")
+      windows.foreach { w =>
+        seen += 1
+        val inPart = w.partitionSpec.exists(_.sql.contains("__chunk"))
+        val inChild = w.child.toString.contains("__chunk")
+        assert(inPart || inChild,
+          s"$name: window [${w.partitionSpec.map(_.sql).mkString(",")}] is " +
+          s"neither chunk-partitioned nor a chunk-frame prefix:\n${plan(df)}")
+      }
+    }
+    assert(seen >= 12, s"vacuous: only $seen windows across the family")
+  }
 }
