@@ -38,7 +38,10 @@ import org.apache.spark.sql.types._
   * so pieces never contain raw spaces and
   * `decode(encode(x)) == whitespace-normalized x` exactly (runs of
   * whitespace collapse; everything else round-trips, including
-  * beyond-BMP code points).
+  * beyond-BMP code points — EXCEPT a literal U+2581 "▁" inside a word,
+  * which decode cannot distinguish from the marker and turns into a
+  * space; SentencePiece's default normalizer shares exactly this
+  * collision, see [[decode]]).
   */
 object Unigram {
 
@@ -283,7 +286,14 @@ object Unigram {
 
   /** Invert the encoding: concatenate pieces, turn word markers back
     * into spaces. `decode(encode(x)) == x` for whitespace-normalized
-    * x (single spaces, no leading/trailing runs). */
+    * x (single spaces, no leading/trailing runs) — with one documented
+    * exception: a literal U+2581 character INSIDE a word is
+    * indistinguishable from the word marker after encoding, so it
+    * decodes to a space ("a▁b" → "a b"). This is the same collision
+    * SentencePiece's add_dummy_prefix normalization carries; escaping
+    * pre-existing markers would change every piece containing ▁ and
+    * break cross-tokenizer piece compatibility for a character that is
+    * effectively absent from natural text. */
   def decode(tokens: String): String =
     tokens.replace(" ", "").replace(WordMark, " ").stripPrefix(" ")
 

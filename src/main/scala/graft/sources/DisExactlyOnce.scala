@@ -58,6 +58,42 @@ object DisExactlyOnce {
     h & Long.MaxValue
   }
 
+  /** Canonical form of a checkpoint location for writer-id derivation.
+    * The id must be stable across restarts of the same query, but a
+    * raw-string hash changes under COSMETIC path differences — a
+    * trailing slash, `file:` vs `file://` vs no scheme, an unresolved
+    * `.`/`..` segment — and a replayed in-flight batch would then mint
+    * a non-colliding identity and duplicate through the view. This is
+    * purely SYNTACTIC (it runs executor-side, where resolving a
+    * relative path against a cwd would itself be unstable):
+    * URI-normalize dot segments, default the scheme to `file`
+    * (dropping an empty/localhost file authority), and strip trailing
+    * slashes. Spark hands sinks a fully-qualified absolute checkpoint
+    * URI, so the relative-vs-absolute case does not arise from the
+    * engine; callers passing the option by hand should pass an
+    * absolute path (documented on the writer option). */
+  private[sources] def canonicalCheckpoint(s: String): String = {
+    val trimmed = s.trim
+    def stripSlashes(p: String): String = {
+      var e = p.length
+      while (e > 1 && p.charAt(e - 1) == '/') e -= 1
+      p.substring(0, e)
+    }
+    try {
+      val u = new java.net.URI(trimmed).normalize()
+      val scheme = Option(u.getScheme).getOrElse("file").toLowerCase
+      val auth = Option(u.getAuthority)
+        .filterNot(a => a.isEmpty || (scheme == "file" && a == "localhost"))
+        .getOrElse("")
+      val path = stripSlashes(Option(u.getPath).filter(_.nonEmpty)
+        .orElse(Option(u.getSchemeSpecificPart)).getOrElse(""))
+      s"$scheme://$auth$path"
+    } catch {
+      // not URI-parseable (spaces, odd chars): best-effort stable form
+      case _: Exception => stripSlashes(trimmed)
+    }
+  }
+
   /** Wrap a user key in the identity envelope:
     * `XO2:<writerId>:<epoch>:<taskPartition>:<seq>:K<userKey>` (or
     * `...:N` when the user key is null — a flag, not a sentinel byte,

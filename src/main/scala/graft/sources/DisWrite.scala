@@ -105,10 +105,15 @@ class DisDataWriter(options: Map[String, String], schema: StructType, taskPartit
   // location (stable across restarts, unique per query). Epoch reuse
   // across writers without distinct ids is unsafe — identities collide
   // and the read-back view silently drops rows — hence fail-loudly.
+  // Explicit ids hash as-is (opaque tokens); checkpoint paths are
+  // canonicalized first so cosmetic differences across restarts
+  // (trailing slash, scheme spelling, dot segments) can't change the
+  // identity and duplicate a replayed batch through the view.
   private val xoWriterId: Long =
     if (!xoEnabled) -1L
     else options.get("exactlyoncewriterid").map(_.trim)
-      .orElse(options.get("checkpointlocation").map(_.trim))
+      .orElse(options.get("checkpointlocation")
+        .map(DisExactlyOnce.canonicalCheckpoint))
       .map(DisExactlyOnce.writerId)
       .getOrElse(throw new IllegalArgumentException(
         "exactlyOnceKey needs a stable writer identity: pass exactlyOnceWriterId " +

@@ -189,12 +189,44 @@ object IncrementalBm25 {
   }
 
   /** Corpus aggregate (N, Σdl) from the stats deltas: fold replayed
-    * duplicates by anchor, then sum — O(batches) rows, never the
-    * docstats history. */
-  private def statsCorpus(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/stats")
+    * duplicates by anchor, check each anchor against the docstats
+    * COMMIT RECORD, then sum — O(batches-since-compaction) rows, never
+    * the docstats history.
+    *
+    * The commit check closes the r11 drift window: a batch that
+    * crashed between its stats and docstats appends and was never (or
+    * not yet) replayed leaves an ORPHAN delta whose anchor — the
+    * batch's min fresh doc_id — never committed; summing it would
+    * inflate N/avgdl for every search until replay or compaction.
+    * Anchors are collected driver-side (bounded: compaction folds the
+    * log to the single [[FoldedAnchor]] row, which is the committed
+    * fold of docstats itself and passes unchecked) and the docstats
+    * probe is pruned to the anchors' dbuckets with doc_id pushdown, so
+    * the check never scans the full history. Residual corner, repaired
+    * at compaction: if the orphan's doc is later re-crawled as a NEW
+    * batch's min fresh id, the two deltas share an anchor and the
+    * first() fold keeps an arbitrary one — bounded to that one batch's
+    * (n, dlsum), and the reconcile-from-docstats compaction erases it. */
+  private def statsCorpus(spark: SparkSession, storeDir: String): DataFrame = {
+    val folded = spark.read.parquet(s"$storeDir/stats")
       .groupBy(col("anchor")).agg(first(col("n")).as("n"), first(col("dlsum")).as("dlsum"))
-      .agg(sum(col("n")).as("__n"), sum(col("dlsum")).as("__dlsum"))
+    val real = folded.filter(col("anchor") =!= FoldedAnchor)
+    val anchors = real.select(col("anchor")).collect().map(_.getLong(0))
+    val checked =
+      if (anchors.isEmpty || !AtomicStore.exists(spark, s"$storeDir/docstats")) real
+      else {
+        val dbuckets = anchors.map(a => math.floorMod(a, DocBuckets.toLong).toInt).distinct
+        val committed = spark.read.parquet(s"$storeDir/docstats")
+          .filter(col("dbucket").isin(dbuckets.map(Int.box): _*))
+          .filter(col("doc_id").isin(anchors.map(Long.box): _*))
+          .select(col("doc_id").as("anchor"))
+        real.join(committed, Seq("anchor"), "left_semi")
+      }
+    folded.filter(col("anchor") === FoldedAnchor).unionAll(checked)
+      // coalesce: every delta being an orphan leaves zero rows to sum
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__n"),
+        coalesce(sum(col("dlsum")), lit(0L)).as("__dlsum"))
+  }
 
   /** Every admitted doc id (store entry point — rolls a crashed
     * compaction forward first). */

@@ -94,6 +94,16 @@ class UnigramSpec extends SparkTestBase {
     assert(toks < chars, s"no compression: $toks tokens vs $chars chars")
   }
 
+  test("documented marker collision: a literal U+2581 inside a word decodes " +
+      "to a space (the SentencePiece add_dummy_prefix caveat)") {
+    import spark.implicits._
+    val df = Seq((1L, "a▁b plain")).toDF("id", "body")
+    val model = Unigram.train(df, "body", vocabSize = 16, seedSize = 32)
+    val enc = Unigram.encode(df, "id", "body", model).collect()(0).getString(2)
+    assert(Unigram.decode(enc) === "a b plain",
+      "the ▁ collision contract changed — update the Scaladoc if intended")
+  }
+
   test("non-BMP corpora: paths agree, pieces split on code points, round-trip holds") {
     val emoji = "😀" // U+1F600, surrogate pair
     val bang = "！"        // U+FF01 fullwidth bang

@@ -210,4 +210,23 @@ class ExactlyOnceSinkSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toSet
     assert(got === (1 to n).map(i => s"k$i" -> s"v$i").toSet)
   }
+
+  test("writer id is stable under cosmetic checkpoint-path spellings " +
+      "(trailing slash, scheme spelling, dot segments) and distinct for " +
+      "genuinely different paths") {
+    val forms = Seq(
+      "/tmp/ck/q1", "/tmp/ck/q1/", "/tmp/ck/q1///",
+      "file:/tmp/ck/q1", "file:///tmp/ck/q1", "file://localhost/tmp/ck/q1",
+      "/tmp/ck/./q1", "/tmp/ck/sub/../q1", "  /tmp/ck/q1 ")
+    val ids = forms.map(DisExactlyOnce.canonicalCheckpoint).distinct
+    assert(ids === Seq("file:///tmp/ck/q1"),
+      s"cosmetic spellings split identities: $ids")
+    // different queries stay distinct; non-file schemes keep authority
+    assert(DisExactlyOnce.canonicalCheckpoint("/tmp/ck/q2") !=
+      DisExactlyOnce.canonicalCheckpoint("/tmp/ck/q1"))
+    assert(DisExactlyOnce.canonicalCheckpoint("hdfs://nn:8020/ck/q1/") ===
+      "hdfs://nn:8020/ck/q1")
+    assert(DisExactlyOnce.canonicalCheckpoint("hdfs://nn2:8020/ck/q1") !=
+      DisExactlyOnce.canonicalCheckpoint("hdfs://nn:8020/ck/q1"))
+  }
 }

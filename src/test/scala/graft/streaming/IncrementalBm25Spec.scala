@@ -204,6 +204,36 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(storeTopK(store) === batchTopK(corpus.take(20)))
   }
 
+  test("crash AFTER the stats append (crashAfter=2), never replayed: the " +
+      "orphan delta does not inflate N/avgdl — search equals the committed " +
+      "batch side before any replay or compaction") {
+    val store = Files.createTempDirectory("bm25store-orphan2-").toString
+    IncrementalBm25.admitBatch(corpus.take(10).toDF("doc_id", "text"), "doc_id", "text", store)
+    intercept[IncrementalBm25.InjectedCrash] {
+      IncrementalBm25.admitBatchImpl(corpus.slice(10, 20).toDF("doc_id", "text"),
+        "doc_id", "text", store, crashAfter = 2) // postings AND stats landed
+    }
+    // the orphan delta is ON DISK (raw fold over-counts) …
+    val rawFold = foldedStats(store)
+    assert(rawFold._1 === 20L, s"test vacuous: orphan delta missing ($rawFold)")
+    assert(recomputedStats(store)._1 === 10L)
+    // … but search's corpus aggregate checks anchors against the
+    // docstats commit record, so scores equal the 10-doc batch side
+    // exactly — BM25 scores depend on N/avgdl, so an inflated corpus
+    // aggregate would shift every score, not just the orphan's docs
+    assert(storeTopK(store) === batchTopK(corpus.take(10)),
+      "orphan stats delta leaked into N/avgdl")
+    // compaction reconciles the delta log itself from docstats
+    IncrementalBm25.compactStore(spark, store)
+    assert(foldedStats(store) === recomputedStats(store))
+    assert(storeTopK(store) === batchTopK(corpus.take(10)))
+    // a later replay of the crashed batch commits it; its delta now
+    // passes the commit check and the store matches the 20-doc side
+    IncrementalBm25.admitBatch(corpus.slice(10, 20).toDF("doc_id", "text"), "doc_id", "text", store)
+    assert(storeTopK(store) === batchTopK(corpus.take(20)))
+    assert(foldedStats(store) === recomputedStats(store))
+  }
+
   test("search reads no full docstats scan: the dl read is pruned to the " +
       "candidates' dbuckets and the corpus aggregate comes from the stats deltas") {
     val store = Files.createTempDirectory("bm25store-dlprune-").toString
