@@ -30,6 +30,17 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_ONLY (comma-separated query names) restricts the
   * run — the isolation-audit mode for chasing a drifted number without
   * the other 45 queries contending for the same cores.
+  *
+  * SPARK_GRAFT_BENCH_WARM=<queries> is the pin-seeding flavor of ONLY:
+  * same restriction, but after the standard warmup it first runs two
+  * unrelated mid-size queries untimed. A bare isolated JVM pays
+  * first-touch costs (codegen compiler warmup, parquet footer caches,
+  * shuffle/broadcast paths) that a full run amortizes across 160
+  * queries — the round-11 judge measured q_similarity_ivf at 2.7× its
+  * full-run share in a cold isolated JVM with ZERO code difference.
+  * The warm prelude puts isolated numbers in the same regime as
+  * full-run shares, so pins seeded either way stay comparable (the
+  * drift gate's apples-to-apples requirement).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,8 +70,26 @@ object Bench {
     // A failed query must be distinguishable from a fast one: its time is
     // reported as -1 and its message lands in the "errors" map.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .orElse(warm)
+    // warm prelude (see header): two unrelated mid-size queries, run
+    // untimed, chosen to exercise join+agg and text-explode paths; a
+    // target query is never its own warmer
+    warm.foreach { targets =>
+      Seq("q_join_enrich", "q_agg_stats", "q_wordcount")
+        .filterNot(targets.contains).take(2)
+        .foreach { w =>
+          SparkEntry.queries.get(w).foreach { fn =>
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warm prelude $w failed: ${e.getMessage}")
+            }
+          }
+        }
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
