@@ -44,6 +44,7 @@ object SparkEntry {
     "q_sessionize"      -> CoreQueries.qSessionize,
     "q_sft_assemble"    -> SftQueries.qSftAssemble,
     "q_sft_spans"       -> SftQueries.qSftSpans,
+    "q_sft_pack"        -> SftQueries.qSftPack,
     "q_pref_pairs"      -> SftQueries.qPrefPairs,
     "q_pref_pairs_quality" -> SftQueries.qPrefPairsQuality,
     "q_late_data"       -> CoreQueries.qLateData,
@@ -370,6 +371,36 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(rendered))::BIGINT AS span_end,
         |  rendered
         |FROM rendered""".stripMargin,
+
+    "q_sft_pack" ->
+      s"""$sftTurnsCte, slen AS (
+        |  SELECT user_id, sid,
+        |    length(string_agg(rendered, '' ORDER BY ts, event_id))::BIGINT AS tc
+        |  FROM rendered GROUP BY user_id, sid
+        |), offs AS (
+        |  SELECT user_id, sid,
+        |    coalesce(sum(tc) OVER (ORDER BY user_id * 1048576 + sid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS stream_off
+        |  FROM slen
+        |), spans AS (
+        |  SELECT user_id, sid, turn_idx, role,
+        |    coalesce(sum(length(rendered)) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS span_start,
+        |    (coalesce(sum(length(rendered)) OVER (PARTITION BY user_id, sid
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + length(rendered))::BIGINT AS span_end
+        |  FROM rendered
+        |)
+        |SELECT s.user_id, s.sid, s.turn_idx::BIGINT AS turn_idx, s.role,
+        |  (o.stream_off + s.span_start)::BIGINT AS packed_start,
+        |  (o.stream_off + s.span_end)::BIGINT AS packed_end,
+        |  ((o.stream_off + s.span_start) // 2048)::BIGINT AS seq_id,
+        |  ((o.stream_off + s.span_start) % 2048)::BIGINT AS seq_off,
+        |  ((o.stream_off + s.span_end - 1) // 2048
+        |    - (o.stream_off + s.span_start) // 2048 + 1)::BIGINT AS n_seqs
+        |FROM spans s JOIN offs o USING (user_id, sid)""".stripMargin,
 
     "q_pref_pairs" ->
       """WITH ranked AS (

@@ -719,10 +719,17 @@ trait GraftDedupOps { this: Graft.type =>
     val budgetExpr = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
       when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }
+    // the LCG key is uniform on [0, 2^31) BY CONSTRUCTION, so the
+    // chunk boundaries are an analytic grid — no sketch pass at all
+    val grid = {
+      val n = graft.ops.Chunking.chunkCount(df.sparkSession)
+      (1 until n).map(i => 2147483648.0 * i / n).toArray
+    }
     graft.ops.StratifiedRank.stratifiedRank(
         df.select(col(id), col(stratumCol), col(tokensCol)),
         Seq(stratumCol), order, Seq(col(id).asc),
-        weight = Some(col(tokensCol)), psumName = "__below")
+        weight = Some(col(tokensCol)), psumName = "__below",
+        fixedBoundaries = Some(grid))
       .withColumn("__cum", col("__below") + col(tokensCol))
       .select(col(id), col(stratumCol), col(tokensCol),
         col("__cum").cast("long").as("cum_tokens"),

@@ -115,6 +115,57 @@ object SftQueries {
         col("rendered"))
   }
 
+  /** Trainer-ready SFT packing: sessions laid end-to-end in (user_id,
+    * sid) order and cut into fixed 2048-char training sequences, with
+    * every TURN's loss-mask span re-addressed into the PACKED stream —
+    * the artifact a trainer actually consumes (which sequence a turn
+    * lands in, at what offset, whether it straddles a boundary). One
+    * row per turn: packed_start/packed_end are the span offsets plus
+    * the session's global stream offset; seq_id/seq_off locate the
+    * span's first char; n_seqs counts the sequences it touches.
+    *
+    * Scale shape: the session-grain length table rides the
+    * [[graft.api.Graft.packSequences]] distributed two-pass prefix sum
+    * (quantile-chunked — no global window); the spans join back on
+    * (user_id, sid), the same key their window already partitioned by.
+    * The composite pack id `user_id·2^20 + sid` keeps pack order ==
+    * (user_id, sid) order and is collision-free for < 2^20 sessions
+    * per user (raise_error row guard — human activity is orders of
+    * magnitude below) and user ids < 2^43 (ANSI multiplication fails
+    * loudly beyond — hash-valued ids should be densified first). */
+  def qSftPack(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 2048L
+    val Stride = 1L << 20
+    val t = turns(spark, dir)
+    val guardedSid = when(col("sid") < Stride, col("sid"))
+      .otherwise(raise_error(concat(lit("qSftPack: session id overflows the "),
+        lit(s"pack-id stride $Stride for user "), col("user_id").cast("string"))))
+    val sessions = sftAssemble(t)
+      .select((col("user_id") * lit(Stride) + guardedSid).as("__pid"),
+        col("transcript_chars"))
+    val packed = graft.api.Graft.packSequences(sessions, "__pid",
+        "transcript_chars", Budget)
+      .select(expr(s"__pid div $Stride").as("user_id"),
+        pmod(col("__pid"), lit(Stride)).as("sid"),
+        col("stream_off"))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    t.withColumn("span_start", coalesce(
+        sum(length(col("rendered")).cast("long")).over(
+          bySession.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
+        col("span_start"),
+        (col("span_start") + length(col("rendered")).cast("long")).as("span_end"))
+      .join(packed, Seq("user_id", "sid"))
+      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
+        (col("stream_off") + col("span_start")).as("packed_start"),
+        (col("stream_off") + col("span_end")).as("packed_end"),
+        expr(s"(stream_off + span_start) div $Budget").as("seq_id"),
+        pmod(col("stream_off") + col("span_start"), lit(Budget)).as("seq_off"),
+        (expr(s"(stream_off + span_end - 1) div $Budget")
+          - expr(s"(stream_off + span_start) div $Budget") + 1L).as("n_seqs"))
+  }
+
   /** Preference-pair construction for reward-model training data: rank
     * documents inside each (source, lang) stratum by length (desc,
     * doc_id tiebreak) and pair adjacent ranks — rank 2k−1 is `chosen`,

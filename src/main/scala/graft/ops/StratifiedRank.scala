@@ -55,15 +55,26 @@ object StratifiedRank {
       tieCols: Seq[Column] = Nil,
       weight: Option[Column] = None,
       rankName: String = "__srank",
-      psumName: String = "__spsum"): DataFrame = {
+      psumName: String = "__spsum",
+      fixedBoundaries: Option[Array[Double]] = None): DataFrame = {
     require(strata.nonEmpty, "stratifiedRank needs at least one stratum column")
     val n = Chunking.chunkCount(df.sparkSession)
     val base0 = df.withColumn("__rk", rankKey.cast("double"))
     val base = weight.fold(base0)(w => base0.withColumn("__w", w.cast("long")))
-    // sketch error shrinks with the quantile step so adjacent
-    // boundaries don't collapse (same policy as Graft.packSequences)
-    val boundaries = base.stat.approxQuantile("__rk",
-      (1 until n).map(_ / n.toDouble).toArray, math.min(0.01, 0.25 / n)).distinct.sorted
+    // Boundaries only decide CHUNKING, never values, so they come as
+    // cheaply as possible: a caller whose key distribution is known
+    // (e.g. the uniform 31-bit LCG of tokenBudgetSample) passes an
+    // analytic grid and the sketch pass disappears entirely; otherwise
+    // a seeded 5% sample feeds the quantile sketch — the same
+    // sample-for-balance tradeoff Spark's own RangePartitioner makes,
+    // cutting the extra pass at 100 TB to 5% of one scan. Sketch error
+    // shrinks with the quantile step so adjacent boundaries don't
+    // collapse (the Graft.packSequences policy).
+    val boundaries = fixedBoundaries.getOrElse(
+      base.sample(withReplacement = false, 0.05, seed = 42L)
+        .stat.approxQuantile("__rk",
+          (1 until n).map(_ / n.toDouble).toArray, math.min(0.01, 0.25 / n)))
+      .distinct.sorted
     val chunked = base.withColumn("__chunk",
       graft.functions.SortedBucket.sorted_bucket(col("__rk"), boundaries))
     val strataCols = strata.map(col)

@@ -87,4 +87,38 @@ class SftSpec extends SparkTestBase {
 
     pairs.unpersist()
   }
+
+  test("sft pack: packed spans tile the global stream gaplessly and agree " +
+      "with assemble totals; straddling spans count their sequences") {
+    val packed = SftQueries.qSftPack(spark, dir).cache()
+    val assembled = SftQueries.qSftAssemble(spark, dir)
+
+    // per session: packed spans are contiguous (turn k+1 starts where k
+    // ends) and cover exactly transcript_chars
+    val perSession = packed.groupBy($"user_id", $"sid").agg(
+      min($"packed_start").as("lo"), max($"packed_end").as("hi"),
+      sum($"packed_end" - $"packed_start").as("covered"))
+    val joined = perSession.join(assembled, Seq("user_id", "sid"))
+    assert(joined.filter($"covered" =!= $"transcript_chars").count() === 0L)
+    assert(joined.filter($"hi" - $"lo" =!= $"transcript_chars").count() === 0L)
+
+    // the global stream is gapless: session spans abut in (user, sid) order
+    val sessions = perSession.orderBy($"lo").collect()
+    sessions.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") === b.getAs[Long]("lo"),
+          s"gap between sessions ${a} and ${b}")
+      case _ =>
+    }
+    assert(sessions.head.getAs[Long]("lo") === 0L)
+
+    // n_seqs is exactly the straddle count of [packed_start, packed_end)
+    val bad = packed.filter($"n_seqs" =!=
+      expr("(packed_end - 1) div 2048 - packed_start div 2048 + 1"))
+    assert(bad.count() === 0L)
+    // seq coordinates locate the first char
+    assert(packed.filter($"seq_id" * 2048L + $"seq_off" =!= $"packed_start")
+      .count() === 0L)
+    packed.unpersist()
+  }
 }
