@@ -124,11 +124,20 @@ object SftQueries {
     * the session's global stream offset; seq_id/seq_off locate the
     * span's first char; n_seqs counts the sequences it touches.
     *
-    * Scale shape: the session-grain length table rides the
-    * [[graft.api.Graft.packSequences]] distributed two-pass prefix sum
-    * (quantile-chunked — no global window); the spans join back on
-    * (user_id, sid), the same key their window already partitioned by.
-    * The composite pack id `user_id·2^20 + sid` keeps pack order ==
+    * Scale shape: ONE corpus-scale pass. The span table (the single
+    * user_id shuffle every SFT query shares) already tiles each
+    * transcript, so the session length is `max(span_end)` — no
+    * transcript strings are ever assembled here (the first cut
+    * composed sftAssemble ∘ packSequences and paid collect_list +
+    * array_sort + array_join over the whole corpus, plus a recompute
+    * under the pack sketch: 3.4× slower at sf1 for identical output).
+    * That session-grain length table (two longs per session — the
+    * q_phash_dupes footprint argument) is eagerly localCheckpoint'ed,
+    * so packSequences' quantile sketch and pack join run against the
+    * tiny materialization instead of re-deriving the corpus subtree;
+    * the packed offsets then join back to the spans on (user_id, sid),
+    * the prefix of the partitioning the spans already carry. The
+    * composite pack id `user_id·2^20 + sid` keeps pack order ==
     * (user_id, sid) order and is collision-free for < 2^20 sessions
     * per user (raise_error row guard — human activity is orders of
     * magnitude below) and user ids < 2^43 (ANSI multiplication fails
@@ -136,26 +145,24 @@ object SftQueries {
   def qSftPack(spark: SparkSession, dir: String): DataFrame = {
     val Budget = 2048L
     val Stride = 1L << 20
-    val t = turns(spark, dir)
     val guardedSid = when(col("sid") < Stride, col("sid"))
       .otherwise(raise_error(concat(lit("qSftPack: session id overflows the "),
         lit(s"pack-id stride $Stride for user "), col("user_id").cast("string"))))
-    val sessions = sftAssemble(t)
+    val spans = qSftSpans(spark, dir)
+      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
+        col("span_start"), col("span_end"))
+    val sessions = spans
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(col("span_end")).as("transcript_chars"))
       .select((col("user_id") * lit(Stride) + guardedSid).as("__pid"),
         col("transcript_chars"))
+      .localCheckpoint()
     val packed = graft.api.Graft.packSequences(sessions, "__pid",
         "transcript_chars", Budget)
       .select(expr(s"__pid div $Stride").as("user_id"),
         pmod(col("__pid"), lit(Stride)).as("sid"),
         col("stream_off"))
-    val bySession = Window.partitionBy(col("user_id"), col("sid"))
-      .orderBy(col("ts"), col("event_id"))
-    t.withColumn("span_start", coalesce(
-        sum(length(col("rendered")).cast("long")).over(
-          bySession.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
-        col("span_start"),
-        (col("span_start") + length(col("rendered")).cast("long")).as("span_end"))
+    spans
       .join(packed, Seq("user_id", "sid"))
       .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
         (col("stream_off") + col("span_start")).as("packed_start"),
