@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, SelectionQueries, SftQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
+import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, RlQueries, SelectionQueries, SftQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,9 @@ object SparkEntry {
     "q_sft_pack"        -> SftQueries.qSftPack,
     "q_pref_pairs"      -> SftQueries.qPrefPairs,
     "q_pref_pairs_quality" -> SftQueries.qPrefPairsQuality,
+    "q_best_of_n"       -> RlQueries.qBestOfN,
+    "q_hard_negatives"  -> RlQueries.qHardNegatives,
+    "q_curriculum"      -> RlQueries.qCurriculum,
     "q_late_data"       -> CoreQueries.qLateData,
     "q_dedup_exact"     -> CoreQueries.qDedupExact,
     "q_dedup_approx"    -> CoreQueries.qDedupApprox,
@@ -440,6 +443,10 @@ object SparkEntry {
         |    - max(CASE WHEN rn % 2 = 0 THEN quality END) AS gap
         |FROM ranked GROUP BY source, lang, (rn + 1) // 2
         |HAVING max(CASE WHEN rn % 2 = 0 THEN doc_id END) IS NOT NULL""".stripMargin,
+
+    "q_best_of_n" -> RlQueries.bestOfNOracle,
+    "q_hard_negatives" -> RlQueries.hardNegativesOracle,
+    "q_curriculum" -> RlQueries.curriculumOracle,
 
     "q_late_data" ->
       """SELECT event_id, ts, user_id FROM (

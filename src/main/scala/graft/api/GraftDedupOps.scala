@@ -269,6 +269,41 @@ trait GraftDedupOps { this: Graft.type =>
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** Contrastive hard-negative mining — the data prep for retrieval /
+    * embedding training: for each anchor, the k corpus vectors MOST
+    * similar to it whose label DIFFERS (the near-miss impostors a
+    * contrastive loss learns the most from; random negatives are
+    * trivially separable). Output: (anchor_id, rank, neg_id,
+    * neg_label, cos), rank 1 = hardest. Ties/FP: rank on
+    * round(cos, 12) then neg_id, same bit-stable contract as [[knn]].
+    *
+    * Scale shape: identical to [[knn]] — anchors broadcast, the corpus
+    * never shuffles, the per-anchor top-k is a WindowGroupLimit-bounded
+    * rank filter on the anchor id. The label-mismatch predicate runs
+    * inside the broadcast join, so same-label rows never reach the
+    * scorer. Anchors must be broadcast-small (the [[knn]] contract);
+    * for anchor sets at corpus scale, mine per-cell via the IVF path
+    * and verify exactly, as [[embedNearDup]] does. */
+  def hardNegatives(corpus: DataFrame, id: String, vec: String, label: String,
+      anchors: DataFrame, anchorId: String, anchorVec: String,
+      anchorLabel: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(id).as("neg_id"), col(vec).as("__v"),
+        col(label).cast("long").as("neg_label"))
+      .withColumn("__nrm", sqrt(float_dot(col("__v"), col("__v"))))
+    val a = anchors.select(col(anchorId).as("anchor_id"), col(anchorVec).as("__q"),
+        col(anchorLabel).cast("long").as("__albl"))
+      .withColumn("__qnrm", sqrt(float_dot(col("__q"), col("__q"))))
+    val scored = c.join(broadcast(a), col("neg_label") =!= col("__albl"))
+      .withColumn("cos",
+        round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_label"), col("cos"))
+  }
+
   /** Product-quantized approximate top-k with exact rerank (the
     * IVFADC-family scan, [[graft.ops.Pq]]): corpus vectors are encoded
     * to m one-byte codes (32× smaller than 64-d float here), queries

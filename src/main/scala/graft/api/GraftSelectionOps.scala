@@ -14,6 +14,49 @@ import graft.functions.VecMath.float_dot
   * conventions and SparkEntry for the graded fixture bindings. */
 trait GraftSelectionOps { this: Graft.type =>
 
+  // ---------- curriculum construction ----------
+
+  /** Curriculum schedule — stage each document for easy-first training:
+    * documents are binned by a difficulty proxy (log₂-width bins via
+    * the binary-representation length — integer-exact in every engine,
+    * no float log near a power-of-two boundary), bins are ordered
+    * easy→hard, and each bin enters training at the stage where its
+    * cumulative token mass falls, with the total budget cut into
+    * `nStages` equal stage budgets. Returns one row per document:
+    * (id, difficulty, bin, stage), stage ∈ [1, nStages].
+    *
+    * Scale shape: bin assignment is a map; the per-bin table is ≤ 64
+    * rows (a long's bit length), so its exclusive prefix sum is the
+    * engine's constant-size explode+groupBy pattern — never a window —
+    * and the stage lookup re-enters the corpus as a broadcast join.
+    * One shuffle total (the bin aggregation), everything else map-side.
+    * Stage arithmetic is pure integers (`cum_before·nStages div total`),
+    * so results are engine-exact at any scale. */
+  def curriculumSchedule(df: DataFrame, id: String, difficulty: String,
+      tokensCol: String, nStages: Int = 4): DataFrame = {
+    require(nStages >= 1, s"nStages must be >= 1, got $nStages")
+    val binned = df.select(col(id), col(difficulty).cast("long").as("difficulty"),
+        col(tokensCol).cast("long").as("__tok"))
+      .withColumn("bin", length(bin(greatest(col("difficulty"), lit(1L)))).cast("long"))
+    val binAgg = binned.groupBy(col("bin"))
+      .agg(sum(col("__tok")).as("__btok"))
+    val prefix = binAgg.select(col("bin").as("__src"),
+        explode(sequence(col("bin") + 1, lit(65L))).as("bin"),
+        col("__btok").as("__t"))
+      .groupBy(col("bin")).agg(sum(col("__t")).as("__before"))
+    val total = binAgg.agg(sum(col("__btok")).as("__total"))
+    val sched = binAgg
+      .join(prefix, Seq("bin"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__before", coalesce(col("__before"), lit(0L)))
+      .withColumn("stage", least(
+        expr(s"__before * $nStages div greatest(__total, 1)") + 1L,
+        lit(nStages.toLong)))
+      .select(col("bin"), col("stage"))
+    binned.join(broadcast(sched), Seq("bin"))
+      .select(col(id), col("difficulty"), col("bin"), col("stage"))
+  }
+
   // ---------- scale joins ----------
 
   /** Interval join without the nested loop: `left` rows joined to every

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-training data construction — the RLHF-side siblings of the SFT
+  * family ([[SftQueries]]): best-of-N candidate selection (rejection
+  * sampling), contrastive hard-negative mining, and curriculum
+  * staging. The reference has no analytics surface of its own
+  * (dis/DISSparkStreamingDemo.scala exercises map/filter/agg only);
+  * these extend the engine's training-data pipeline the same way the
+  * dedup/selection families do. All three are exact arithmetic and sit
+  * under the full DuckDB hash oracle.
+  */
+object RlQueries {
+
+  /** Best-of-N selection (rejection sampling over scored generations):
+    * each (user_id, event_type) group plays a prompt's candidate pool
+    * with `value` as its reward-model score; keep the argmax candidate
+    * (score desc, event_id tiebreak) plus the pool size and the margin
+    * over the runner-up — the signal an RLHF pipeline logs to judge
+    * whether N was large enough (margin ≈ 0 ⇒ the reward model can't
+    * separate the pool). Singleton pools report margin 0.
+    *
+    * Scale shape: ONE shuffle on the (user_id, event_type) key — the
+    * rank and pool-count windows share it, and the final aggregation
+    * groups by the same key (no second exchange). The partition key is
+    * id-derived, so groups multiply with users, never with corpus per
+    * group; per-group state is one candidate pool (the generation
+    * fan-out N, a training-run constant). The margin is a pairwise
+    * subtraction of raw parquet doubles — exact IEEE in both engines,
+    * no rounding needed. */
+  def qBestOfN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+    val wOrd = w.orderBy(col("value").desc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(col("__n")).cast("long").as("n_candidates"),
+        max(when(col("__rn") === 1, col("event_id"))).as("best_event_id"),
+        max(when(col("__rn") === 1, col("value"))).as("best_score"),
+        max(when(col("__rn") === 2, col("value"))).as("__second"))
+      .select(col("user_id"), col("event_type"), col("n_candidates"),
+        col("best_event_id"), col("best_score"),
+        (col("best_score") - coalesce(col("__second"), col("best_score")))
+          .as("margin"))
+  }
+
+  val bestOfNOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY value DESC, event_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id, event_type) AS n
+      |  FROM events
+      |)
+      |SELECT user_id, event_type,
+      |  max(n)::BIGINT AS n_candidates,
+      |  max(CASE WHEN rn = 1 THEN event_id END)::BIGINT AS best_event_id,
+      |  max(CASE WHEN rn = 1 THEN value END) AS best_score,
+      |  (max(CASE WHEN rn = 1 THEN value END)
+      |    - coalesce(max(CASE WHEN rn = 2 THEN value END),
+      |               max(CASE WHEN rn = 1 THEN value END))) AS margin
+      |FROM ranked WHERE rn <= 2
+      |GROUP BY user_id, event_type""".stripMargin
+
+  /** Hard negatives for every 20th vector (a 5% anchor panel) against
+    * the full embedding corpus: the 3 most-cosine-similar vectors per
+    * anchor with a DIFFERENT label ([[graft.api.Graft.hardNegatives]]).
+    * The exhaustive SQL oracle replays the scoring bit-for-bit
+    * (round(cos, 12), neg_id rank ties — the [[SimilarityQueries]]
+    * contract). */
+  def qHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.api.Graft.hardNegatives(
+      emb, "vec_id", "embedding", "label",
+      emb.filter(pmod(col("vec_id"), lit(20)) === 0),
+      "vec_id", "embedding", "label", k = 3)
+  }
+
+  val hardNegativesOracle: String =
+    """WITH a AS (
+      |  SELECT vec_id AS anchor_id, embedding AS qv, label AS albl
+      |  FROM embeddings WHERE vec_id % 20 = 0
+      |), scored AS (
+      |  SELECT a.anchor_id, e.vec_id AS neg_id, e.label::BIGINT AS neg_label,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
+      |      12) AS cos
+      |  FROM embeddings e, a WHERE e.label <> a.albl
+      |)
+      |SELECT anchor_id, rank, neg_id, neg_label, cos FROM (
+      |  SELECT anchor_id, neg_id, neg_label, cos,
+      |    row_number() OVER (PARTITION BY anchor_id
+      |      ORDER BY cos DESC, neg_id ASC)::BIGINT AS rank
+      |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Easy-first curriculum over the documents table: difficulty proxy
+    * = n_chars (longer ⇒ harder), log₂-width bins, 4 equal-token
+    * training stages ([[graft.api.Graft.curriculumSchedule]]). */
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.curriculumSchedule(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", "n_chars", nStages = 4)
+
+  val curriculumOracle: String =
+    """WITH binned AS (
+      |  SELECT doc_id, n_chars AS difficulty,
+      |    length(bin(greatest(n_chars, 1)))::BIGINT AS bin
+      |  FROM documents
+      |), agg AS (
+      |  SELECT bin, sum(difficulty)::BIGINT AS btok FROM binned GROUP BY bin
+      |), sched AS (
+      |  SELECT bin,
+      |    coalesce(sum(btok) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS before,
+      |    (SELECT sum(btok) FROM agg)::BIGINT AS total
+      |  FROM agg
+      |)
+      |SELECT b.doc_id, b.difficulty, b.bin,
+      |  least(s.before * 4 // greatest(s.total, 1) + 1, 4)::BIGINT AS stage
+      |FROM binned b JOIN sched s USING (bin)""".stripMargin
+}

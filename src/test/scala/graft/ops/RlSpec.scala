@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Specs for the post-training data family (RlQueries). The gate
+  * hash-checks each query against DuckDB; these pin the semantic
+  * invariants the hash cannot articulate — argmax really is the group
+  * max, hard negatives really are the nearest impostors, curriculum
+  * stages really are monotone in difficulty.
+  */
+class RlSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("best-of-n: chosen is the group argmax, margin is the runner-up gap, " +
+      "pools partition the event table") {
+    val bon = RlQueries.qBestOfN(spark, dir).cache()
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+
+    // chosen score equals the group max, chosen id is IN the group
+    val groupMax = ev.groupBy($"user_id", $"event_type")
+      .agg(max($"value").as("true_max"), count(lit(1)).as("true_n"))
+    val joined = bon.join(groupMax, Seq("user_id", "event_type"))
+    assert(joined.filter($"best_score" =!= $"true_max").count() === 0L)
+    assert(joined.filter($"n_candidates" =!= $"true_n").count() === 0L)
+    assert(bon.join(ev,
+      bon("user_id") === ev("user_id") && bon("event_type") === ev("event_type") &&
+        bon("best_event_id") === ev("event_id") && bon("best_score") === ev("value"))
+      .count() === bon.count())
+
+    // margin: non-negative, zero iff the runner-up ties (or pool of 1),
+    // and best_score - margin is an achievable score in the pool
+    assert(bon.filter($"margin" < 0.0).count() === 0L)
+    val multi = bon.filter($"n_candidates" > 1)
+    val runnerUp = multi.join(ev, Seq("user_id", "event_type"))
+      .filter($"event_id" =!= $"best_event_id")
+      .groupBy($"user_id", $"event_type", $"best_score", $"margin")
+      .agg(max($"value").as("second"))
+    assert(runnerUp.filter($"best_score" - $"second" =!= $"margin").count() === 0L)
+
+    // pools partition events: every (user, type) pair appears exactly once
+    assert(bon.count() === ev.select($"user_id", $"event_type").distinct().count())
+    bon.unpersist()
+  }
+
+  test("hard negatives: k nearest different-label vectors, verified " +
+      "against a local brute force") {
+    val k = 3
+    val hn = RlQueries.qHardNegatives(spark, dir).cache()
+    val emb = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val anchors = emb.filter(_._1 % 20 == 0)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(d / math.sqrt(na) / math.sqrt(nb))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = anchors.flatMap { case (aid, av, albl) =>
+      emb.filter(_._3 != albl)
+        .map { case (nid, nv, nlbl) => (nid, nlbl.toLong, cos(av, nv)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((nid, nlbl, c), i) => (aid, (i + 1).toLong, nid, nlbl, c) }
+    }.toSet
+    val got = hn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === expected)
+
+    // structural: labels always differ from the anchor's, ranks are 1..k
+    val lbl = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+    assert(hn.join(lbl, hn("anchor_id") === lbl("vec_id"))
+      .filter($"neg_label" === $"label".cast("long")).count() === 0L)
+    assert(hn.groupBy($"anchor_id").agg(collect_set($"rank").as("rs"))
+      .filter(array_sort($"rs") =!= array((1 to k).map(i => lit(i.toLong)): _*))
+      .count() === 0L)
+    hn.unpersist()
+  }
+
+  test("curriculum: bins are the bit length of difficulty, stages are " +
+      "monotone easy-to-hard, and stage budgets cover the token mass") {
+    val cur = RlQueries.qCurriculum(spark, dir).cache()
+    // bin really is the bit length (floor(log2)+1) of the clamped
+    // difficulty — checked with integer arithmetic, not float log
+    cur.select($"difficulty", $"bin").distinct().collect().foreach { r =>
+      val d = math.max(r.getLong(0), 1L)
+      assert(r.getLong(1) === java.lang.Long.toBinaryString(d).length.toLong,
+        s"difficulty $d binned as ${r.getLong(1)}")
+    }
+    // stage is monotone non-decreasing in bin and lands in [1, 4]
+    val byBin = cur.groupBy($"bin").agg(min($"stage").as("lo"), max($"stage").as("hi"))
+      .orderBy($"bin").collect()
+    byBin.foreach(r => assert(r.getAs[Long]("lo") === r.getAs[Long]("hi"),
+      s"bin ${r.get(0)} maps to two stages"))
+    val stages = byBin.map(_.getAs[Long]("hi"))
+    assert(stages.head >= 1L && stages.last <= 4L)
+    stages.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "stage decreased with difficulty")
+      case _ =>
+    }
+    // the stage containing a bin is where its cumulative mass falls:
+    // replay the prefix locally over the tiny bin table
+    val binTok = cur.groupBy($"bin").agg(sum($"difficulty").as("t"))
+      .orderBy($"bin").collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("t")))
+    val total = binTok.map(_._2).sum
+    var before = 0L
+    binTok.zip(stages).foreach { case ((_, t), st) =>
+      assert(st === math.min(before * 4 / math.max(total, 1L) + 1, 4L))
+      before += t
+    }
+    // every document is staged exactly once
+    assert(cur.count() ===
+      Tables.documents(spark, dir).count())
+    cur.unpersist()
+  }
+}
