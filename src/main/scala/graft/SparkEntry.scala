@@ -48,6 +48,7 @@ object SparkEntry {
     "q_pref_pairs"      -> SftQueries.qPrefPairs,
     "q_pref_pairs_quality" -> SftQueries.qPrefPairsQuality,
     "q_best_of_n"       -> RlQueries.qBestOfN,
+    "q_pass_at_k"       -> RlQueries.qPassAtK,
     "q_hard_negatives"  -> RlQueries.qHardNegatives,
     "q_curriculum"      -> RlQueries.qCurriculum,
     "q_late_data"       -> CoreQueries.qLateData,
@@ -445,6 +446,7 @@ object SparkEntry {
         |HAVING max(CASE WHEN rn % 2 = 0 THEN doc_id END) IS NOT NULL""".stripMargin,
 
     "q_best_of_n" -> RlQueries.bestOfNOracle,
+    "q_pass_at_k" -> RlQueries.passAtKOracle,
     "q_hard_negatives" -> RlQueries.hardNegativesOracle,
     "q_curriculum" -> RlQueries.curriculumOracle,
 

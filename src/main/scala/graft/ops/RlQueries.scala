@@ -69,6 +69,55 @@ object RlQueries {
       |FROM ranked WHERE rn <= 2
       |GROUP BY user_id, event_type""".stripMargin
 
+  /** Unbiased pass@k over sampled generations (the Codex-paper
+    * estimator): each (user_id, event_type) pool is a problem's n
+    * samples, a sample passes when its score clears 60, and
+    * pass@k = 1 − C(n−c, k)/C(n, k) — the probability that at least
+    * one of k drawn samples passes, estimated WITHOUT the bias of
+    * empirical min(1, c·k/n). NULL where the pool is smaller than k
+    * (the estimator needs n ≥ k).
+    *
+    * Exactness: the binomial ratio is computed as the telescoped
+    * product ∏(n−c−i)/∏(n−i), i < k — every factor is a small
+    * integer, every partial product < 2⁵³ (n ≤ a pool's fan-out, k ≤
+    * 10), so the doubles are EXACT integers in both engines and the
+    * single final division is one IEEE op each side; a c-short pool
+    * (n−c < k) hits a literal zero factor, giving pass@k = 1 exactly.
+    * Scale shape: one hash agg on the id-derived pool key (map-side
+    * partial), then pure per-row arithmetic over bounded k-element
+    * sequences; no window, no second shuffle. */
+  def qPassAtK(spark: SparkSession, dir: String): DataFrame = {
+    val pools = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= 60.0, 1L).otherwise(0L)).as("c"))
+    def prodDown(top: org.apache.spark.sql.Column, k: Int) =
+      aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * (top - i).cast("double"))
+    def passAt(k: Int) = when(col("n") >= k,
+      lit(1.0) - prodDown(col("n") - col("c"), k) / prodDown(col("n"), k))
+    pools.select(col("user_id"), col("event_type"), col("n"), col("c"),
+      passAt(1).as("pass_at_1"), passAt(5).as("pass_at_5"),
+      passAt(10).as("pass_at_10"))
+  }
+
+  val passAtKOracle: String = {
+    def prod(top: String, k: Int) =
+      s"list_aggregate(list_transform(range(0, $k), i -> ($top - i)::DOUBLE), 'product')"
+    def passAt(k: Int) =
+      s"CASE WHEN n >= $k THEN (1)::DOUBLE - ${prod("n - c", k)} / ${prod("n", k)} END"
+    s"""WITH pools AS (
+      |  SELECT user_id, event_type, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN value >= 60 THEN 1 ELSE 0 END)::BIGINT AS c
+      |  FROM events GROUP BY user_id, event_type
+      |)
+      |SELECT user_id, event_type, n, c,
+      |  ${passAt(1)} AS pass_at_1,
+      |  ${passAt(5)} AS pass_at_5,
+      |  ${passAt(10)} AS pass_at_10
+      |FROM pools""".stripMargin
+  }
+
   /** Hard negatives for every 20th vector (a 5% anchor panel) against
     * the full embedding corpus: the 3 most-cosine-similar vectors per
     * anchor with a DIFFERENT label ([[graft.api.Graft.hardNegatives]]).

@@ -48,6 +48,31 @@ class RlSpec extends SparkTestBase {
     bon.unpersist()
   }
 
+  test("pass@k: matches the exact BigInt binomial estimator, clamps to 1 " +
+      "when successes can't be avoided, NULL below pool size") {
+    val pk = RlQueries.qPassAtK(spark, dir).cache()
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).map(i => BigInt(n - i)).product /
+        (1L to k).map(BigInt(_)).product
+    def exact(n: Long, c: Long, k: Long): Option[Double] =
+      if (n < k) None
+      else Some(1.0 - BigDecimal(choose(n - c, k)).toDouble / BigDecimal(choose(n, k)).toDouble)
+    pk.collect().foreach { r =>
+      val (n, c) = (r.getLong(2), r.getLong(3))
+      Seq((4, 1L), (5, 5L), (6, 10L)).foreach { case (idx, k) =>
+        val got = if (r.isNullAt(idx)) None else Some(r.getDouble(idx))
+        val want = exact(n, c, k)
+        assert(got === want, s"pass@$k for n=$n c=$c")
+        // the estimator's boundary semantics
+        if (n >= k && n - c < k) assert(got.contains(1.0))
+        if (c === 0L && n >= k) assert(got.contains(0.0))
+      }
+    }
+    assert(pk.filter($"pass_at_1" < 0.0 || $"pass_at_1" > 1.0).count() === 0L)
+    pk.unpersist()
+  }
+
   test("hard negatives: k nearest different-label vectors, verified " +
       "against a local brute force") {
     val k = 3
