@@ -31,10 +31,16 @@ object RlQueries {
     * fan-out N, a training-run constant). The margin is a pairwise
     * subtraction of raw parquet doubles — exact IEEE in both engines,
     * no rounding needed. */
-  def qBestOfN(spark: SparkSession, dir: String): DataFrame = {
+  def qBestOfN(spark: SparkSession, dir: String): DataFrame =
+    bestOfNOf(Tables.events(spark, dir))
+
+  /** [[qBestOfN]] over an arbitrary scored-candidate frame — public to
+    * the streaming sibling's spec ([[graft.streaming.StreamingBestOfN]])
+    * so both arms provably share one kernel. */
+  private[graft] def bestOfNOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
     val wOrd = w.orderBy(col("value").desc, col("event_id").asc)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(w))
