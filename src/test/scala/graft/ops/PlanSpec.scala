@@ -259,6 +259,63 @@ class PlanSpec extends SparkTestBase {
     assert(belowShuffle, s"bloom prefilter not below any shuffle:\n$p")
   }
 
+  private def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    root.collect { case e: ShuffleExchangeExec => e }.size
+  }
+
+  test("q_best_of_n: ONE exchange total — rank window, pool-count window " +
+      "and the re-agg all share the pool-key partitioning") {
+    val df = RlQueries.qBestOfN(spark, dir)
+    assert(shuffleCount(df) === 1, s"extra exchange:\n${plan(df)}")
+    windowsOf(df).foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window:\n${plan(df)}"))
+  }
+
+  test("q_pass_at_k: one exchange, no window — pure post-agg arithmetic") {
+    val df = RlQueries.qPassAtK(spark, dir)
+    assert(shuffleCount(df) === 1, s"extra exchange:\n${plan(df)}")
+    assert(windowsOf(df).isEmpty, s"unexpected window:\n${plan(df)}")
+  }
+
+  test("q_hard_negatives: anchors broadcast onto the corpus (the one " +
+      "intended nested loop), top-k is WindowGroupLimit-bounded") {
+    val df = RlQueries.qHardNegatives(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // exactly the label-mismatch broadcast, no second data-sized loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p)
+    assert(p.contains("WindowGroupLimit"), s"top-k not group-limited:\n$p")
+    // the corpus reaches the scorer without shuffling: the only
+    // exchange is the per-anchor rank's (id-derived key)
+    assert(shuffleCount(df) === 1, s"corpus-side exchange:\n$p")
+  }
+
+  test("q_curriculum: no window anywhere; the corpus re-enters through a " +
+      "broadcast stage lookup, never an exchange") {
+    val df = RlQueries.qCurriculum(spark, dir)
+    val p = plan(df)
+    assert(windowsOf(df).isEmpty, s"window in curriculum plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stage lookup not broadcast:\n$p")
+    // allowed exchanges: the ≤64-row bin agg + its prefix/total re-aggs;
+    // the corpus-scale side must contribute NONE — every shuffle in the
+    // plan must sit above the first bin aggregation
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    root.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      assert(e.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+        s"corpus-scale exchange (no aggregate below it):\n$p")
+    }
+  }
+
   test("q_similarity_pq: shortlist rerank joins are equi-joins — no cartesian, " +
       "no data-sized nested loop") {
     val p = plan(SimilarityQueries.qSimilarityPq(spark, dir))
