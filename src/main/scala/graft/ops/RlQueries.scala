@@ -75,6 +75,66 @@ object RlQueries {
       |FROM ranked WHERE rn <= 2
       |GROUP BY user_id, event_type""".stripMargin
 
+  /** Tie-proof 4-decimal rounding computed identically in both engines
+    * (shared contract with [[SftQueries]]: Spark round() is
+    * decimal-string HALF_UP, DuckDB's is binary — floor(x·1e4 + 0.5)
+    * in doubles sidesteps both). */
+  private def round4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** Group-relative advantage normalization — the GRPO-style critic
+    * replacement: each (user_id, event_type) pool of sampled
+    * generations standardizes its own reward scores,
+    * adv = (score − mean)/std, so a policy update needs no learned
+    * value model. One row per candidate with its pool-relative
+    * advantage; degenerate pools (singleton, or every score equal)
+    * emit advantage 0 — no signal, not a division blow-up.
+    *
+    * Cross-engine exactness: mean and variance come from the explicit
+    * moment sums (Σv, Σv², n) — NOT the engines' variance aggregates
+    * (DuckDB's var_samp is single-pass Welford, a different float
+    * result) — so both sides reduce identical per-row doubles in
+    * identical file order, the sample-variance formula
+    * (Σv² − (Σv)²/n)/(n−1) evaluates identically, and the σ=0
+    * degenerate test compares bit-equal doubles; the final advantage
+    * is tie-proof-rounded to 4 decimals. Scale shape: one hash agg on
+    * the id-derived pool key (map-side partial) + a broadcast-friendly
+    * join back to the candidates on the SAME key — pool stats are one
+    * row per pool, candidates never shuffle twice. */
+  def qGrpoAdv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val stats = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("__s"),
+        sum(col("value") * col("value")).as("__s2"))
+      .withColumn("__var", when(col("n") > 1,
+        (col("__s2") - col("__s") * col("__s") / col("n")) / (col("n") - 1)))
+    ev.join(stats, Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("n"),
+        when(col("__var").isNull || col("__var") <= 0.0, lit(0.0))
+          .otherwise(round4(
+            (col("value") - col("__s") / col("n")) / sqrt(col("__var"))))
+          .as("adv"))
+  }
+
+  val grpoAdvOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, value FROM events
+      |), stats AS (
+      |  SELECT user_id, event_type, count(*)::BIGINT AS n,
+      |    sum(value) AS s, sum(value * value) AS s2
+      |  FROM ev GROUP BY user_id, event_type
+      |), v AS (
+      |  SELECT user_id, event_type, n, s,
+      |    CASE WHEN n > 1 THEN (s2 - s * s / n) / (n - 1) END AS var
+      |  FROM stats
+      |)
+      |SELECT e.user_id, e.event_type, e.event_id, v.n,
+      |  CASE WHEN v.var IS NULL OR v.var <= (0)::DOUBLE THEN (0)::DOUBLE
+      |    ELSE floor((e.value - v.s / v.n) / sqrt(v.var) * 1e4 + (0.5)::DOUBLE) / 1e4
+      |  END AS adv
+      |FROM ev e JOIN v USING (user_id, event_type)""".stripMargin
+
   /** Unbiased pass@k over sampled generations (the Codex-paper
     * estimator): each (user_id, event_type) pool is a problem's n
     * samples, a sample passes when its score clears 60, and

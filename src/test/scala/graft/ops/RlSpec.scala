@@ -116,6 +116,55 @@ class RlSpec extends SparkTestBase {
     hn.unpersist()
   }
 
+  test("grpo advantages: zero-mean unit-variance per pool (within the " +
+      "4-decimal rounding), degenerate pools emit exactly 0") {
+    val adv = RlQueries.qGrpoAdv(spark, dir).cache()
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id", $"value")
+
+    // one advantage per candidate, pools preserved
+    assert(adv.count() === ev.count())
+
+    // per non-degenerate pool: mean(adv) ~ 0 and var_samp(adv) ~ 1
+    // (rounding each adv to 4 decimals moves a k-pool mean < 5e-5 and
+    // the variance O(1e-4))
+    val pools = adv.filter($"n" > 1)
+      .groupBy($"user_id", $"event_type")
+      .agg(avg($"adv").as("m"), variance($"adv").as("v"),
+        sum(abs($"adv")).as("absum"))
+    val nondeg = pools.filter($"absum" > 0.0)
+    assert(nondeg.filter(abs($"m") > 5e-5).count() === 0L, "pool mean drifted")
+    assert(nondeg.filter(abs($"v" - 1.0) > 1e-3).count() === 0L, "pool variance drifted")
+
+    // degenerate pools (singletons or all-equal scores) are exactly 0
+    val deg = ev.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"value").as("dv"))
+      .filter($"cnt" === 1 || $"dv" === 1)
+    val degAdv = adv.join(deg, Seq("user_id", "event_type"))
+    assert(degAdv.filter($"adv" =!= 0.0).count() === 0L)
+
+    // spot-check one pool against a local computation
+    val sample = adv.limit(1).collect()(0)
+    val (u, et) = (sample.getLong(0), sample.getString(1))
+    val vals = ev.filter($"user_id" === u && $"event_type" === et)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val n = vals.length
+    if (n > 1) {
+      val s = vals.map(_._2).sum
+      val s2 = vals.map(v => v._2 * v._2).sum
+      val varS = (s2 - s * s / n) / (n - 1)
+      val got = adv.filter($"user_id" === u && $"event_type" === et)
+        .collect().map(r => (r.getLong(2), r.getDouble(4))).toMap
+      vals.foreach { case (eid, v) =>
+        val want =
+          if (varS <= 0) 0.0
+          else math.floor((v - s / n) / math.sqrt(varS) * 1e4 + 0.5) / 1e4
+        assert(got(eid) === want, s"pool ($u,$et) event $eid")
+      }
+    }
+    adv.unpersist()
+  }
+
   test("curriculum: bins are the bit length of difficulty, stages are " +
       "monotone easy-to-hard, and stage budgets cover the token mass") {
     val cur = RlQueries.qCurriculum(spark, dir).cache()
