@@ -158,6 +158,7 @@ object SparkEntry {
     "q_scd2"            -> TemporalQueries.qScd2,
     "q_transitions"     -> TemporalQueries.qTransitions,
     "q_cube"            -> TemporalQueries.qCube,
+    "q_grouping_sets"   -> TemporalQueries.qGroupingSets,
     "q_corr"            -> TemporalQueries.qCorr,
     "q_winsorize"       -> TemporalQueries.qWinsorize,
     "q_edit_dupes"      -> DedupQueries.qEditDupes,
@@ -670,6 +671,7 @@ object SparkEntry {
     "q_scd2" -> TemporalQueries.scd2Oracle,
     "q_transitions" -> TemporalQueries.transitionsOracle,
     "q_cube" -> TemporalQueries.cubeOracle,
+    "q_grouping_sets" -> TemporalQueries.groupingSetsOracle,
     "q_corr" -> TemporalQueries.corrOracle,
     "q_winsorize" -> TemporalQueries.winsorizeOracle,
     "q_edit_dupes" -> DedupQueries.editDupesOracle,

@@ -101,6 +101,31 @@ object TemporalQueries {
       |  sum(l_quantity) AS sum_qty
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form cube/rollup are sugar
+    * for: a business-chosen set list ((flag, status), (ship month), ())
+    * that a cube would over-produce (2³ = 8 sets) and a rollup cannot
+    * express at all. Same Expand + ONE hash aggregate plan as
+    * [[qCube]] — one shuffle for all three subtotal levels; the
+    * grouping columns are non-null in lineitem, so NULL markers
+    * disambiguate levels without grouping_id (whose bit order is not
+    * portable across engines). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("ship_month", date_trunc("month", col("l_shipdate")).cast("date"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_month")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("ship_month"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+
+  val groupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  date_trunc('month', l_shipdate)::DATE AS ship_month,
+      |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (date_trunc('month', l_shipdate)::DATE), ())""".stripMargin
+
   /** Grouped correlation + least-squares slope of extendedprice on
     * quantity per return flag — the profile-stats shape for numeric
     * column pairs. One shuffle on the group key; co-moments are
