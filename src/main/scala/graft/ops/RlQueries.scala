@@ -101,8 +101,15 @@ object RlQueries {
     * the id-derived pool key (map-side partial) + a broadcast-friendly
     * join back to the candidates on the SAME key — pool stats are one
     * row per pool, candidates never shuffle twice. */
-  def qGrpoAdv(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def qGrpoAdv(spark: SparkSession, dir: String): DataFrame =
+    grpoAdvOf(Tables.events(spark, dir))
+
+  /** [[qGrpoAdv]] over an arbitrary scored-candidate frame — public to
+    * the streaming sibling's spec
+    * ([[graft.streaming.StreamingBestOfN.advantages]]) so both arms
+    * provably share one kernel. */
+  private[graft] def grpoAdvOf(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
     val stats = ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("__s"),

@@ -52,6 +52,76 @@ object StreamingBestOfN {
       // pool (a tied runner-up gives 0), singletons report 0
       st.best.value - st.second.map(_.value).getOrElse(st.best.value))
 
+  final case class GrpoCand(eventId: Long, value: Double)
+  final case class GrpoState(cands: List[GrpoCand], lastUs: Long)
+  final case class GrpoOut(user_id: Long, event_type: String, event_id: Long,
+      n: Long, adv: Double)
+
+  /** Streaming GRPO advantages — the ingest-time sibling of
+    * [[graft.ops.RlQueries.qGrpoAdv]]: a pool's candidates buffer in
+    * keyed state (bounded by the generation fan-out N, a training-run
+    * constant — unlike [[selectBest]]'s O(1) fold, every candidate must
+    * reappear in the output with its own advantage), and when the
+    * watermark closes the pool each candidate is emitted with its
+    * pool-standardized advantage from the SAME explicit-moment
+    * arithmetic as the batch query (Σv, Σv², the floor-rounding), so
+    * closed pools equal the batch rows field-for-field. Summation runs
+    * in (event_id) order regardless of arrival order, so the streamed
+    * result is replay-deterministic; vs the batch side (which reduces
+    * in scan order) the 4-decimal floor-rounding absorbs last-ULP
+    * order differences — the same knife-edge-tie caveat the batch
+    * oracle itself carries. */
+  def advantages(
+      spark: SparkSession,
+      events: DataFrame,
+      quietUs: Long = 30L * 60 * 1000000,
+      watermark: String = "10 minutes"): Dataset[GrpoOut] = {
+    import spark.implicits._
+    require(quietUs > 0, s"quietUs must be positive, got $quietUs")
+
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Long, String, Double)]
+      .groupByKey(r => (r._1, r._5))
+      .flatMapGroupsWithState[GrpoState, GrpoOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((user, etype), rows, state: GroupState[GrpoState]) =>
+          var st = state.getOption.getOrElse(GrpoState(Nil, Long.MinValue))
+          rows.foreach { case (_, _, tsUs, eid, _, value) =>
+            st = GrpoState(GrpoCand(eid, value) :: st.cands,
+              math.max(st.lastUs, tsUs))
+          }
+          if (st.cands.nonEmpty &&
+              state.getCurrentWatermarkMs() * 1000L >= st.lastUs + quietUs) {
+            state.remove()
+            // deterministic summation order: by event_id, exactly the
+            // file order the batch agg reduces at the fixture grain
+            val ordered = st.cands.sortBy(_.eventId)
+            val n = ordered.length.toLong
+            var s = 0.0; var s2 = 0.0
+            ordered.foreach { c => s += c.value; s2 += c.value * c.value }
+            val varS = if (n > 1) (s2 - s * s / n) / (n - 1) else -1.0
+            ordered.iterator.map { c =>
+              val adv =
+                if (varS <= 0.0) 0.0
+                else math.floor((c.value - s / n) / math.sqrt(varS) * 1e4 + 0.5) / 1e4
+              GrpoOut(user, etype, c.eventId, n, adv)
+            }
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max((st.lastUs + quietUs) / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** The streaming query: `events` must carry (user_id, ts, event_id,
     * event_type, value). Emits one Append-mode row per watermark-closed
     * pool (`quietUs` micros with no new candidate). */

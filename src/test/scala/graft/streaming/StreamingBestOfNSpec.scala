@@ -128,6 +128,39 @@ class StreamingBestOfNSpec extends SparkTestBase {
     }
   }
 
+  test("streaming grpo advantages: closed pools equal the batch " +
+      "normalization per candidate, out-of-order and tie pools included") {
+    val grpoBatch = RlQueries.grpoAdvOf(eventsDf(part1 ++ part2))
+      .filter(col("user_id") =!= 999L) // the sentinel pool never closes
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val root = Files.createTempDirectory("grpo-stream-")
+    new FileStreamClient(root).createStream("cands", 1)
+    val out = Files.createTempDirectory("grpo-out-").toString
+    produce(root, part1 ++ part2)
+    val q = StreamingBestOfN.advantages(spark, readEvents(root, 3),
+        quietUs = 30L * Min, watermark = "2 hours")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("grpo-ck-").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("n"), r.getAs[Double]("adv")))
+      .toSet
+    assert(got === grpoBatch, "streamed advantages diverge from the batch kernel")
+    // the tie pool (u1/gen has a tied top pair) and the singleton pool
+    // must both be present with a zero-advantage candidate somewhere
+    assert(got.exists(r => r._1 == 1L && r._2 == "rank" && r._5 == 0.0),
+      "singleton pool should emit adv 0")
+  }
+
   test("checkpoint restart mid-stream: open pools recover their fold; the " +
       "union of both runs equals the batch result exactly once") {
     val root = Files.createTempDirectory("bon-restart-")
