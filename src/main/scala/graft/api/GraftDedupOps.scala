@@ -288,11 +288,14 @@ trait GraftDedupOps { this: Graft.type =>
       anchors: DataFrame, anchorId: String, anchorVec: String,
       anchorLabel: String, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // labels keep their source type (string categories are as valid as
+    // int classes) — a cast here would null out non-numeric labels and
+    // silently emit nothing
     val c = corpus.select(col(id).as("neg_id"), col(vec).as("__v"),
-        col(label).cast("long").as("neg_label"))
+        col(label).as("neg_label"))
       .withColumn("__nrm", sqrt(float_dot(col("__v"), col("__v"))))
     val a = anchors.select(col(anchorId).as("anchor_id"), col(anchorVec).as("__q"),
-        col(anchorLabel).cast("long").as("__albl"))
+        col(anchorLabel).as("__albl"))
       .withColumn("__qnrm", sqrt(float_dot(col("__q"), col("__q"))))
     val scored = c.join(broadcast(a), col("neg_label") =!= col("__albl"))
       .withColumn("cos",

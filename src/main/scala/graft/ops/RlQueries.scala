@@ -203,6 +203,9 @@ object RlQueries {
       emb, "vec_id", "embedding", "label",
       emb.filter(pmod(col("vec_id"), lit(20)) === 0),
       "vec_id", "embedding", "label", k = 3)
+      // the kernel preserves the label's source type (int32 here);
+      // widen to BIGINT only to match the oracle's hash grain
+      .withColumn("neg_label", col("neg_label").cast("long"))
   }
 
   val hardNegativesOracle: String =

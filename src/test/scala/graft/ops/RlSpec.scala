@@ -165,6 +165,22 @@ class RlSpec extends SparkTestBase {
     adv.unpersist()
   }
 
+  test("hard negatives: string-labeled corpora work — labels keep their " +
+      "source type instead of silently nulling through a numeric cast") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), "en"), (2L, Array(0.9f, 0.1f), "en"),
+      (3L, Array(0.8f, 0.2f), "de"), (4L, Array(0.0f, 1.0f), "de"))
+      .toDF("vec_id", "embedding", "label")
+    val hn = graft.api.Graft.hardNegatives(
+      df, "vec_id", "embedding", "label",
+      df.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 2)
+      .collect()
+    assert(hn.nonEmpty, "string labels silently emitted nothing")
+    // nearest different-label vector to (1,0) is vec 3 (de), then vec 4
+    assert(hn.map(r => (r.getLong(2), r.getString(3))).toSeq ===
+      Seq((3L, "de"), (4L, "de")))
+  }
+
   test("curriculum: bins are the bit length of difficulty, stages are " +
       "monotone easy-to-hard, and stage budgets cover the token mass") {
     val cur = RlQueries.qCurriculum(spark, dir).cache()
