@@ -50,6 +50,7 @@ object SparkEntry {
     "q_best_of_n"       -> RlQueries.qBestOfN,
     "q_pass_at_k"       -> RlQueries.qPassAtK,
     "q_grpo_adv"        -> RlQueries.qGrpoAdv,
+    "q_reward_drift"    -> RlQueries.qRewardDrift,
     "q_hard_negatives"  -> RlQueries.qHardNegatives,
     "q_curriculum"      -> RlQueries.qCurriculum,
     "q_late_data"       -> CoreQueries.qLateData,
@@ -450,6 +451,7 @@ object SparkEntry {
     "q_best_of_n" -> RlQueries.bestOfNOracle,
     "q_pass_at_k" -> RlQueries.passAtKOracle,
     "q_grpo_adv" -> RlQueries.grpoAdvOracle,
+    "q_reward_drift" -> RlQueries.rewardDriftOracle,
     "q_hard_negatives" -> RlQueries.hardNegativesOracle,
     "q_curriculum" -> RlQueries.curriculumOracle,
 

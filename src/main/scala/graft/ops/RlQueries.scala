@@ -191,6 +191,59 @@ object RlQueries {
       |FROM pools""".stripMargin
   }
 
+  /** Reward-drift detection — Spearman rank correlation between a
+    * pool's reward scores and its arrival order: a strongly positive
+    * (or negative) ρ says the sampler's quality trended during the
+    * run (temperature decay, cache contamination, a failing scorer) —
+    * the pool-health diagnostic an RLHF pipeline alarms on. One row
+    * per pool with n and ρ; pools of one report NULL (no ordering to
+    * correlate).
+    *
+    * Exactness: both rankings are DETERMINISTIC permutations
+    * (value ties break by event_id, arrival ties by event_id), so
+    * Σd² is an exact integer and ρ = 1 − 6Σd²/(n(n²−1)) is ONE IEEE
+    * division of exact-integer doubles — identical in both engines,
+    * no rounding needed (this is Spearman of the tie-broken
+    * permutation; the classic average-rank tie correction would trade
+    * this hash-exactness away). Scale shape: one exchange on the
+    * id-derived pool key shared by both rank windows and the final
+    * re-agg; Σd² and n stay within 2⁵³ for any pool under ~2M
+    * candidates (fan-out is a training constant, orders below). */
+  def qRewardDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pool = Window.partitionBy(col("user_id"), col("event_type"))
+    val byValue = pool.orderBy(col("value").asc, col("event_id").asc)
+    val byArrival = pool.orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .withColumn("__rv", row_number().over(byValue).cast("long"))
+      .withColumn("__rt", row_number().over(byArrival).cast("long"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("__rv") - col("__rt")) * (col("__rv") - col("__rt"))).as("__d2"))
+      .select(col("user_id"), col("event_type"), col("n"),
+        when(col("n") > 1,
+          lit(1.0) - lit(6.0) * col("__d2")
+            / (col("n") * (col("n") * col("n") - 1L)))
+          .as("spearman"))
+  }
+
+  val rewardDriftOracle: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY value ASC, event_id ASC)::BIGINT AS rv,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts ASC, event_id ASC)::BIGINT AS rt
+      |  FROM events
+      |)
+      |SELECT user_id, event_type, count(*)::BIGINT AS n,
+      |  CASE WHEN count(*) > 1 THEN
+      |    (1)::DOUBLE - (6)::DOUBLE * sum((rv - rt) * (rv - rt))
+      |      / (count(*) * (count(*) * count(*) - 1))
+      |  END AS spearman
+      |FROM ranked GROUP BY user_id, event_type""".stripMargin
+
   /** Hard negatives for every 20th vector (a 5% anchor panel) against
     * the full embedding corpus: the 3 most-cosine-similar vectors per
     * anchor with a DIFFERENT label ([[graft.api.Graft.hardNegatives]]).

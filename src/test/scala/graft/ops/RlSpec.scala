@@ -165,6 +165,39 @@ class RlSpec extends SparkTestBase {
     adv.unpersist()
   }
 
+  test("reward drift: spearman of the tie-broken permutations matches a " +
+      "local reference; bounds and degenerate pools hold") {
+    val rd = RlQueries.qRewardDrift(spark, dir).cache()
+    // rho in [-1, 1]; singleton pools NULL
+    assert(rd.filter($"spearman" < -1.0 || $"spearman" > 1.0).count() === 0L)
+    assert(rd.filter($"n" === 1 && $"spearman".isNotNull).count() === 0L)
+    assert(rd.filter($"n" > 1 && $"spearman".isNull).count() === 0L)
+
+    // local exact reference over every pool
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("ts_us"), $"value")
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    val got = rd.collect().map(r => ((r.getLong(0), r.getString(1)),
+      (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    ev.foreach { case (key, rows) =>
+      val n = rows.length
+      val rv = rows.sortBy(t => (t._3, t._1)).zipWithIndex
+        .map { case ((eid, _, _), i) => eid -> (i + 1L) }.toMap
+      val rt = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+        .map { case ((eid, _, _), i) => eid -> (i + 1L) }.toMap
+      val d2 = rows.map(t => { val d = rv(t._1) - rt(t._1); d * d }).sum
+      val want =
+        if (n < 2) None
+        else Some(1.0 - 6.0 * d2 / (n.toLong * (n.toLong * n.toLong - 1L)))
+      assert(got(key) === ((n.toLong, want)), s"pool $key")
+    }
+    rd.unpersist()
+  }
+
   test("hard negatives: string-labeled corpora work — labels keep their " +
       "source type instead of silently nulling through a numeric cast") {
     val df = Seq(
