@@ -282,6 +282,31 @@ class PlanSpec extends SparkTestBase {
     assert(windowsOf(df).isEmpty, s"unexpected window:\n${plan(df)}")
   }
 
+  test("q_reward_drift: ONE exchange — both rank windows and the re-agg " +
+      "share the pool-key partitioning") {
+    val df = RlQueries.qRewardDrift(spark, dir)
+    assert(shuffleCount(df) === 1, s"extra exchange:\n${plan(df)}")
+    windowsOf(df).foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window:\n${plan(df)}"))
+  }
+
+  test("q_grpo_adv: pool stats re-join the candidates on the same key — " +
+      "no window, candidates shuffle once") {
+    val df = RlQueries.qGrpoAdv(spark, dir)
+    assert(windowsOf(df).isEmpty, s"unexpected window:\n${plan(df)}")
+    // two branches over the same scan: the stats agg's exchange and at
+    // most one more to co-partition the join — never a third
+    assert(shuffleCount(df) <= 2, s"extra exchange:\n${plan(df)}")
+  }
+
+  test("q_grouping_sets: Expand + ONE hash-aggregate exchange covers all " +
+      "three subtotal levels") {
+    val df = TemporalQueries.qGroupingSets(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Expand"), s"no Expand (grouping sets rewritten?):\n$p")
+    assert(shuffleCount(df) === 1, s"extra exchange:\n$p")
+  }
+
   test("q_hard_negatives: anchors broadcast onto the corpus (the one " +
       "intended nested loop), top-k is WindowGroupLimit-bounded") {
     val df = RlQueries.qHardNegatives(spark, dir)
