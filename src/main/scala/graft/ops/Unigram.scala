@@ -67,6 +67,26 @@ object Unigram {
 
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
+  /** Char offsets of the code-point boundaries of `s`: off(0) = 0,
+    * off(k) = char index of the k-th code point, off(n) = s.length.
+    * Lets the encode/training hot loops take pieces with ONE
+    * `String.substring` instead of materializing a String per code
+    * point and re-concatenating every candidate slice — identical
+    * strings, a fraction of the allocation rate (the encode kernel is
+    * allocation-bound at corpus scale). */
+  private def cpOffsets(s: String): Array[Int] = {
+    val off = new Array[Int](s.codePointCount(0, s.length) + 1)
+    var n = 0
+    var ci = 0
+    while (ci < s.length) {
+      off(n) = ci
+      n += 1
+      ci += Character.charCount(s.codePointAt(ci))
+    }
+    off(n) = s.length
+    off
+  }
+
   /** Trained model: piece → ln(cnt/total). Pure data so it broadcasts
     * cheaply; `maxLen` (code points) bounds the Viterbi inner loop and
     * `unkLogp` (strictly below every real piece) prices unseen single
@@ -86,8 +106,8 @@ object Unigram {
     * piece wins (ascending start index, strict `>` keeps the first
     * maximum found). */
   private[ops] def viterbi(unit: String, m: Model): Array[String] = {
-    val cps = codePoints(unit)
-    val n = cps.length
+    val off = cpOffsets(unit)
+    val n = off.length - 1
     if (n == 0) return Array.empty
     val dp = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = new Array[Int](n + 1)
@@ -96,7 +116,7 @@ object Unigram {
     while (i <= n) {
       var j = math.max(0, i - m.maxLen)
       while (j < i) {
-        val piece = cps.slice(j, i).mkString
+        val piece = unit.substring(off(j), off(i))
         val lp = m.pieces.get(piece) match {
           case Some(p)            => p
           case None if i - j == 1 => m.unkLogp
@@ -112,7 +132,7 @@ object Unigram {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var k = n
-    while (k > 0) { val j = back(k); out += cps.slice(j, k).mkString; k = j }
+    while (k > 0) { val j = back(k); out += unit.substring(off(j), off(k)); k = j }
     out.reverseIterator.toArray
   }
 
@@ -121,11 +141,12 @@ object Unigram {
   /** All candidate substrings (≤ maxPieceLen code points) of one unit,
     * one emission per occurrence. */
   private def substrings(unit: String, maxPieceLen: Int): Iterator[String] = {
-    val cps = codePoints(unit)
+    val off = cpOffsets(unit)
+    val n = off.length - 1
     for {
-      j <- (0 until cps.length).iterator
-      i <- ((j + 1) to math.min(cps.length, j + maxPieceLen)).iterator
-    } yield cps.slice(j, i).mkString
+      j <- (0 until n).iterator
+      i <- ((j + 1) to math.min(n, j + maxPieceLen)).iterator
+    } yield unit.substring(off(j), off(i))
   }
 
   /** Shared deterministic top-k: weight desc, then piece ascending in
