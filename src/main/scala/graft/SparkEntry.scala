@@ -45,6 +45,8 @@ object SparkEntry {
     "q_sft_assemble"    -> SftQueries.qSftAssemble,
     "q_sft_spans"       -> SftQueries.qSftSpans,
     "q_sft_pack"        -> SftQueries.qSftPack,
+    "q_sft_pack_tokens" -> SftQueries.qSftPackTokens,
+    "q_dpo_export"      -> SftQueries.qDpoExport,
     "q_pref_pairs"      -> SftQueries.qPrefPairs,
     "q_pref_pairs_quality" -> SftQueries.qPrefPairsQuality,
     "q_best_of_n"       -> RlQueries.qBestOfN,
@@ -52,6 +54,8 @@ object SparkEntry {
     "q_grpo_adv"        -> RlQueries.qGrpoAdv,
     "q_reward_drift"    -> RlQueries.qRewardDrift,
     "q_hard_negatives"  -> RlQueries.qHardNegatives,
+    "q_hard_negatives_ivf" -> RlQueries.qHardNegativesIvf,
+    "q_knn_classify_ivf" -> ClassifyQueries.qKnnClassifyIvf,
     "q_curriculum"      -> RlQueries.qCurriculum,
     "q_late_data"       -> CoreQueries.qLateData,
     "q_dedup_exact"     -> CoreQueries.qDedupExact,
@@ -409,6 +413,56 @@ object SparkEntry {
         |    - (o.stream_off + s.span_start) // 2048 + 1)::BIGINT AS n_seqs
         |FROM spans s JOIN offs o USING (user_id, sid)""".stripMargin,
 
+    "q_sft_pack_tokens" ->
+      s"""$sftTurnsCte, tl AS (
+        |  SELECT user_id, sid, ts, event_id, turn_idx, role,
+        |    len(regexp_extract_all(rendered, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tl
+        |  FROM rendered
+        |), slen AS (
+        |  SELECT user_id, sid, sum(tl)::BIGINT AS tc FROM tl GROUP BY user_id, sid
+        |), offs AS (
+        |  SELECT user_id, sid,
+        |    coalesce(sum(tc) OVER (ORDER BY user_id * 1048576 + sid
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS stream_off
+        |  FROM slen
+        |), spans AS (
+        |  SELECT user_id, sid, turn_idx, role,
+        |    coalesce(sum(tl) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS span_start,
+        |    (coalesce(sum(tl) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tl)::BIGINT AS span_end
+        |  FROM tl
+        |)
+        |SELECT s.user_id, s.sid, s.turn_idx::BIGINT AS turn_idx, s.role,
+        |  (o.stream_off + s.span_start)::BIGINT AS packed_start,
+        |  (o.stream_off + s.span_end)::BIGINT AS packed_end,
+        |  ((o.stream_off + s.span_start) // 2048)::BIGINT AS seq_id,
+        |  ((o.stream_off + s.span_start) % 2048)::BIGINT AS seq_off,
+        |  ((o.stream_off + s.span_end - 1) // 2048
+        |    - (o.stream_off + s.span_start) // 2048 + 1)::BIGINT AS n_seqs
+        |FROM spans s JOIN offs o USING (user_id, sid)""".stripMargin,
+
+    "q_dpo_export" ->
+      s"""$sftTurnsCte, assembled AS (
+        |  SELECT user_id, sid,
+        |    string_agg(rendered, '' ORDER BY ts, event_id) AS transcript,
+        |    sum(CASE WHEN role = 'assistant' THEN length(rendered) ELSE 0 END)::BIGINT AS ac
+        |  FROM rendered GROUP BY user_id, sid
+        |), ranked AS (
+        |  SELECT user_id, sid, transcript, ac,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ac DESC, sid ASC) AS rn
+        |  FROM assembled
+        |)
+        |SELECT user_id, ((rn + 1) // 2)::BIGINT AS pair_idx,
+        |  max(CASE WHEN rn % 2 = 1 THEN sid END)::BIGINT AS chosen_sid,
+        |  max(CASE WHEN rn % 2 = 0 THEN sid END)::BIGINT AS rejected_sid,
+        |  max(CASE WHEN rn % 2 = 1 THEN transcript END) AS chosen,
+        |  max(CASE WHEN rn % 2 = 0 THEN transcript END) AS rejected,
+        |  (max(CASE WHEN rn % 2 = 1 THEN ac END)
+        |    - max(CASE WHEN rn % 2 = 0 THEN ac END))::BIGINT AS margin
+        |FROM ranked GROUP BY user_id, (rn + 1) // 2
+        |HAVING max(CASE WHEN rn % 2 = 0 THEN sid END) IS NOT NULL""".stripMargin,
+
     "q_pref_pairs" ->
       """WITH ranked AS (
         |  SELECT source, lang, doc_id, n_chars,
@@ -453,6 +507,8 @@ object SparkEntry {
     "q_grpo_adv" -> RlQueries.grpoAdvOracle,
     "q_reward_drift" -> RlQueries.rewardDriftOracle,
     "q_hard_negatives" -> RlQueries.hardNegativesOracle,
+    "q_hard_negatives_ivf" -> RlQueries.hardNegativesIvfOracle,
+    "q_knn_classify_ivf" -> ClassifyQueries.knnClassifyIvfOracle,
     "q_curriculum" -> RlQueries.curriculumOracle,
 
     "q_late_data" ->

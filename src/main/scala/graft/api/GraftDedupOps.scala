@@ -281,9 +281,18 @@ trait GraftDedupOps { this: Graft.type =>
     * never shuffles, the per-anchor top-k is a WindowGroupLimit-bounded
     * rank filter on the anchor id. The label-mismatch predicate runs
     * inside the broadcast join, so same-label rows never reach the
-    * scorer. Anchors must be broadcast-small (the [[knn]] contract);
-    * for anchor sets at corpus scale, mine per-cell via the IVF path
-    * and verify exactly, as [[embedNearDup]] does. */
+    * scorer. Anchors must be broadcast-small AND fixed-size (the
+    * [[knn]] contract — a panel proportional to the corpus makes both
+    * join sides grow and the plan quadratic); for anchor sets at
+    * corpus scale, mine per-cell via the IVF path instead
+    * ([[hardNegativesIvf]] — a shuffled equi-join on cell ids).
+    *
+    * NULL labels are null-SAFE mismatches: a NULL-labeled corpus row
+    * is a valid negative for any non-NULL-labeled anchor (and vice
+    * versa); only NULL-vs-NULL is treated as "same label" and
+    * excluded. A null-REJECTING `=!=` here would silently drop every
+    * NULL-labeled row and anchors could emit fewer than k negatives
+    * with no signal. */
   def hardNegatives(corpus: DataFrame, id: String, vec: String, label: String,
       anchors: DataFrame, anchorId: String, anchorVec: String,
       anchorLabel: String, k: Int = 3): DataFrame = {
@@ -297,7 +306,7 @@ trait GraftDedupOps { this: Graft.type =>
     val a = anchors.select(col(anchorId).as("anchor_id"), col(anchorVec).as("__q"),
         col(anchorLabel).as("__albl"))
       .withColumn("__qnrm", sqrt(float_dot(col("__q"), col("__q"))))
-    val scored = c.join(broadcast(a), col("neg_label") =!= col("__albl"))
+    val scored = c.join(broadcast(a), !(col("neg_label") <=> col("__albl")))
       .withColumn("cos",
         round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
     val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("neg_id").asc)
@@ -438,9 +447,29 @@ trait GraftDedupOps { this: Graft.type =>
       ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
     import graft.ops.Ivf
     val centroids = Ivf.trainCentroids(corpus, id, vec, ivf)
-    val assigned = Ivf.assign(corpus, id, vec, centroids, ivf.corpusAssign)
+    ivfKnnCells(corpus, id, vec, queries, queryId, queryVec, k,
+      centroids, ivf.resolveNprobe(centroids.length), ivf.corpusAssign)
+  }
+
+  /** [[ivfKnn]] against a PREBUILT index ([[graft.ops.Ivf.train]] /
+    * [[graft.ops.Ivf.load]] / [[graft.ops.Ivf.strideIndex]]) with
+    * explicit probe/replication counts — the amortized path for
+    * recurring search over a slowly-drifting corpus, and the
+    * oracle-replicable path when the index is a [[graft.ops.Ivf
+    * .strideIndex]]. */
+  def ivfKnn(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      index: graft.ops.Ivf.Index, nprobe: Int, corpusAssign: Int): DataFrame =
+    ivfKnnCells(corpus, id, vec, queries, queryId, queryVec, k,
+      index.centroids, nprobe, corpusAssign)
+
+  private def ivfKnnCells(corpus: DataFrame, id: String, vec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int, corpusAssign: Int): DataFrame = {
+    import graft.ops.Ivf
+    val assigned = Ivf.assign(corpus, id, vec, centroids, corpusAssign)
       .select(col(id).as("neighbor_id"), col(vec).as("__v"), col("nrm").as("__nrm"), col("cell"))
-    val probes = Ivf.assign(queries, queryId, queryVec, centroids, ivf.resolveNprobe(centroids.length))
+    val probes = Ivf.assign(queries, queryId, queryVec, centroids, nprobe)
       .select(col(queryId).as("query_id"), col(queryVec).as("__q"), col("nrm").as("__qnrm"), col("cell"))
     // no broadcast hint: Catalyst/AQE broadcasts a small query side on
     // its own; a huge query set must shuffle-join on cell or it would
@@ -460,6 +489,63 @@ trait GraftDedupOps { this: Graft.type =>
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** [[hardNegatives]] for anchor sets at CORPUS scale, mined through
+    * the IVF index so the plan is a shuffled equi-join on cell ids —
+    * never a broadcast of a corpus-proportional panel and never a
+    * nested-loop cross product (the 100 TB shape the broadcast
+    * kernel's contract points here for). Both sides run the map-only
+    * cell assignment ([[graft.ops.Ivf.assign]], labels riding through
+    * as passthrough columns — no corpus-scale join back on the id);
+    * candidates are the different-label pairs sharing a probed cell,
+    * exact-verified with the codegen'd cosine on candidates only and
+    * ranked per anchor under the [[hardNegatives]] bit-stable contract
+    * (round(cos, 12), neg_id ties). Output schema matches
+    * [[hardNegatives]]; the result is approximate — an anchor's true
+    * k-th negative can hide in an unprobed cell — with recall governed
+    * by nprobe × corpusAssign vs nlist (RlSpec pins floors vs the
+    * exact kernel, incl. ≥0.9 on a clustered corpus). NULL labels
+    * follow [[hardNegatives]]'s null-SAFE mismatch semantics. */
+  def hardNegativesIvf(corpus: DataFrame, id: String, vec: String, label: String,
+      anchors: DataFrame, anchorId: String, anchorVec: String,
+      anchorLabel: String, k: Int = 3,
+      ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    import graft.ops.Ivf
+    val centroids = Ivf.trainCentroids(corpus, id, vec, ivf)
+    hardNegativesIvf(corpus, id, vec, label, anchors, anchorId, anchorVec,
+      anchorLabel, k, Ivf.Index(centroids, new Array[Double](centroids.length)),
+      ivf.resolveNprobe(centroids.length), ivf.corpusAssign)
+  }
+
+  /** [[hardNegativesIvf]] against a prebuilt index with explicit
+    * probe/replication counts (see the [[ivfKnn]] index overload). */
+  def hardNegativesIvf(corpus: DataFrame, id: String, vec: String, label: String,
+      anchors: DataFrame, anchorId: String, anchorVec: String,
+      anchorLabel: String, k: Int, index: graft.ops.Ivf.Index,
+      nprobe: Int, corpusAssign: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.ops.Ivf
+    val c = Ivf.assign(corpus, id, vec, index.centroids, corpusAssign, extra = Seq(label))
+      .select(col(id).as("neg_id"), col(vec).as("__v"),
+        col("nrm").as("__nrm"), col("cell"), col(label).as("neg_label"))
+    val a = Ivf.assign(anchors, anchorId, anchorVec, index.centroids, nprobe,
+        extra = Seq(anchorLabel))
+      .select(col(anchorId).as("anchor_id"), col(anchorVec).as("__q"),
+        col("nrm").as("__qnrm"), col("cell"), col(anchorLabel).as("__albl"))
+    val scored = c.join(a, Seq("cell"))
+      .filter(!(col("neg_label") <=> col("__albl")))
+      .withColumn("cos",
+        round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+      // replication + multi-probe dedup, the ivfKnn argument: cos is a
+      // pure function of the (anchor, neg) pair
+      .select(col("anchor_id"), col("neg_id"), col("neg_label"), col("cos"))
+      .dropDuplicates("anchor_id", "neg_id")
+    val w = Window.partitionBy(col("anchor_id")).orderBy(col("cos").desc, col("neg_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("neg_id"), col("neg_label"), col("cos"))
+  }
+
   /** k-NN label propagation: classify each `unlabeled` row by the
     * majority label among its `k` nearest `labeled` neighbors by
     * cosine (the embedding-space analog of [[nbScore]]'s token-space
@@ -472,15 +558,69 @@ trait GraftDedupOps { this: Graft.type =>
     * Scale shape: inherits [[knn]]'s broadcast-queries/corpus-stays-put
     * contract — the labeled corpus is scanned once and never shuffled;
     * the vote resolution runs over |queries|·k rows, which AQE
-    * broadcasts back against nothing (it is the final frame). For
-    * huge query sets, swap the inner [[knn]] for [[ivfKnn]] — the
-    * voting logic is identical. */
+    * broadcasts back against nothing (it is the final frame). The
+    * query panel must be broadcast-small and FIXED-SIZE; for query
+    * sets that grow with the corpus use [[knnClassifyIvf]] — same
+    * voting logic over the IVF cell equi-join. */
   def knnClassify(labeled: DataFrame, id: String, vec: String, label: String,
       unlabeled: DataFrame, queryId: String, queryVec: String, k: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val nn = knn(labeled, id, vec, unlabeled, queryId, queryVec, k)
     val votes = nn
       .join(labeled.select(col(id).as("neighbor_id"), col(label).as("__l")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__n").desc, col("__l").asc)
+    votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__l").as("label_pred"), col("__n").cast("long").as("votes"))
+  }
+
+  /** [[knnClassify]] for query sets at CORPUS scale — the swap the
+    * broadcast kernel's contract prescribes: neighbors come from the
+    * IVF cell equi-join instead of a broadcast of the query panel, so
+    * BOTH sides may grow with the data (pseudo-labeling a whole crawl
+    * against a labeled seed corpus). Labels ride through the map-only
+    * assignment as passthrough columns — no corpus-scale join back on
+    * the id — and the voting logic is identical to [[knnClassify]]
+    * (votes desc, label asc; neighbor ranks on round(cos, 12), id
+    * ties). Approximate: a true neighbor can hide in an unprobed cell,
+    * flipping a vote — ClassifySpec pins agreement floors vs the exact
+    * form and exact equality when the probe covers every cell. */
+  def knnClassifyIvf(labeled: DataFrame, id: String, vec: String, label: String,
+      unlabeled: DataFrame, queryId: String, queryVec: String, k: Int = 5,
+      ivf: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+    import graft.ops.Ivf
+    val centroids = Ivf.trainCentroids(labeled, id, vec, ivf)
+    knnClassifyIvf(labeled, id, vec, label, unlabeled, queryId, queryVec, k,
+      Ivf.Index(centroids, new Array[Double](centroids.length)),
+      ivf.resolveNprobe(centroids.length), ivf.corpusAssign)
+  }
+
+  /** [[knnClassifyIvf]] against a prebuilt index with explicit
+    * probe/replication counts (see the [[ivfKnn]] index overload). */
+  def knnClassifyIvf(labeled: DataFrame, id: String, vec: String, label: String,
+      unlabeled: DataFrame, queryId: String, queryVec: String, k: Int,
+      index: graft.ops.Ivf.Index, nprobe: Int, corpusAssign: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import graft.ops.Ivf
+    val c = Ivf.assign(labeled, id, vec, index.centroids, corpusAssign, extra = Seq(label))
+      .select(col(id).as("neighbor_id"), col(vec).as("__v"),
+        col("nrm").as("__nrm"), col("cell"), col(label).as("__l"))
+    val q = Ivf.assign(unlabeled, queryId, queryVec, index.centroids, nprobe)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__q"),
+        col("nrm").as("__qnrm"), col("cell"))
+    val nn = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        round(float_dot(col("__q"), col("__v")) / col("__qnrm") / col("__nrm"), 12))
+      // label is a pure function of the neighbor, so key-only dedup
+      // stays exact (the ivfKnn argument)
+      .select(col("query_id"), col("neighbor_id"), col("__l"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val wR = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    val votes = nn.withColumn("__r", row_number().over(wR))
+      .filter(col("__r") <= k)
       .groupBy(col("query_id"), col("__l"))
       .agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("__n").desc, col("__l").asc)

@@ -218,13 +218,15 @@ object Bpe {
     * spread across the cluster ([[Spread.widen]]). NULL text encodes
     * to zero tokens. */
   def encode(df: DataFrame, id: String, text: String,
-             merges: Seq[(String, String)]): DataFrame = {
+             merges: Seq[(String, String)], extra: Seq[String] = Nil): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(
       merges.zipWithIndex.toMap)
     val enc = Encoders.row(StructType(Seq(
       StructField(id, LongType), StructField("n_tokens", LongType),
-      StructField("bpe_tokens", StringType))))
-    Spread.widen(df.select(col(id), coalesce(col(text), lit(""))))
+      StructField("bpe_tokens", StringType)) ++ extra.map(c => df.schema(c))))
+    val nExtra = extra.length
+    Spread.widen(df.select((Seq(col(id), coalesce(col(text), lit(""))) ++
+        extra.map(col)): _*))
       .mapPartitions { it =>
         val rank = bc.value
         it.map { r =>
@@ -233,7 +235,8 @@ object Bpe {
           val toks = r.getString(1).split(" ").filter(_.nonEmpty)
             .flatMap(w => encodeWord(w, rank))
             .map(_.replace(Eow, "")).filter(_.nonEmpty)
-          Row(r.getLong(0), toks.length.toLong, toks.mkString(" "))
+          Row.fromSeq(Seq(r.getLong(0), toks.length.toLong, toks.mkString(" ")) ++
+            Array.tabulate[Any](nExtra)(k => r.get(2 + k)))
         }
       }(enc)
   }

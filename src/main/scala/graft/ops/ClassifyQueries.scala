@@ -183,14 +183,18 @@ object ClassifyQueries {
   }
 
   /** k-NN label propagation over the embedding space
-    * ([[graft.api.Graft.knnClassify]]): every 5th vector plays the
-    * unlabeled pseudo-labeling target, classified by majority label
-    * of its 5 nearest labeled neighbors by cosine. */
+    * ([[graft.api.Graft.knnClassify]]): a FIXED 100-query panel
+    * (vec_id < 100 — constant at every scale, the broadcast kernel's
+    * contract shape) classified by majority label of its 5 nearest
+    * labeled neighbors by cosine. The pre-round-13 form classified a
+    * 20% PROPORTIONAL panel through the broadcast join — both sides
+    * grew with the corpus (the round-12 quadratic finding); that
+    * corpus-scale shape now runs through [[qKnnClassifyIvf]]. */
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     graft.api.Graft.knnClassify(
-      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding", "label",
-      emb.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding", 5)
+      emb.filter(col("vec_id") >= 100), "vec_id", "embedding", "label",
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", 5)
   }
 
   /** The [[SimilarityQueries.knnOracle]] scoring arithmetic
@@ -198,9 +202,9 @@ object ClassifyQueries {
     * side, plus the vote resolution: votes DESC, label ASC. */
   val knnClassifyOracle: String =
     """WITH q AS (
-      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 5 = 0),
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 100),
       |c AS (
-      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 <> 0),
+      |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 100),
       |scored AS (
       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
       |    round(
@@ -219,6 +223,65 @@ object ClassifyQueries {
       |votes AS (
       |  SELECT query_id, label, count(*)::BIGINT AS votes
       |  FROM topk GROUP BY query_id, label)
+      |SELECT query_id, label AS label_pred, votes FROM (
+      |  SELECT query_id, label, votes,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY votes DESC, label ASC) AS r
+      |  FROM votes)
+      |WHERE r = 1""".stripMargin
+
+  /** [[qKnnClassify]] at corpus scale through the IVF cell equi-join
+    * ([[graft.api.Graft.knnClassifyIvf]]): the SAME proportional query
+    * panel (every 5th vector — 20% of the corpus, which the broadcast
+    * form cannot take without going quadratic) classified by majority
+    * label among the candidates sharing a probed cell. The index is
+    * [[Ivf.strideIndex]] over the FULL embedding table (centroids are
+    * reference directions — they need not come from the labeled side,
+    * and the stride rule over the labeled subset alone would be empty:
+    * ids ≡ 0 mod a multiple of 5 are all query-side), so the whole
+    * approximate prediction replays under the DuckDB hash oracle. nprobe
+    * fixed (8) vs √n cells: probed fraction shrinks with scale —
+    * candidates n^1.5, not the broadcast form's n². ClassifySpec pins
+    * agreement vs the exact form and exact equality at full probe. */
+  def qKnnClassifyIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = Ivf.strideIndex(emb, "vec_id", "embedding")
+    graft.api.Graft.knnClassifyIvf(
+      emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), "vec_id", "embedding", "label",
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), "vec_id", "embedding",
+      k = 5, index, nprobe = 8, corpusAssign = 2)
+  }
+
+  /** The [[RlQueries.ivfAsgCte]] cell replay filtered to the
+    * labeled/query split, then the [[knnClassifyOracle]] vote
+    * resolution over the cell-join candidates. */
+  val knnClassifyIvfOracle: String =
+    s"""${RlQueries.ivfAsgCte}, c AS (
+      |  SELECT vec_id, embedding, label, cell FROM asg
+      |  WHERE r <= 2 AND vec_id % 5 <> 0
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv, cell FROM asg
+      |  WHERE r <= 8 AND vec_id % 5 = 0
+      |), cand AS (
+      |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, c.label,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))),
+      |      12) AS cos
+      |  FROM c JOIN q USING (cell)
+      |  WHERE c.vec_id <> q.query_id
+      |), topk AS (
+      |  SELECT query_id, label FROM (
+      |    SELECT query_id, label,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY cos DESC, neighbor_id ASC) AS r
+      |    FROM cand)
+      |  WHERE r <= 5
+      |), votes AS (
+      |  SELECT query_id, label, count(*)::BIGINT AS votes
+      |  FROM topk GROUP BY query_id, label
+      |)
       |SELECT query_id, label AS label_pred, votes FROM (
       |  SELECT query_id, label, votes,
       |    row_number() OVER (PARTITION BY query_id

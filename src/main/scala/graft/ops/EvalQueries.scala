@@ -180,6 +180,16 @@ object EvalQueries {
     * are exact integer ratios, so the whole family is deterministic
     * without a tiebreak column (row_number would not be).
     *
+    * PRECONDITION: `value` must be non-NULL and non-NaN. The tie-group
+    * frame joins back to the events on raw-double equality, and
+    * NaN != NaN (and NULL != NULL) in a join predicate — such rows
+    * would silently vanish from the output where the one-window form
+    * would rank them (Spark windows order NaN last, NULL first). The
+    * fixture column is NOT NULL / finite by construction; corpora with
+    * NaN sentinels should canonicalize first (e.g. nanvl or a
+    * bit-stable key) — this kernel deliberately does not pay that
+    * projection for data that doesn't need it.
+    *
     * event_type is fixed-cardinality, so the naive one-window form is a
     * single-task sort per stratum at scale (round-11 weak class).
     * Instead: collapse to the DISTINCT (event_type, value) frame with

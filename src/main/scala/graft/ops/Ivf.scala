@@ -133,6 +133,29 @@ object Ivf {
     Index(centroids, radii)
   }
 
+  /** A fully ENGINE-REPLICABLE index: centroids are the unit-normalized
+    * corpus vectors with `id ≡ 0 (mod s)`, s = max(1, n / ⌈√n⌉), cell =
+    * rank in id order — no k-means, so any SQL engine can reconstruct
+    * the identical cell geometry from the data alone (`WHERE id % s = 0
+    * ORDER BY id`) and replay an IVF query bit-for-bit. This is what
+    * lets the IVF-path gate queries (q_hard_negatives_ivf,
+    * q_knn_classify_ivf) sit under the full DuckDB hash oracle instead
+    * of a rows-only check: the approximation itself is deterministic
+    * and portable. nlist still scales as ≈√n, so the equi-join-on-cell
+    * plan shape and its cost curve match [[train]]'s; Lloyd-refined
+    * centroids only tighten cells (better recall at equal cost).
+    * Driver memory is O(√n · dim) — for corpora past ~10⁸ vectors use
+    * [[train]] (sampleCap-bounded) and give up oracle replay. */
+  def strideIndex(df: DataFrame, id: String, vec: String): Index = {
+    val n = df.count()
+    require(n > 0, "strideIndex needs a non-empty corpus")
+    val s = math.max(1L, n / math.ceil(math.sqrt(n.toDouble)).toLong)
+    val centroids = df.filter(pmod(col(id), lit(s)) === 0)
+      .sort(col(id)).select(col(vec)).collect()
+      .map(r => unit(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    Index(centroids, new Array[Double](centroids.length))
+  }
+
   /** Unit-normalized centroids from a deterministic stride sample of the
     * corpus (ids `≡ 0 (mod ⌈n/sampleCap⌉)`, sorted), refined by
     * `lloydIters` spherical Lloyd steps. Empty clusters keep their
@@ -197,23 +220,28 @@ object Ivf {
     best
   }
 
-  private def assignSchema(id: String, vec: String): StructType = StructType(Seq(
+  private def assignSchema(id: String, vec: String,
+      extraFields: Seq[StructField]): StructType = StructType(Seq(
     StructField(id, LongType),
     StructField(vec, ArrayType(FloatType)),
     StructField("nrm", DoubleType),
     StructField("cell", IntegerType),
     StructField("cell_rank", IntegerType),
-    StructField("cell_angle", DoubleType)))
+    StructField("cell_angle", DoubleType)) ++ extraFields)
 
   /** Explode each row to its `nprobe` nearest cells:
     * (id, vec, nrm, cell, cell_rank) with cell_rank 0 = nearest.
     * Map-only (the centroid array rides in the task closure);
     * shuffle-free on a wide input — only a narrow (single-split) input
-    * is first spread across the cluster ([[Spread.widen]]). */
+    * is first spread across the cluster ([[Spread.widen]]).
+    * `extra` columns of `df` are carried through opaquely (e.g. a
+    * label riding alongside the vector), so consumers that need them
+    * avoid a corpus-scale join back on the id. */
   def assign(df: DataFrame, id: String, vec: String,
-      centroids: Array[Array[Double]], nprobe: Int): DataFrame =
+      centroids: Array[Array[Double]], nprobe: Int,
+      extra: Seq[String] = Nil): DataFrame =
     assignImpl(df, id, vec, centroids, angles =>
-      angles.sorted.take(math.min(nprobe, angles.length)))
+      angles.sorted.take(math.min(nprobe, angles.length)), extra)
 
   /** Explode each row to every cell within angular MARGIN of its nearest
     * cell: cells with θ(v,c) ≤ θ(v, nearest) + marginRad, nearest first.
@@ -253,9 +281,12 @@ object Ivf {
 
   private def assignImpl(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]],
-      pick: Array[(Double, Int)] => Array[(Double, Int)]): DataFrame = {
-    val enc = Encoders.row(assignSchema(id, vec))
-    Spread.widen(df.select(col(id), col(vec)))
+      pick: Array[(Double, Int)] => Array[(Double, Int)],
+      extra: Seq[String] = Nil): DataFrame = {
+    val extraFields = extra.map(c => df.schema(c))
+    val enc = Encoders.row(assignSchema(id, vec, extraFields))
+    val nExtra = extra.length
+    Spread.widen(df.select((Seq(col(id), col(vec)) ++ extra.map(col)): _*))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val vf = r.getSeq[Float](1).toArray
@@ -274,8 +305,9 @@ object Ivf {
             val cos = if (nrm == 0.0) 0.0 else dot / nrm
             (math.acos(math.max(-1.0, math.min(1.0, cos))), c)
           }
+          val extras = Array.tabulate[Any](nExtra)(k => r.get(2 + k))
           pick(angles).iterator.zipWithIndex.map { case ((a, c), rank) =>
-            Row(r.getLong(0), vf.toSeq, nrm, c, rank, a)
+            Row.fromSeq(Seq(r.getLong(0), vf.toSeq, nrm, c, rank, a) ++ extras)
           }
         }
       }(enc)

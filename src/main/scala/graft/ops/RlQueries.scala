@@ -159,8 +159,15 @@ object RlQueries {
     * Scale shape: one hash agg on the id-derived pool key (map-side
     * partial), then pure per-row arithmetic over bounded k-element
     * sequences; no window, no second shuffle. */
-  def qPassAtK(spark: SparkSession, dir: String): DataFrame = {
-    val pools = Tables.events(spark, dir)
+  def qPassAtK(spark: SparkSession, dir: String): DataFrame =
+    passAtKOf(Tables.events(spark, dir))
+
+  /** [[qPassAtK]] over an arbitrary scored-candidate frame — public to
+    * the streaming sibling's spec
+    * ([[graft.streaming.StreamingRlMetrics]]) so both arms provably
+    * share one estimator. */
+  private[graft] def passAtKOf(events: DataFrame): DataFrame = {
+    val pools = events
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") >= 60.0, 1L).otherwise(0L)).as("c"))
@@ -209,11 +216,18 @@ object RlQueries {
     * id-derived pool key shared by both rank windows and the final
     * re-agg; Σd² and n stay within 2⁵³ for any pool under ~2M
     * candidates (fan-out is a training constant, orders below). */
-  def qRewardDrift(spark: SparkSession, dir: String): DataFrame = {
+  def qRewardDrift(spark: SparkSession, dir: String): DataFrame =
+    rewardDriftOf(Tables.events(spark, dir))
+
+  /** [[qRewardDrift]] over an arbitrary scored-candidate frame — public
+    * to the streaming sibling's spec
+    * ([[graft.streaming.StreamingRlMetrics]]) so both arms provably
+    * share one estimator. */
+  private[graft] def rewardDriftOf(events: DataFrame): DataFrame = {
     val pool = Window.partitionBy(col("user_id"), col("event_type"))
     val byValue = pool.orderBy(col("value").asc, col("event_id").asc)
     val byArrival = pool.orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts"), col("value"))
       .withColumn("__rv", row_number().over(byValue).cast("long"))
@@ -244,9 +258,14 @@ object RlQueries {
       |  END AS spearman
       |FROM ranked GROUP BY user_id, event_type""".stripMargin
 
-  /** Hard negatives for every 20th vector (a 5% anchor panel) against
-    * the full embedding corpus: the 3 most-cosine-similar vectors per
-    * anchor with a DIFFERENT label ([[graft.api.Graft.hardNegatives]]).
+  /** Hard negatives for a FIXED 64-anchor panel (vec_id < 64 — constant
+    * size at every scale, the [[SimilarityQueries]] q_similarity_knn
+    * panel pattern) against the full embedding corpus: the 3
+    * most-cosine-similar vectors per anchor with a DIFFERENT label
+    * ([[graft.api.Graft.hardNegatives]]). The panel is fixed-size by
+    * construction because the broadcast kernel's contract requires it —
+    * a corpus-PROPORTIONAL anchor set makes both join sides grow (the
+    * round-12 quadratic finding) and belongs to [[qHardNegativesIvf]].
     * The exhaustive SQL oracle replays the scoring bit-for-bit
     * (round(cos, 12), neg_id rank ties — the [[SimilarityQueries]]
     * contract). */
@@ -254,7 +273,7 @@ object RlQueries {
     val emb = Tables.embeddings(spark, dir)
     graft.api.Graft.hardNegatives(
       emb, "vec_id", "embedding", "label",
-      emb.filter(pmod(col("vec_id"), lit(20)) === 0),
+      emb.filter(col("vec_id") < 64),
       "vec_id", "embedding", "label", k = 3)
       // the kernel preserves the label's source type (int32 here);
       // widen to BIGINT only to match the oracle's hash grain
@@ -264,7 +283,7 @@ object RlQueries {
   val hardNegativesOracle: String =
     """WITH a AS (
       |  SELECT vec_id AS anchor_id, embedding AS qv, label AS albl
-      |  FROM embeddings WHERE vec_id % 20 = 0
+      |  FROM embeddings WHERE vec_id < 64
       |), scored AS (
       |  SELECT a.anchor_id, e.vec_id AS neg_id, e.label::BIGINT AS neg_label,
       |    round(
@@ -272,13 +291,87 @@ object RlQueries {
       |      / sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
       |      / sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
       |      12) AS cos
-      |  FROM embeddings e, a WHERE e.label <> a.albl
+      |  FROM embeddings e, a WHERE e.label IS DISTINCT FROM a.albl
       |)
       |SELECT anchor_id, rank, neg_id, neg_label, cos FROM (
       |  SELECT anchor_id, neg_id, neg_label, cos,
       |    row_number() OVER (PARTITION BY anchor_id
       |      ORDER BY cos DESC, neg_id ASC)::BIGINT AS rank
       |  FROM scored)
+      |WHERE rank <= 3""".stripMargin
+
+  /** Corpus-scale hard-negative mining through the IVF cell equi-join
+    * ([[graft.api.Graft.hardNegativesIvf]]): the 5% anchor panel
+    * (every 20th vector — PROPORTIONAL to the corpus, which is exactly
+    * what the broadcast form cannot take) mines its 3 hardest
+    * different-label negatives among the candidates sharing a probed
+    * cell. The index is [[Ivf.strideIndex]] — centroids are the
+    * unit-normalized vectors at ids ≡ 0 (mod ⌊n/⌈√n⌉⌋), a rule any
+    * engine can replay from the data alone — so the ENTIRE approximate
+    * result sits under the full DuckDB hash oracle (cell ranking by
+    * raw cos desc / cell asc, candidate scoring round(cos, 12), neg_id
+    * ties): the approximation is deterministic, not engine-private.
+    * nprobe is FIXED (8) while nlist grows as √n, so the probed corpus
+    * fraction SHRINKS with scale — candidates grow as n^1.5/√n per
+    * side pair instead of the broadcast form's n²; RlSpec pins recall
+    * and hardness floors vs the exact kernel. */
+  def qHardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val index = Ivf.strideIndex(emb, "vec_id", "embedding")
+    graft.api.Graft.hardNegativesIvf(
+      emb, "vec_id", "embedding", "label",
+      emb.filter(pmod(col("vec_id"), lit(20)) === 0),
+      "vec_id", "embedding", "label",
+      k = 3, index, nprobe = 8, corpusAssign = 2)
+      .withColumn("neg_label", col("neg_label").cast("long"))
+  }
+
+  /** Shared oracle prefix of the IVF-path queries: the stride-rule
+    * centroids and every vector's cells ranked by cosine (desc, cell
+    * asc) — the SQL replay of [[Ivf.strideIndex]] + [[Ivf.assign]]. */
+  private[ops] val ivfAsgCte: String =
+    """WITH p AS (
+      |  SELECT greatest(1, count(*) // ceil(sqrt(count(*)))::BIGINT)::BIGINT AS s
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |    list_transform(embedding, x -> x::DOUBLE
+      |      / sqrt(list_sum(list_transform(embedding, y -> y::DOUBLE * y::DOUBLE)))) AS u
+      |  FROM embeddings, p WHERE vec_id % p.s = 0
+      |), sc AS (
+      |  SELECT e.vec_id, e.embedding, e.label, c.cell,
+      |    list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.u[i]))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+      |      AS ccos
+      |  FROM embeddings e, cent c
+      |), asg AS (
+      |  SELECT vec_id, embedding, label, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r
+      |  FROM sc
+      |)""".stripMargin
+
+  val hardNegativesIvfOracle: String =
+    s"""$ivfAsgCte, corpus AS (
+      |  SELECT vec_id, embedding, label, cell FROM asg WHERE r <= 2
+      |), anchors AS (
+      |  SELECT vec_id, embedding, label, cell FROM asg
+      |  WHERE r <= 8 AND vec_id % 20 = 0
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS neg_id,
+      |    c.label::BIGINT AS neg_label,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))),
+      |      12) AS cos
+      |  FROM corpus c JOIN anchors a USING (cell)
+      |  WHERE c.label IS DISTINCT FROM a.label
+      |)
+      |SELECT anchor_id, rank, neg_id, neg_label, cos FROM (
+      |  SELECT anchor_id, neg_id, neg_label, cos,
+      |    row_number() OVER (PARTITION BY anchor_id
+      |      ORDER BY cos DESC, neg_id ASC)::BIGINT AS rank
+      |  FROM cand)
       |WHERE rank <= 3""".stripMargin
 
   /** Easy-first curriculum over the documents table: difficulty proxy

@@ -142,23 +142,33 @@ object SftQueries {
     * per user (raise_error row guard — human activity is orders of
     * magnitude below) and user ids < 2^43 (ANSI multiplication fails
     * loudly beyond — hash-valued ids should be densified first). */
-  def qSftPack(spark: SparkSession, dir: String): DataFrame = {
-    val Budget = 2048L
+  def qSftPack(spark: SparkSession, dir: String): DataFrame =
+    packSpanTable(qSftSpans(spark, dir)
+      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
+        col("span_start"), col("span_end")), 2048L)
+
+  /** The packing tail shared by [[qSftPack]] (char units),
+    * [[qSftPackTokens]] (regex-token units) and [[sftPackTokensBpe]]
+    * (learned-tokenizer units): a per-turn span table in ANY length
+    * unit — (user_id, sid, turn_idx, role, span_start, span_end), the
+    * session tiled exactly by its turns — is laid end-to-end in
+    * (user_id, sid) order, cut into `budget`-unit sequences, and every
+    * span re-addressed into the packed stream. See [[qSftPack]]'s
+    * Scaladoc for the one-pass plan argument and the pack-id stride
+    * guards. */
+  private def packSpanTable(spans: DataFrame, budget: Long): DataFrame = {
     val Stride = 1L << 20
     val guardedSid = when(col("sid") < Stride, col("sid"))
-      .otherwise(raise_error(concat(lit("qSftPack: session id overflows the "),
+      .otherwise(raise_error(concat(lit("packSpanTable: session id overflows the "),
         lit(s"pack-id stride $Stride for user "), col("user_id").cast("string"))))
-    val spans = qSftSpans(spark, dir)
-      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
-        col("span_start"), col("span_end"))
     val sessions = spans
       .groupBy(col("user_id"), col("sid"))
-      .agg(max(col("span_end")).as("transcript_chars"))
+      .agg(max(col("span_end")).as("__slen"))
       .select((col("user_id") * lit(Stride) + guardedSid).as("__pid"),
-        col("transcript_chars"))
+        col("__slen"))
       .localCheckpoint()
     val packed = graft.api.Graft.packSequences(sessions, "__pid",
-        "transcript_chars", Budget)
+        "__slen", budget)
       .select(expr(s"__pid div $Stride").as("user_id"),
         pmod(col("__pid"), lit(Stride)).as("sid"),
         col("stream_off"))
@@ -167,10 +177,64 @@ object SftQueries {
       .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
         (col("stream_off") + col("span_start")).as("packed_start"),
         (col("stream_off") + col("span_end")).as("packed_end"),
-        expr(s"(stream_off + span_start) div $Budget").as("seq_id"),
-        pmod(col("stream_off") + col("span_start"), lit(Budget)).as("seq_off"),
-        (expr(s"(stream_off + span_end - 1) div $Budget")
-          - expr(s"(stream_off + span_start) div $Budget") + 1L).as("n_seqs"))
+        expr(s"(stream_off + span_start) div $budget").as("seq_id"),
+        pmod(col("stream_off") + col("span_start"), lit(budget)).as("seq_off"),
+        (expr(s"(stream_off + span_end - 1) div $budget")
+          - expr(s"(stream_off + span_start) div $budget") + 1L).as("n_seqs"))
+  }
+
+  /** The BPE-ish pre-tokenizer regex shared with
+    * [[graft.api.GraftTextOps.tokenCounts]] — letter runs, digit runs,
+    * one token per other non-space char. Identical semantics in Java
+    * regex and DuckDB RE2 (the q_token_count cross-engine precedent). */
+  private[ops] val TokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** [[qSftPack]] in TOKEN units — what a trainer's sequence budget
+    * actually means (2048 tokens, not characters): per-turn lengths
+    * are regex pre-tokenizer counts, the span offsets their per-session
+    * prefix sums (the same single user_id shuffle), and the pack cuts
+    * at a 2048-TOKEN budget. The regex tokenizer keeps the whole query
+    * under the full DuckDB hash oracle — a LEARNED tokenizer's merge
+    * loop is the no-oracle BPE argument, and that composition is
+    * [[sftPackTokensBpe]], spec-pinned to produce the identical pack
+    * given identical lengths. Plan shape: identical to [[qSftPack]]
+    * (the token count is one more map-side expression). */
+  def qSftPackTokens(spark: SparkSession, dir: String): DataFrame = {
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val spans = turns(spark, dir)
+      .withColumn("__tl",
+        size(regexp_extract_all(col("rendered"), lit(TokenRe), lit(0))).cast("long"))
+      .withColumn("span_start", coalesce(
+        sum(col("__tl")).over(bySession.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
+        col("span_start"), (col("span_start") + col("__tl")).as("span_end"))
+    packSpanTable(spans, 2048L)
+  }
+
+  /** [[qSftPackTokens]] with a LEARNED tokenizer: per-turn lengths come
+    * from [[Bpe.encode]] under the caller's trained merge list (token
+    * counts are deterministic given the pinned merges), everything
+    * downstream is the shared [[packSpanTable]] kernel. The encode is
+    * map-only with the turn columns riding through as passthrough, so
+    * the plan stays one corpus pass + the single user_id exchange —
+    * the [[qSftPack]] shape. No SQL oracle (the BPE merge loop is the
+    * gate's documented no-oracle class); SftSpec pins the pack against
+    * a sequential reference replay of the same encoder lengths. */
+  private[graft] def sftPackTokensBpe(events: DataFrame,
+      merges: Seq[(String, String)], budget: Long): DataFrame = {
+    val enc = Bpe.encode(turnsOf(events), "event_id", "rendered", merges,
+      extra = Seq("user_id", "sid", "turn_idx", "role", "ts"))
+    val bySession = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    val spans = enc
+      .withColumn("span_start", coalesce(
+        sum(col("n_tokens")).over(bySession.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("user_id"), col("sid"), col("turn_idx"), col("role"),
+        col("span_start"), (col("span_start") + col("n_tokens")).as("span_end"))
+    packSpanTable(spans, budget)
   }
 
   /** Preference-pair construction for reward-model training data: rank
@@ -207,6 +271,46 @@ object SftQueries {
         col("chosen_id"), col("rejected_id"), col(chosenName),
         col(rejectedName),
         (col(chosenName) - col(rejectedName)).as("gap"))
+  }
+
+  /** DPO-ready preference EXPORT — the artifact a preference trainer
+    * actually consumes: not id pairs ([[qPrefPairs]]) but the two
+    * RENDERED transcripts side by side with the pair's margin. Sessions
+    * are assembled with the [[qSftAssemble]] template, ranked WITHIN
+    * their user by assistant-content mass (assistant_chars desc, sid
+    * tiebreak — an exact integer signal, so ranks and the margin are
+    * engine-portable), and adjacent ranks pair off: rank 2k−1 is
+    * `chosen`, rank 2k `rejected`, odd leftovers drop — the
+    * [[qPrefPairs]] pairing rule at session grain, so every pair is
+    * same-user (same persona/context, the contrast DPO wants).
+    *
+    * Scale shape: ONE exchange for the whole query. The transcript
+    * assembly already hash-partitions on user_id; the rank window
+    * partitions by the same user_id and the pair re-agg groups by
+    * (user_id, pair_idx) — `EnsureRequirements` satisfies both from
+    * the existing partitioning (PlanSpec pins the single exchange).
+    * Per-user state is one user's sessions — bounded by human
+    * activity, never corpus-sized — so no StratifiedRank chunking is
+    * needed (user_id is data-derived; the round-11 weak class is
+    * fixed-cardinality strata). */
+  def qDpoExport(spark: SparkSession, dir: String): DataFrame = {
+    val t = sftAssemble(turns(spark, dir))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("assistant_chars").desc, col("sid").asc)
+    t.withColumn("__rn", row_number().over(w))
+      .withColumn("pair_idx", ((col("__rn") + 1L) / lit(2L)).cast("long"))
+      .groupBy(col("user_id"), col("pair_idx"))
+      .agg(
+        max(when(col("__rn") % 2 === 1, col("sid"))).as("chosen_sid"),
+        max(when(col("__rn") % 2 === 0, col("sid"))).as("rejected_sid"),
+        max(when(col("__rn") % 2 === 1, col("transcript"))).as("chosen"),
+        max(when(col("__rn") % 2 === 0, col("transcript"))).as("rejected"),
+        max(when(col("__rn") % 2 === 1, col("assistant_chars"))).as("chosen_chars"),
+        max(when(col("__rn") % 2 === 0, col("assistant_chars"))).as("rejected_chars"))
+      .filter(col("rejected_sid").isNotNull)
+      .select(col("user_id"), col("pair_idx"), col("chosen_sid"),
+        col("rejected_sid"), col("chosen"), col("rejected"),
+        (col("chosen_chars") - col("rejected_chars")).as("margin"))
   }
 
   /** Preference pairs ranked by the engine's quality score instead of

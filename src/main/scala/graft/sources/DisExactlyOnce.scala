@@ -68,10 +68,24 @@ object DisExactlyOnce {
     * relative path against a cwd would itself be unstable):
     * URI-normalize dot segments, default the scheme to `file`
     * (dropping an empty/localhost file authority), and strip trailing
-    * slashes. Spark hands sinks a fully-qualified absolute checkpoint
-    * URI, so the relative-vs-absolute case does not arise from the
-    * engine; callers passing the option by hand should pass an
-    * absolute path (documented on the writer option). */
+    * slashes. Query and fragment components are PRESERVED — two
+    * checkpoint URIs differing only there are different locations and
+    * must not collide into one writer id. Spark hands sinks a
+    * fully-qualified absolute checkpoint URI, so the
+    * relative-vs-absolute case does not arise from the engine; callers
+    * passing the option by hand should pass an absolute path
+    * (documented on the writer option).
+    *
+    * ONE-TIME ID MIGRATION (round-12 → 13 canonicalization change,
+    * documented on the writer option): a checkpoint that previously
+    * hashed raw (e.g. `/tmp/ck/q1`) now hashes its canonical form
+    * (`file:///tmp/ck/q1`), so the FIRST restart after upgrading mints
+    * a new writer identity — an in-flight batch replayed across that
+    * upgrade boundary can duplicate once through the exactly-once view
+    * (exactly the window the canonicalization closes for every restart
+    * after it). Writers that must upgrade with work in flight should
+    * pin `exactlyOnceWriterId` explicitly (it hashes as-is, bypassing
+    * canonicalization entirely), or drain before upgrading. */
   private[sources] def canonicalCheckpoint(s: String): String = {
     val trimmed = s.trim
     def stripSlashes(p: String): String = {
@@ -87,7 +101,9 @@ object DisExactlyOnce {
         .getOrElse("")
       val path = stripSlashes(Option(u.getPath).filter(_.nonEmpty)
         .orElse(Option(u.getSchemeSpecificPart)).getOrElse(""))
-      s"$scheme://$auth$path"
+      val query = Option(u.getQuery).map("?" + _).getOrElse("")
+      val fragment = Option(u.getFragment).map("#" + _).getOrElse("")
+      s"$scheme://$auth$path$query$fragment"
     } catch {
       // not URI-parseable (spaces, odd chars): best-effort stable form
       case _: Exception => stripSlashes(trimmed)

@@ -29,7 +29,11 @@ import org.apache.spark.sql.types._
   * engine supplies epochs. Every enveloped write also needs a writer
   * identity (`exactlyOnceWriterId`, or the `checkpointLocation` writer
   * option for streaming) scoping the sequence to one logical producer
-  * — see [[DisExactlyOnce]]. */
+  * — see [[DisExactlyOnce]]. Checkpoint-derived ids are URI-canonical
+  * since round 13; upgrading a pre-existing query changes its derived
+  * id ONCE — pin `exactlyOnceWriterId` (hashed as-is) or drain
+  * in-flight batches across that upgrade
+  * ([[DisExactlyOnce.canonicalCheckpoint]] documents the window). */
 class DisWriteBuilder(options: Map[String, String], schema: StructType) extends WriteBuilder {
   override def build(): Write = new DisWrite(options, schema)
 }

@@ -795,6 +795,35 @@ class GraftApiSpec extends SparkTestBase {
     assert(tie === ((1, 1L)))
   }
 
+  test("knnClassifyIvf: probing every cell reproduces knnClassify exactly; " +
+      "the gate parameters agree with the exact form on most predictions") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Tables.embeddings(spark, dir)
+    val labeled = emb.filter(pmod($"vec_id", lit(5)) =!= 0)
+    val queries = emb.filter(pmod($"vec_id", lit(5)) === 0)
+    val exact = Graft.knnClassify(labeled, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", 5).cache()
+    val index = graft.ops.Ivf.strideIndex(emb, "vec_id", "embedding")
+    // full probe (corpus in home cell, queries probe all cells) covers
+    // every (query, neighbor) pair -> identical votes, identical rows
+    val full = Graft.knnClassifyIvf(labeled, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", 5, index, index.nlist, 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(full) === rows(exact))
+    // the gate parameters: every query still classified, and the
+    // prediction agrees with exact on a solid majority even on the
+    // isotropic (worst-case) fixture — pinned so regressions surface
+    val ivf = Graft.knnClassifyIvf(labeled, "vec_id", "embedding", "label",
+      queries, "vec_id", "embedding", 5, index, 8, 2).cache()
+    assert(ivf.count() === queries.count())
+    val agree = ivf.select($"query_id", $"label_pred")
+      .join(exact.select($"query_id", $"label_pred"), Seq("query_id", "label_pred"))
+      .count().toDouble / exact.count()
+    assert(agree >= 0.5, s"ivf/exact prediction agreement $agree collapsed")
+    exact.unpersist(); ivf.unpersist()
+  }
+
   test("clusterDedup keeps one canonical per component and every singleton") {
     val corpus = (1L to 8L).map(i => (i, s"doc $i")).toDF("k", "body")
     // components: {1,2,3} (chain), {5,7}; singletons 4, 6, 8

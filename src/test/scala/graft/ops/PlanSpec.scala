@@ -604,6 +604,15 @@ class PlanSpec extends SparkTestBase {
     assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q_dpo_export: sessionize, assembly, rank and pairing all share " +
+      "ONE user_id exchange (no second corpus shuffle)") {
+    val p = plan(SftQueries.qDpoExport(spark, dir))
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.size === 1, s"expected one exchange, got $exchanges:\n$p")
+    assert(exchanges.head.contains("user_id"), s"exchange not on user_id:\n$p")
+  }
+
   test("q_pricing_summary: single shuffle, map-side partial aggregation") {
     val p = plan(OlapQueries.qPricingSummary(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
@@ -662,6 +671,83 @@ class PlanSpec extends SparkTestBase {
             hasAgg(w.child)
           if (safe) None else Some(s"$name: Window partitioned by " +
             s"[${partNames.mkString(", ")}] with an unbounded data-sized child")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  /** The round-12 weak class, pinned structurally: a broadcast
+    * nested-loop (or cartesian) join whose BROADCAST side is
+    * corpus-derived and unbounded grows BOTH sides with the data —
+    * O(n²) compute and a broadcast that outgrows executor memory at
+    * 100×. Every non-equi join in the gate must therefore broadcast a
+    * side that is bounded by construction:
+    *   - an aggregate collapsed to a bounded grain — grouping-free
+    *     (1-row scalar frames: tfIdf/bm25 corpus stats) or grouped
+    *     only by fixed-cardinality keys (q_ab_test's per-arm moment
+    *     rows), detected with the window pin's data-derived-name
+    *     regex inverted: row count = #groups, which does not grow
+    *     with the corpus;
+    *   - a limit — TakeOrderedAndProject / Local/GlobalLimit (top-N
+    *     panels, vocab cutoffs);
+    *   - a constant-range id panel — a filter comparing an attribute
+    *     to literals with `<`/`<=`/`=`, whose row count is fixed by
+    *     the literal (vec_id < 64), never by the corpus (a pmod/`%`
+    *     stratum filter keeps a constant FRACTION and fails here, the
+    *     q_hard_negatives round-12 finding);
+    *   - a LocalTableScan / empty relation — literal frames (grids,
+    *     parameter tables) or AQE-pruned sides.
+    * Anything else fails, which is exactly what the pre-fix
+    * q_hard_negatives (5% panel through a BNLJ) would do; its IVF
+    * sibling plans a shuffled equi-join on cell and never enters this
+    * check. */
+  test("no gate query broadcast-nested-loop-joins two corpus-derived " +
+      "sides (round-12 weak class)") {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, BinaryComparison, EqualTo, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.execution.{FilterExec, LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
+      case _ => p +: p.children.flatMap(expand)
+    }
+    def constRange(p: SparkPlan): Boolean = p match {
+      case f: FilterExec => f.condition.exists {
+        case c: BinaryComparison => (c.isInstanceOf[LessThan] ||
+          c.isInstanceOf[LessThanOrEqual] || c.isInstanceOf[EqualTo]) &&
+          ((c.left.isInstanceOf[Attribute] && c.right.isInstanceOf[Literal]) ||
+           (c.left.isInstanceOf[Literal] && c.right.isInstanceOf[Attribute]))
+        case _ => false
+      }
+      case _ => false
+    }
+    val dataDerived =
+      """(?i).*(id|key)$|^sid$|^__chunk$|^__s$|^shard$|^_w\d+$""".r
+    def bounded(p: SparkPlan): Boolean = expand(p).exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(g => !dataDerived.matches(g.sql))
+      case _: TakeOrderedAndProjectExec => true
+      case _: LocalTableScanExec => true
+      case f if constRange(f) => true
+      case o => o.nodeName.contains("Limit")
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        expand(fn(spark, dir).queryExecution.executedPlan).flatMap {
+          case j: BroadcastNestedLoopJoinExec =>
+            val build = j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+            if (bounded(build)) None
+            else Some(s"$name: BroadcastNestedLoopJoin broadcasts an " +
+              s"unbounded corpus-derived side:\n$build")
+          case j: CartesianProductExec =>
+            if (bounded(j.left) || bounded(j.right)) None
+            else Some(s"$name: CartesianProduct over two unbounded sides")
+          case _ => None
         }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

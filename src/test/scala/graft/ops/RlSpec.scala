@@ -80,7 +80,7 @@ class RlSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding", $"label").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
-    val anchors = emb.filter(_._1 % 20 == 0)
+    val anchors = emb.filter(_._1 < 64)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -196,6 +196,99 @@ class RlSpec extends SparkTestBase {
       assert(got(key) === ((n.toLong, want)), s"pool $key")
     }
     rd.unpersist()
+  }
+
+  test("hard negatives (ivf): probing every cell reproduces the exact " +
+      "broadcast kernel bit-for-bit") {
+    val emb = Tables.embeddings(spark, dir)
+    val panel = emb.filter($"vec_id" < 64)
+    val index = Ivf.strideIndex(emb, "vec_id", "embedding")
+    val ivf = graft.api.Graft.hardNegativesIvf(
+      emb, "vec_id", "embedding", "label", panel, "vec_id", "embedding", "label",
+      k = 3, index, nprobe = index.nlist, corpusAssign = 1)
+    val exact = graft.api.Graft.hardNegatives(
+      emb, "vec_id", "embedding", "label", panel, "vec_id", "embedding", "label", k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.get(3).toString, r.getDouble(4)))
+      .toSet
+    assert(rows(ivf) === rows(exact))
+  }
+
+  test("hard negatives (ivf): gate parameters (nprobe=8, assign=2) hold " +
+      "recall and hardness floors vs the exact kernel on the fixture") {
+    val emb = Tables.embeddings(spark, dir)
+    val panel = emb.filter(pmod($"vec_id", lit(20)) === 0)
+    val exact = graft.api.Graft.hardNegatives(
+      emb, "vec_id", "embedding", "label", panel, "vec_id", "embedding", "label", k = 3)
+      .select($"anchor_id", $"neg_id", $"cos").cache()
+    val ivf = RlQueries.qHardNegativesIvf(spark, dir)
+      .select($"anchor_id", $"neg_id", $"cos").cache()
+    // every anchor still emits a full k (the probed cells are never
+    // so empty that mining starves)
+    assert(ivf.groupBy($"anchor_id").count().filter($"count" =!= 3L).count() === 0L)
+    val nExact = exact.count()
+    val hits = ivf.join(exact, Seq("anchor_id", "neg_id")).count()
+    val recall = hits.toDouble / nExact
+    // isotropic random vectors are IVF's worst case (no cluster
+    // structure to exploit); the floor is the measured behavior of the
+    // fixed gate parameters, asserted so a kernel regression shows up
+    assert(recall >= 0.25, s"ivf recall $recall collapsed on the fixture")
+    // what mining actually needs: the mined negatives are nearly as
+    // HARD as the exact ones — mean cos within 10% of the exact top-k
+    val hExact = exact.agg(avg($"cos")).head.getDouble(0)
+    val hIvf = ivf.agg(avg($"cos")).head.getDouble(0)
+    assert(hIvf >= 0.9 * hExact,
+      s"ivf hardness $hIvf vs exact $hExact — mined negatives are easy")
+    exact.unpersist(); ivf.unpersist()
+  }
+
+  test("hard negatives (ivf): clustered corpora (the production case) " +
+      "recover near-exact recall at the gate parameters") {
+    // 10 tight clusters of 24 around deterministic centers; labels
+    // alternate within a cluster so every anchor's hardest negatives
+    // sit in its own neighborhood — the geometry IVF cells exploit
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(10)(Array.fill(8)(rng.nextGaussian()))
+    val rows = (0 until 240).map { i =>
+      val c = centers(i / 24)
+      val v = c.map(x => (x + 0.05 * rng.nextGaussian()).toFloat)
+      (i.toLong, v, i % 2)
+    }
+    val df = rng.shuffle(rows).toDF("vec_id", "embedding", "label")
+    val panel = df.filter(pmod($"vec_id", lit(10)) === 0) // 10% — proportional
+    val index = Ivf.strideIndex(df, "vec_id", "embedding")
+    val ivf = graft.api.Graft.hardNegativesIvf(
+      df, "vec_id", "embedding", "label", panel, "vec_id", "embedding", "label",
+      k = 3, index, nprobe = 8, corpusAssign = 2)
+      .select($"anchor_id", $"neg_id").cache()
+    val exact = graft.api.Graft.hardNegatives(
+      df, "vec_id", "embedding", "label", panel, "vec_id", "embedding", "label", k = 3)
+      .select($"anchor_id", $"neg_id").cache()
+    val recall = ivf.join(exact, Seq("anchor_id", "neg_id")).count().toDouble / exact.count()
+    assert(recall >= 0.9, s"clustered recall $recall < 0.9")
+    ivf.unpersist(); exact.unpersist()
+  }
+
+  test("hard negatives: NULL labels are null-safe mismatches — a " +
+      "null-labeled row is a valid negative for a labeled anchor") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Some("en")), (2L, Array(0.9f, 0.1f), None),
+      (3L, Array(0.5f, 0.5f), Some("en")), (4L, Array(0.0f, 1.0f), None))
+      .toDF("vec_id", "embedding", "label")
+    val hn = graft.api.Graft.hardNegatives(
+      df, "vec_id", "embedding", "label",
+      df.filter($"vec_id" === 1L), "vec_id", "embedding", "label", k = 3)
+      .collect()
+    // negatives of the (1,0) "en" anchor: both null-labeled rows, and
+    // NOT vec 3 (same label); nearest first
+    assert(hn.map(_.getLong(2)).toSeq === Seq(2L, 4L))
+    assert(hn.forall(_.isNullAt(3)))
+    // a null-labeled anchor excludes only its null-labeled peers
+    val hnNull = graft.api.Graft.hardNegatives(
+      df, "vec_id", "embedding", "label",
+      df.filter($"vec_id" === 2L), "vec_id", "embedding", "label", k = 3)
+      .collect()
+    assert(hnNull.map(_.getLong(2)).toSet === Set(1L, 3L))
   }
 
   test("hard negatives: string-labeled corpora work — labels keep their " +

@@ -121,4 +121,71 @@ class SftSpec extends SparkTestBase {
       .count() === 0L)
     packed.unpersist()
   }
+
+  test("q_sft_pack_tokens: spans are in TOKEN units (regex counts), " +
+      "gapless across the packed stream, and seq coordinates agree") {
+    val packed = SftQueries.qSftPackTokens(spark, dir).cache()
+    // each turn's packed span length is its regex token count
+    val expectLen = SftQueries.turnsOf(Tables.events(spark, dir))
+      .select($"user_id", $"sid", $"turn_idx",
+        size(regexp_extract_all($"rendered",
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("tl"))
+    val bad = packed.join(expectLen, Seq("user_id", "sid", "turn_idx"))
+      .filter($"packed_end" - $"packed_start" =!= $"tl").count()
+    assert(bad === 0L, "span length != regex token count")
+    // the global token stream is gapless from 0
+    val perSession = packed.groupBy($"user_id", $"sid").agg(
+      min($"packed_start").as("lo"), max($"packed_end").as("hi"))
+    val sessions = perSession.orderBy($"lo").collect()
+    sessions.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") === b.getAs[Long]("lo"))
+      case _ =>
+    }
+    assert(sessions.head.getAs[Long]("lo") === 0L)
+    assert(packed.filter($"seq_id" * 2048L + $"seq_off" =!= $"packed_start")
+      .count() === 0L)
+    packed.unpersist()
+  }
+
+  test("sftPackTokensBpe: a LEARNED tokenizer's pack equals a sequential " +
+      "replay of the same encoder lengths, and turn columns ride the " +
+      "encode kernel unchanged") {
+    val events = Tables.events(spark, dir)
+    val t = SftQueries.turnsOf(events)
+    val merges = Bpe.train(t, "rendered", 16)
+    val budget = 64L
+    val out = SftQueries.sftPackTokensBpe(events, merges, budget).cache()
+
+    // sequential reference: the SAME encoder's per-turn counts, packed
+    // by a driver-side walk in (user_id, sid, ts, event_id) order
+    val enc = Bpe.encode(t, "event_id", "rendered", merges)
+      .select($"event_id", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val turnRows = t.select($"user_id", $"sid", $"turn_idx", $"role",
+        $"ts", $"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getTimestamp(4).getTime * 1000 + r.getTimestamp(4).getNanos / 1000 % 1000,
+        r.getLong(5)))
+      .sortBy(x => (x._1, x._2, x._5, x._6))
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, String, Long, Long, Long, Long, Long)]()
+    var stream = 0L
+    var cur = (-1L, -1L)
+    var inSession = 0L
+    var sessionOff = 0L
+    turnRows.foreach { case (u, sid, ti, role, _, eid) =>
+      if ((u, sid) != cur) { cur = (u, sid); sessionOff = stream; inSession = 0L }
+      val tl = enc(eid)
+      val s = sessionOff + inSession
+      val e = s + tl
+      expected += ((u, sid, ti, role, s, e, s / budget, s % budget,
+        (e - 1) / budget - s / budget + 1))
+      inSession += tl
+      stream += tl
+    }
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+      r.getLong(8))).toSet
+    assert(got === expected.toSet)
+    out.unpersist()
+  }
 }

@@ -228,5 +228,13 @@ class ExactlyOnceSinkSpec extends SparkTestBase {
       "hdfs://nn:8020/ck/q1")
     assert(DisExactlyOnce.canonicalCheckpoint("hdfs://nn2:8020/ck/q1") !=
       DisExactlyOnce.canonicalCheckpoint("hdfs://nn:8020/ck/q1"))
+    // query/fragment components are LOCATIONS, not cosmetics: URIs
+    // differing only there must not collide into one writer id
+    assert(DisExactlyOnce.canonicalCheckpoint("s3://b/ck?versionId=1") !=
+      DisExactlyOnce.canonicalCheckpoint("s3://b/ck?versionId=2"))
+    assert(DisExactlyOnce.canonicalCheckpoint("s3://b/ck#a") !=
+      DisExactlyOnce.canonicalCheckpoint("s3://b/ck#b"))
+    assert(DisExactlyOnce.canonicalCheckpoint("s3://b/ck?v=1") !=
+      DisExactlyOnce.canonicalCheckpoint("s3://b/ck"))
   }
 }

@@ -25,7 +25,9 @@ SKIP = {
     "q_decontaminate_embed",  # corpus x benchmark cross join in SQL; the
                               # benchmark side grows with sf so the oracle
                               # (not the engine kernel) is quadratic
-    "q_knn_classify",     # exhaustive n x q scoring in SQL (q_similarity_knn rule)
+    # q_knn_classify left this list in round 13: its query panel became
+    # a FIXED 100 vectors (vec_id < 100), so the oracle is 100 x n —
+    # linear, tractable at sf1.
     "q_cluster_dedup",    # recursive CTE over the all-pairs set (q_dup_clusters rule)
     "q_edit_dupes",       # all-pairs Levenshtein oracle; the engine side is
                           # PassJoin-blocked (linear emit + equi-join)
