@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, PolyHash}
+import graft.functions.{FloatVecDot, PolyHash, TokenRunCount}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so pure-SQL users get the
@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "poly_hash(text) takes 1 argument")
         PolyHash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("token_run_count"),
+      new ExpressionInfo(classOf[TokenRunCount].getName, "token_run_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "token_run_count(text) takes 1 argument")
+        TokenRunCount(children.head)
       }))
   }
 }

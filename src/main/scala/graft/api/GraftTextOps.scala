@@ -30,7 +30,10 @@ trait GraftTextOps { this: Graft.type =>
     df.select(
       col(id),
       size(tokens(col(text))).cast("long").as("ws_tokens"),
-      size(regexp_extract_all(col(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      // the codegen'd byte-scan kernel — exact same count as
+      // regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') (pinned
+      // in TokenRunCountSpec; the DuckDB oracle keeps the regex form)
+      graft.functions.TokenRunCount.token_run_count(col(text))
         .cast("long").as("bpe_tokens"),
       length(col(text)).cast("long").as("n_chars"))
 

@@ -203,8 +203,12 @@ object SftQueries {
     val bySession = Window.partitionBy(col("user_id"), col("sid"))
       .orderBy(col("ts"), col("event_id"))
     val spans = turns(spark, dir)
+      // codegen'd byte-scan token count (== the TokenRe regex count,
+      // TokenRunCountSpec-pinned): at 100 TB the pre-tokenizer count is
+      // this operator's dominant map-side cost, and java.util.regex
+      // pays alternation dispatch + region bookkeeping per row
       .withColumn("__tl",
-        size(regexp_extract_all(col("rendered"), lit(TokenRe), lit(0))).cast("long"))
+        graft.functions.TokenRunCount.token_run_count(col("rendered")).cast("long"))
       .withColumn("span_start", coalesce(
         sum(col("__tl")).over(bySession.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))

@@ -42,6 +42,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.expressions.Literal("x"))
       assert(!ph.isInstanceOf[
         org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+
+      // token_run_count: SQL surface == the byte-scan kernel == the
+      // regex it replaces ('ab' run + ',' + '12' run + 'X' = 4)
+      val trc = spark.sql("SELECT token_run_count('ab, 12 X') AS c")
+        .collect().head.getInt(0)
+      assert(trc === 4)
+      assert(trc === "[a-z]+|[0-9]+|[^a-z0-9 ]".r.findAllIn("ab, 12 X").length)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
