@@ -265,7 +265,7 @@ object SparkEntry {
   /** Per-query ANSI SQL the driver runs in DuckDB against the same
     * parquet tables; row/schema/hash compare against the Spark output.
     *
-    * Twelve `queries` entries are ABSENT here BY DESIGN (the driver
+    * Ten `queries` entries are ABSENT here BY DESIGN (the driver
     * records a weaker rows-only check; each carries a ScalaTest
     * accuracy/equivalence/round-trip bound instead) — one line each on
     * why ANSI SQL cannot express the check:
@@ -662,6 +662,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> DedupQueries.ngramOracle,
     "q_similarity_knn" -> SimilarityQueries.knnOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
+    "q_similarity_ivf" -> SimilarityQueries.similarityIvfOracle,
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
@@ -774,10 +775,7 @@ object SparkEntry {
     "q_burst_detect" -> TemporalQueries.burstDetectOracle,
     "q_gini" -> MiningQueries.giniOracle,
     "q_coverage_curve" -> MiningQueries.coverageCurveOracle,
-    // q_semdedup has no oracle: the kept set depends on the k-means
-    // clustering (engine-specific by design); CurationSpec pins the
-    // witness/determinism properties and the subset relation vs the
-    // complete embedNearDup instead.
+    "q_semdedup" -> CurationQueries.semDedupOracle,
 
     "q_fingerprint" ->
       """SELECT doc_id,

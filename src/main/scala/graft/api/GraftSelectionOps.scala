@@ -131,9 +131,19 @@ trait GraftSelectionOps { this: Graft.type =>
     * the cell id — never a corpus-wide nested loop; the default
     * nlist ≈ √n keeps expected per-cell work at O(n) total pairs. */
   def semDedup(df: DataFrame, id: String, vec: String, tau: Double,
-      p: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame = {
+      p: graft.ops.Ivf.Params = graft.ops.Ivf.Params()): DataFrame =
+    semDedup(df, id, vec, tau,
+      graft.ops.Ivf.trainCentroids(df, id, vec, p))
+
+  /** [[semDedup]] against caller-supplied centroids (e.g. a prebuilt
+    * [[graft.ops.Ivf.Index]]'s, or [[graft.ops.Ivf.strideIndex]]'s
+    * engine-replicable rule — the gate binding, which makes the kept
+    * set itself hash-oracle-able). Cluster quality only shifts WHICH
+    * near-dups share a cell (the paper's intentional incompleteness);
+    * every drop is still pairwise-witnessed at cosine ≥ tau. */
+  def semDedup(df: DataFrame, id: String, vec: String, tau: Double,
+      centroids: Array[Array[Double]]): DataFrame = {
     import graft.ops.Ivf
-    val centroids = Ivf.trainCentroids(df, id, vec, p)
     val assigned = Ivf.assign(df, id, vec, centroids, 1)
       .select(col(id), col(vec), col("nrm"), col("cell"))
     val a = assigned.select(col(id).as("__ida"), col(vec).as("__va"),

@@ -306,12 +306,37 @@ object CurationQueries {
 
   /** Cluster-local embedding dedup at cosine ≥ 0.45 (the
     * q_embed_neardup threshold, so the two operators' keep decisions
-    * are directly comparable on the fixture). No SQL oracle — the kept
-    * set depends on the k-means clustering, which is engine-specific
-    * by design; CurationSpec pins the witness/determinism properties
-    * and the subset relation vs the complete [[Graft.embedNearDup]]. */
-  def qSemDedup(spark: SparkSession, dir: String): DataFrame =
-    Graft.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.45)
+    * are directly comparable on the fixture). Round 13 moved the gate
+    * binding to [[Ivf.strideIndex]] centroids, so the kept set itself
+    * replays under the full DuckDB hash oracle (home cell by raw cos
+    * desc / cell asc, within-cell raw-cos witness at ≥ tau, drop the
+    * higher id) — the same no-oracle-list shrink as q_similarity_ivf;
+    * CurationSpec keeps the witness/determinism properties and the
+    * subset relation vs the complete [[Graft.embedNearDup]], plus a
+    * trained-path (k-means) determinism check. */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Graft.semDedup(emb, "vec_id", "embedding", 0.45,
+      Ivf.strideIndex(emb, "vec_id", "embedding").centroids)
+  }
+
+  /** The [[RlQueries.ivfAsgCte]] home-cell replay (r = 1) + the
+    * within-cell pairwise witness on RAW cosine (both engines reduce
+    * identical doubles in identical order, so the unrounded ≥ tau
+    * boundary decision matches bit-for-bit). */
+  val semDedupOracle: String =
+    s"""${RlQueries.ivfAsgCte}, home AS (
+      |  SELECT vec_id, embedding, cell FROM asg WHERE r = 1
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id FROM home a JOIN home b USING (cell)
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
+      |      >= (0.45)::DOUBLE
+      |)
+      |SELECT vec_id, cell::INT AS cell FROM home
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin
 
   // ----- soft deduplication weights -----
 
