@@ -466,6 +466,9 @@ trait GraftDedupOps { this: Graft.type =>
   private def ivfKnnCells(corpus: DataFrame, id: String, vec: String,
       queries: DataFrame, queryId: String, queryVec: String, k: Int,
       centroids: Array[Array[Double]], nprobe: Int, corpusAssign: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(corpusAssign >= 1, s"corpusAssign must be >= 1, got $corpusAssign")
     import graft.ops.Ivf
     val assigned = Ivf.assign(corpus, id, vec, centroids, corpusAssign)
       .select(col(id).as("neighbor_id"), col(vec).as("__v"), col("nrm").as("__nrm"), col("cell"))
@@ -523,6 +526,8 @@ trait GraftDedupOps { this: Graft.type =>
       anchorLabel: String, k: Int, index: graft.ops.Ivf.Index,
       nprobe: Int, corpusAssign: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(corpusAssign >= 1, s"corpusAssign must be >= 1, got $corpusAssign")
     import graft.ops.Ivf
     val c = Ivf.assign(corpus, id, vec, index.centroids, corpusAssign, extra = Seq(label))
       .select(col(id).as("neg_id"), col(vec).as("__v"),
@@ -585,7 +590,7 @@ trait GraftDedupOps { this: Graft.type =>
     * the id — and the voting logic is identical to [[knnClassify]]
     * (votes desc, label asc; neighbor ranks on round(cos, 12), id
     * ties). Approximate: a true neighbor can hide in an unprobed cell,
-    * flipping a vote — ClassifySpec pins agreement floors vs the exact
+    * flipping a vote — GraftApiSpec pins agreement floors vs the exact
     * form and exact equality when the probe covers every cell. */
   def knnClassifyIvf(labeled: DataFrame, id: String, vec: String, label: String,
       unlabeled: DataFrame, queryId: String, queryVec: String, k: Int = 5,
@@ -603,6 +608,8 @@ trait GraftDedupOps { this: Graft.type =>
       unlabeled: DataFrame, queryId: String, queryVec: String, k: Int,
       index: graft.ops.Ivf.Index, nprobe: Int, corpusAssign: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(corpusAssign >= 1, s"corpusAssign must be >= 1, got $corpusAssign")
     import graft.ops.Ivf
     val c = Ivf.assign(labeled, id, vec, index.centroids, corpusAssign, extra = Seq(label))
       .select(col(id).as("neighbor_id"), col(vec).as("__v"),

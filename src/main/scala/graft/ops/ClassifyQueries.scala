@@ -241,7 +241,7 @@ object ClassifyQueries {
     * ids ≡ 0 mod a multiple of 5 are all query-side), so the whole
     * approximate prediction replays under the DuckDB hash oracle. nprobe
     * fixed (8) vs √n cells: probed fraction shrinks with scale —
-    * candidates n^1.5, not the broadcast form's n². ClassifySpec pins
+    * candidates n^1.5, not the broadcast form's n². GraftApiSpec pins
     * agreement vs the exact form and exact equality at full probe. */
   def qKnnClassifyIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

@@ -153,6 +153,13 @@ object Ivf {
     val centroids = df.filter(pmod(col(id), lit(s)) === 0)
       .sort(col(id)).select(col(vec)).collect()
       .map(r => unit(r.getSeq[Float](0).toArray.map(_.toDouble)))
+    // ids need not be dense, but SOME id must hit the stride — assign
+    // over zero centroids would silently emit zero rows downstream
+    // (semDedup would drop the whole corpus), the loud-failure sibling
+    // of trainCentroids' non-empty-sample require
+    require(centroids.nonEmpty,
+      s"strideIndex: no $id ≡ 0 (mod $s) over $n rows — ids too sparse " +
+        "for the stride rule; densify ids or use train()")
     Index(centroids, new Array[Double](centroids.length))
   }
 

@@ -59,7 +59,11 @@ object StreamingRlMetrics {
     val n = cands.length.toLong
     if (n <= 1) None
     else {
-      val byValue = cands.sortBy(c => (c.value, c.eventId))
+      // + 0.0 collapses -0.0 to +0.0: Scala's java.lang.Double total
+      // order puts -0.0 strictly before 0.0, but the batch window's
+      // ordering (and IEEE ==) treats them equal and tie-breaks by
+      // event_id — a -0.0 score must not flip the permutation
+      val byValue = cands.sortBy(c => (c.value + 0.0, c.eventId))
       val byArrival = cands.sortBy(c => (c.tsUs, c.eventId))
       val rv = byValue.iterator.zipWithIndex
         .map { case (c, i) => c.eventId -> (i + 1).toLong }.toMap

@@ -77,8 +77,9 @@ object StreamStateScaleDrive {
         .select(col("e.user_id"), timestamp_micros(col("e.ts_us")).as("ts"),
           col("e.event_id"), col("e.event_type"), col("e.props"), col("e.value"))
 
-    // the three arms share one produced log; each keeps its own
-    // checkpoint + sink so per-batch timings are independent
+    // each arm gets its OWN stream root + checkpoint + sink (batches
+    // are produced once per arm), so per-batch timings are fully
+    // independent — no shared read path to contend on
     case class Arm(name: String, root: Path, ck: Path, out: String,
         build: DataFrame => DataFrame)
     def mkArm(name: String)(build: DataFrame => DataFrame): Arm = {

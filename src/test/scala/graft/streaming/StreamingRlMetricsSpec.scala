@@ -151,6 +151,18 @@ class StreamingRlMetricsSpec extends SparkTestBase {
     }
   }
 
+  test("spearman kernel: a -0.0 score ties with 0.0 and breaks by event_id, " +
+      "exactly like the batch window ordering") {
+    import StreamingRlMetrics.{Cand, spearman}
+    // batch: value tie -> rv by event_id -> rv == rt -> rho = +1
+    val cands = Seq(Cand(1L, 100L, 0.0), Cand(2L, 200L, -0.0))
+    assert(spearman(cands) === Some(1.0),
+      "-0.0 must not reorder the value permutation vs the batch window")
+    // sanity: a real reversal still reads -1
+    val rev = Seq(Cand(1L, 200L, 1.0), Cand(2L, 100L, 2.0))
+    assert(spearman(rev) === Some(-1.0))
+  }
+
   test("checkpoint restart mid-stream: open pools recover their buffer; " +
       "the union of both runs equals the batch result exactly once") {
     val root = Files.createTempDirectory("rlm-restart-")
