@@ -265,7 +265,7 @@ object SparkEntry {
   /** Per-query ANSI SQL the driver runs in DuckDB against the same
     * parquet tables; row/schema/hash compare against the Spark output.
     *
-    * Ten `queries` entries are ABSENT here BY DESIGN (the driver
+    * Nine `queries` entries are ABSENT here BY DESIGN (the driver
     * records a weaker rows-only check; each carries a ScalaTest
     * accuracy/equivalence/round-trip bound instead) — one line each on
     * why ANSI SQL cannot express the check:
@@ -663,6 +663,7 @@ object SparkEntry {
     "q_similarity_knn" -> SimilarityQueries.knnOracle,
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_similarity_ivf" -> SimilarityQueries.similarityIvfOracle,
+    "q_similarity_pq" -> SimilarityQueries.similarityPqOracle,
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,

@@ -139,15 +139,100 @@ object SimilarityQueries {
   /** Product-quantized kNN with exact rerank — the compressed-corpus
     * scale path ([[graft.api.Graft.pqKnn]]): 8 one-byte codes per
     * 64-d vector (32×), ADC shortlist of 8·K, exact cosine rerank.
-    * Approximate ⇒ recall vs the exact path asserted in ScalaTest
-    * (no SQL oracle); reported cos values are exact by construction. */
+    * Round 13 moved the gate binding to STRIDE codebooks
+    * (`Params(ksub = 128, sampleCap = 128, lloydIters = 0)` — with
+    * zero Lloyd iterations [[Pq.train]]'s seeds ARE the codebook: the
+    * subvectors of the 128 stride-sampled vectors in id order, an
+    * engine-replicable data rule), so the WHOLE approximate pipeline —
+    * per-subspace L2 argmin encode, ADC scoring, 40-deep shortlist,
+    * exact rerank — replays under the full DuckDB hash oracle, the
+    * q_similarity_ivf/q_semdedup shrink applied to PQ. Measured recall
+    * 0.86/0.84 at sf0.001/sf0.01 (deterministic; trained codebooks
+    * keep their own spec floor and the bit-exact full-shortlist
+    * plumbing test). Reported cos values are exact by construction. */
   def qSimilarityPq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     graft.api.Graft.pqKnn(
       emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < NQueries), "vec_id", "embedding", K,
-      rerank = 8)
+      rerank = 8,
+      pq = graft.ops.Pq.Params(ksub = 128, sampleCap = 128, lloydIters = 0))
   }
+
+  /** SQL replay of the stride-codebook [[qSimilarityPq]]: codebook =
+    * stride rows (LIMIT 128) in id order; encode = per-(row, subspace)
+    * L2 argmin with lower-code ties; ADC = per-query lookup-table sum
+    * over the row's 8 codes, divided by the norms; global 40-deep
+    * shortlist by (adc desc, id asc); exact rerank per [[knnOracle]].
+    * The grouped ADC sum is 8 doubles — reassociation error ~1e-16 vs
+    * shortlist-boundary gaps ~1e-3, the cell-ranking argument. */
+  val similarityPqOracle: String =
+    s"""WITH p AS (
+      |  SELECT greatest(1, count(*) // 128)::BIGINT AS s FROM embeddings
+      |), cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+      |  FROM embeddings, p WHERE vec_id % p.s = 0
+      |  ORDER BY vec_id LIMIT 128
+      |), subs AS (
+      |  SELECT unnest(range(0, 8)) AS sub
+      |), dist AS (
+      |  SELECT e.vec_id, subs.sub, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (e.embedding[subs.sub*8 + i]::DOUBLE - cb.embedding[subs.sub*8 + i]::DOUBLE)
+      |         * (e.embedding[subs.sub*8 + i]::DOUBLE - cb.embedding[subs.sub*8 + i]::DOUBLE))) AS d
+      |  FROM embeddings e, cb, subs
+      |), codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT vec_id, sub, code,
+      |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS r
+      |    FROM dist) WHERE r = 1
+      |), nrm AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $NQueries
+      |), qnrm AS (
+      |  SELECT query_id,
+      |    sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))) AS qn
+      |  FROM q
+      |), lut AS (
+      |  SELECT q.query_id, subs.sub, cb.code,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> q.qv[subs.sub*8 + i]::DOUBLE * cb.embedding[subs.sub*8 + i]::DOUBLE)) AS l
+      |  FROM q, cb, subs
+      |), adc AS (
+      |  SELECT l.query_id, c.vec_id AS neighbor_id,
+      |    sum(l.l) / (max(qn.qn) * max(n.nrm)) AS a
+      |  FROM codes c
+      |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      |  JOIN nrm n ON n.vec_id = c.vec_id
+      |  JOIN qnrm qn ON qn.query_id = l.query_id
+      |  WHERE c.vec_id <> l.query_id
+      |  GROUP BY l.query_id, c.vec_id
+      |), short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY a DESC, neighbor_id ASC) AS r
+      |    FROM adc) WHERE r <= ${8 * K}
+      |), scored AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    round(
+      |      list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))),
+      |      12) AS cos
+      |  FROM short s
+      |  JOIN embeddings e ON e.vec_id = s.neighbor_id
+      |  JOIN q ON q.query_id = s.query_id
+      |)
+      |SELECT query_id, neighbor_id, rank, cos FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, neighbor_id ASC)::BIGINT AS rank
+      |  FROM scored)
+      |WHERE rank <= $K""".stripMargin
 
   // ----- late-interaction (ColBERT-style MaxSim) retrieval -----
 

@@ -185,7 +185,23 @@ class ApproxOpsSpec extends SparkTestBase {
       exactCos.get(key).foreach(c => assert(r.getDouble(3) === c, s"$key cos drifted"))
     }
     val recall = (pq.map(r => (r.getLong(0), r.getLong(1))).toSet intersect exact).size.toDouble / exact.size
+    // stride codebooks since round 13 (hash-oracle-able): measured
+    // 0.86 here, deterministic — the bound is a regression tripwire
     assert(recall >= 0.7, s"PQ recall $recall with 8x rerank shortlist")
+  }
+
+  test("trained PQ codebooks (k-means, the production path) hold the " +
+      "recall floor the stride gate binding is held to") {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = graft.api.Graft.knn(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = graft.api.Graft.pqKnn(emb, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, rerank = 8) // default trained Params
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (trained intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"trained PQ recall $recall")
   }
 
   test("q_similarity_pq: recall bound holds at the gate scale too (sf0.01)") {
