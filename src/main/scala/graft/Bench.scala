@@ -138,12 +138,15 @@ object Bench {
     // full runs persist — a BENCH_ONLY isolation run must not clobber
     // the full-run artifact the drift gate reads.
     if (only.isEmpty) try {
-      // sf1 runs persist to their own artifact by default: clobbering
-      // target/bench_last.json would poison the sf0.1 drift fallback
-      // with ~10x numbers, and check_bench_drift.py --sf1 reads
-      // bench_sf1_last.json
+      // Amplified-scale runs persist to their own artifacts by default:
+      // clobbering target/bench_last.json would poison the sf0.1 drift
+      // fallback with ~10-100x numbers. check_bench_drift.py --sf1
+      // reads bench_sf1_last.json; sf10 (the x100 scale gate) gets its
+      // own file likewise.
+      val trimmed = sfDir.replaceAll("/+$", "")
       val defaultOut =
-        if (sfDir.replaceAll("/+$", "").endsWith("sf1")) "target/bench_sf1_last.json"
+        if (trimmed.endsWith("sf10")) "target/bench_sf10_last.json"
+        else if (trimmed.endsWith("sf1")) "target/bench_sf1_last.json"
         else "target/bench_last.json"
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))

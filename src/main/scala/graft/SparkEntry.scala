@@ -28,6 +28,16 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The `queries` entries that intentionally carry NO DuckDB oracle
+    * (driver falls back to a rows-only check) — the rationale lives on
+    * [[oracleSql]]'s doc, one bullet per entry. SparkEntryContractSpec
+    * asserts this set EQUALS `queries.keySet -- oracleSql.keySet`, so
+    * neither the doc nor this list can drift from the artifact. */
+  val noOracleByDesign: Set[String] = Set(
+    "q_bpe_encode", "q_bpe_bytes", "q_unigram_encode",
+    "q_compress_ratio", "q_dedup_approx", "q_fingerprint64",
+    "q_lr_classify", "q_percentiles", "q_profile_approx")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] = Map[String, Q](
     "q_scan_project"    -> CoreQueries.qScanProject,
@@ -135,6 +145,7 @@ object SparkEntry {
     "q_entropy"         -> MiningQueries.qEntropy,
     "q_mix_weights"     -> MiningQueries.qMixWeights,
     "q_lr_classify"     -> ((s, dir) => graft.ops.LogReg.qLrClassify(s, dir)),
+    "q_lr_classify_fixed" -> ((s, dir) => graft.ops.LogReg.qLrClassifyFixed(s, dir)),
     "q_domain_cap"      -> CurationQueries.qDomainCap,
     "q_url_dedup"       -> CurationQueries.qUrlDedup,
     "q_bm25_search"     -> CurationQueries.qBm25Search,
@@ -242,33 +253,14 @@ object SparkEntry {
       |  FROM turns
       |)""".stripMargin
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (→ rows-only check): the
-    * approximate operators whose sketch impls differ across engines —
-    * q_dedup_approx (HLL), q_profile_approx (HLL), q_similarity_ivf
-    * (IVF), q_percentiles (approx_percentile); each has a ScalaTest
-    * accuracy bound vs its exact counterpart instead. Also omitted: q_fingerprint64 — the
-    * production xxhash64 path (DuckDB has no xxhash64); its ScalaTest
-    * pins collision-freedom vs exact text on the fixtures, and
-    * q_fingerprint pins exact cross-engine hash semantics. Also
-    * omitted: q_bpe_encode and q_bpe_bytes — iterative argmax BPE
-    * training is not ANSI-SQL-expressible; BpeSpec pins both arms
-    * against sequential reference implementations (the byte arm
-    * additionally pins emoji/CJK lossless round-trips) instead.
-    * Also omitted: q_unigram_encode — iterative Viterbi-EM unigram-LM
-    * training is not ANSI-SQL-expressible; UnigramSpec pins the
-    * distributed rounds bit-identical to the driver-side reference,
-    * the Viterbi optimum against exhaustive segmentation, and the
-    * whitespace-normalized round-trip instead. Also omitted: q_lr_classify —
-    * iterative float gradient descent has no SQL oracle; LogRegSpec
-    * pins local-reference parity and held-out accuracy instead. */
   /** Per-query ANSI SQL the driver runs in DuckDB against the same
     * parquet tables; row/schema/hash compare against the Spark output.
     *
-    * Nine `queries` entries are ABSENT here BY DESIGN (the driver
-    * records a weaker rows-only check; each carries a ScalaTest
-    * accuracy/equivalence/round-trip bound instead) — one line each on
-    * why ANSI SQL cannot express the check:
+    * Exactly [[noOracleByDesign]]'s `queries` entries are ABSENT here
+    * BY DESIGN (the driver records a weaker rows-only check; each
+    * carries a ScalaTest accuracy/equivalence/round-trip bound
+    * instead) — one line each on why ANSI SQL cannot express the
+    * check:
     *  - q_bpe_encode / q_bpe_bytes / q_unigram_encode: iterative
     *    merge-loop / EM training — the vocabulary is an argmax
     *    FIXPOINT, not a query (BpeSpec/UnigramSpec pin the distributed
@@ -282,15 +274,20 @@ object SparkEntry {
     *    q_fingerprint, which IS oracled);
     *  - q_lr_classify: iterative gradient descent — per-step float
     *    argmax drift makes cross-engine replay meaningless (spec pins
-    *    convergence + accuracy floor);
+    *    convergence + accuracy floor; the fixed-point sibling
+    *    q_lr_classify_fixed IS oracled);
     *  - q_percentiles / q_profile_approx: approx_percentile /
     *    approx_count_distinct sketches — implementation-defined
     *    nearest-rank answers (specs bound vs exact by rank window; the
-    *    exact variants q_percentiles_exact / q_profile ARE oracled);
-    *  - q_semdedup / q_similarity_ivf / q_similarity_pq: k-means
-    *    centroid / coarse-quantizer assignment — Lloyd iterations are
-    *    the BPE argument again (specs pin recall/equivalence floors
-    *    against the exact kNN, which IS oracled). */
+    *    exact variants q_percentiles_exact / q_profile ARE oracled).
+    *
+    * (The k-means-flavored entries — q_semdedup, q_similarity_ivf,
+    * q_similarity_pq — USED to be on this list; round 13's
+    * [[graft.ops.Ivf.strideIndex]] / zero-Lloyd stride codebooks made
+    * their index rules engine-replicable, so they are fully oracled
+    * now. SparkEntryContractSpec asserts this doc's list — the
+    * [[noOracleByDesign]] constant — equals
+    * `queries.keySet -- oracleSql.keySet`, so it cannot go stale.) */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" -> s"SELECT $evCols FROM events",
 
@@ -687,6 +684,7 @@ object SparkEntry {
     "q_shuffle_shards" -> CoreQueries.shuffleShardsOracle,
     "q_domain_filter" -> TextQueries.domainFilterOracle,
     "q_nb_classify" -> ClassifyQueries.nbClassifyOracle,
+    "q_lr_classify_fixed" -> graft.ops.LogReg.lrClassifyFixedOracle,
     "q_profile" -> ClassifyQueries.profileOracle,
     "q_cross_dedup" -> DedupQueries.crossDedupOracle,
     "q_split_groups" -> CoreQueries.splitGroupsOracle,

@@ -150,9 +150,14 @@ trait GraftSelectionOps { this: Graft.type =>
       col("nrm").as("__na"), col("cell"))
     val bb = assigned.select(col(id).as("__idb"), col(vec).as("__vb"),
       col("nrm").as("__nb"), col("cell"))
+    // round(cos, 12) before the ≥ tau boundary — the same tie-proofing
+    // as the kNN paths: an unrounded witness is bit-identical across
+    // engines only while the other engine's list_sum keeps sequential
+    // accumulation; rounding makes the decision robust to a future
+    // reassociating vectorizer on either side.
     val dropped = a.join(bb, Seq("cell"))
       .filter(col("__ida") < col("__idb") &&
-        float_dot(col("__va"), col("__vb")) / col("__na") / col("__nb") >= tau)
+        round(float_dot(col("__va"), col("__vb")) / col("__na") / col("__nb"), 12) >= tau)
       .select(col("__idb").as(id)).distinct()
     assigned.select(col(id), col("cell"))
       .join(dropped, Seq(id), "left_anti")

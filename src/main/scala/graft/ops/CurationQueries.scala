@@ -309,8 +309,8 @@ object CurationQueries {
     * are directly comparable on the fixture). Round 13 moved the gate
     * binding to [[Ivf.strideIndex]] centroids, so the kept set itself
     * replays under the full DuckDB hash oracle (home cell by raw cos
-    * desc / cell asc, within-cell raw-cos witness at ≥ tau, drop the
-    * higher id) — the same no-oracle-list shrink as q_similarity_ivf;
+    * desc / cell asc, within-cell round(cos,12) witness at ≥ tau, drop
+    * the higher id) — the same no-oracle-list shrink as q_similarity_ivf;
     * CurationSpec keeps the witness/determinism properties and the
     * subset relation vs the complete [[Graft.embedNearDup]], plus a
     * trained-path (k-means) determinism check. */
@@ -321,19 +321,22 @@ object CurationQueries {
   }
 
   /** The [[RlQueries.ivfAsgCte]] home-cell replay (r = 1) + the
-    * within-cell pairwise witness on RAW cosine (both engines reduce
-    * identical doubles in identical order, so the unrounded ≥ tau
-    * boundary decision matches bit-for-bit). */
+    * within-cell pairwise witness on round(cos, 12) — the kNN paths'
+    * tie-proofing, so the ≥ tau boundary stays matched even if a
+    * future DuckDB vectorizes/reassociates list_sum (an unrounded
+    * boundary is bit-identical only while both engines reduce
+    * identical doubles in identical order). */
   val semDedupOracle: String =
     s"""${RlQueries.ivfAsgCte}, home AS (
       |  SELECT vec_id, embedding, cell FROM asg WHERE r = 1
       |), dropped AS (
       |  SELECT DISTINCT b.vec_id FROM home a JOIN home b USING (cell)
       |  WHERE a.vec_id < b.vec_id
-      |    AND list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |    AND round(
+      |      list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
       |      / sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
-      |      / sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))
-      |      >= (0.45)::DOUBLE
+      |      / sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))),
+      |      12) >= (0.45)::DOUBLE
       |)
       |SELECT vec_id, cell::INT AS cell FROM home
       |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin

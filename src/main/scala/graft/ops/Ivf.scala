@@ -247,8 +247,8 @@ object Ivf {
   def assign(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]], nprobe: Int,
       extra: Seq[String] = Nil): DataFrame =
-    assignImpl(df, id, vec, centroids, angles =>
-      angles.sorted.take(math.min(nprobe, angles.length)), extra)
+    assignImpl(df, id, vec, centroids, cells =>
+      cells.sortBy(cellRank).take(math.min(nprobe, cells.length)), extra)
 
   /** Explode each row to every cell within angular MARGIN of its nearest
     * cell: cells with θ(v,c) ≤ θ(v, nearest) + marginRad, nearest first.
@@ -264,10 +264,12 @@ object Ivf {
     * never a nested loop. */
   def assignWithin(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]], marginRad: Double): DataFrame =
-    assignImpl(df, id, vec, centroids, { angles =>
-      val sorted = angles.sorted
-      val cut = sorted.head._1 + marginRad + 1e-9 // FP fuzz on the boundary
-      sorted.takeWhile(_._1 <= cut)
+    assignImpl(df, id, vec, centroids, { cells =>
+      // sorted by (-cos, cell) ⇒ angles are non-decreasing (acos is
+      // monotone non-increasing), so takeWhile on the angle is exact
+      val sorted = cells.sortBy(cellRank)
+      val cut = sorted.head._2 + marginRad + 1e-9 // FP fuzz on the boundary
+      sorted.takeWhile(_._2 <= cut)
     })
 
   /** Explode each row to every cell c with θ(v, centroid_c) ≤
@@ -282,13 +284,26 @@ object Ivf {
     * task closure. */
   def assignWithinRadii(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]], radii: Array[Double], maxPairRad: Double): DataFrame =
-    assignImpl(df, id, vec, centroids, { angles =>
-      angles.filter { case (a, c) => a <= radii(c) + maxPairRad + 1e-9 }.sorted
+    assignImpl(df, id, vec, centroids, { cells =>
+      cells.filter { case (_, a, c) => a <= radii(c) + maxPairRad + 1e-9 }
+        .sortBy(cellRank)
     })
+
+  /** Cell ordering key: raw cosine DESC, cell id ASC — the SAME
+    * comparison key the hash oracles use (`ORDER BY ccos DESC, cell`),
+    * so the engine and the oracle can never diverge on a tie. The
+    * + 0.0 collapses a -0.0 cosine to +0.0 (IEEE-equal values must
+    * tie-break by cell, not by sign bit). Ranking by the acos'd angle
+    * instead would be monotone but NOT injective: near cos ≈ 0 the
+    * angle ulp (~2.2e-16 at π/2) is about twice the cos ulp, so two
+    * adjacent cos doubles can round to the SAME angle and the engine
+    * would tie-break by cell where the oracle orders by cos. */
+  private def cellRank(cell: (Double, Double, Int)): (Double, Int) =
+    (-(cell._1 + 0.0), cell._3)
 
   private def assignImpl(df: DataFrame, id: String, vec: String,
       centroids: Array[Array[Double]],
-      pick: Array[(Double, Int)] => Array[(Double, Int)],
+      pick: Array[(Double, Double, Int)] => Array[(Double, Double, Int)],
       extra: Seq[String] = Nil): DataFrame = {
     val extraFields = extra.map(c => df.schema(c))
     val enc = Encoders.row(assignSchema(id, vec, extraFields))
@@ -302,18 +317,20 @@ object Ivf {
           var i = 0
           while (i < v.length) { ss += v(i) * v(i); i += 1 }
           val nrm = math.sqrt(ss)
-          // (angle to cell, cell id): centroids are unit vectors, so
-          // cos = dot/|v|; clamp for acos domain safety
-          val angles = Array.tabulate(centroids.length) { c =>
+          // (cos to cell, angle to cell, cell id): centroids are unit
+          // vectors, so cos = dot/|v|. Ranking uses the RAW cos
+          // ([[cellRank]]); the angle exists only for the radius
+          // rules, clamped for acos domain safety.
+          val cells = Array.tabulate(centroids.length) { c =>
             val cv = centroids(c)
             var dot = 0.0
             var j = 0
             while (j < v.length) { dot += v(j) * cv(j); j += 1 }
             val cos = if (nrm == 0.0) 0.0 else dot / nrm
-            (math.acos(math.max(-1.0, math.min(1.0, cos))), c)
+            (cos, math.acos(math.max(-1.0, math.min(1.0, cos))), c)
           }
           val extras = Array.tabulate[Any](nExtra)(k => r.get(2 + k))
-          pick(angles).iterator.zipWithIndex.map { case ((a, c), rank) =>
+          pick(cells).iterator.zipWithIndex.map { case ((_, a, c), rank) =>
             Row.fromSeq(Seq(r.getLong(0), vf.toSeq, nrm, c, rank, a) ++ extras)
           }
         }

@@ -109,12 +109,222 @@ object LogReg {
     * tag (en vs rest), 256 hashed features, 3 epochs — then the whole
     * corpus scored. Rows-only gate (iterative float training has no
     * SQL oracle); LogRegSpec pins local-reference parity + separable
-    * accuracy. */
+    * accuracy. The hash-oracled sibling is [[qLrClassifyFixed]]. */
   def qLrClassify(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         (col("lang") === "en").cast("double").as("y"))
     val w = train(docs, "y", "text", numFeatures = 256, epochs = 3)
     score(docs, "doc_id", "text", w, numFeatures = 256)
+  }
+
+  // ---------- fixed-point (hash-oracle-able) training ----------
+
+  /** Fixed-point scale: weights and quantized residuals live in units
+    * of 2⁻²⁰. A power of two, so int→double scaling is EXACT (only the
+    * exponent moves) — the telescoped-integer argument applied to
+    * gradient descent. */
+  private[ops] val FixedScale = 1048576.0 // 2^20
+  private[ops] val FixedFeatures = 256
+  private[ops] val FixedEpochs = 3
+
+  /** Base-31 polynomial token hash mod 2³¹, mod numFeatures — the
+    * engine-replicable rule every selection oracle already replays as
+    * `list_reduce(..., (acc,c) -> (acc*31 + c) % 2147483648)`. */
+  private def fixedFeature(w: String, numFeatures: Int): Int = {
+    var acc = 0L
+    var i = 0
+    while (i < w.length) { acc = (acc * 31L + w.charAt(i).toLong) % 2147483648L; i += 1 }
+    (acc % numFeatures).toInt
+  }
+
+  /** Per-doc (feature, tf) pairs under [[fixedFeature]], tf integral. */
+  private def featurizeFixed(text: String, numFeatures: Int): Array[(Int, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+    text.split(" ").foreach { w =>
+      if (w.nonEmpty) {
+        val f = fixedFeature(w, numFeatures)
+        counts.update(f, counts.getOrElse(f, 0L) + 1L)
+      }
+    }
+    counts.toArray.sortBy(_._1)
+  }
+
+  /** The squashing function of the fixed path: σ̂(z) = ½ + ½·z/(1+|z|)
+    * — a RATIONAL sigmoid surrogate (same shape, same fixpoint at ½,
+    * same monotonicity). Rational because IEEE-754 specifies +,×,÷,abs
+    * exactly, so any engine computing this expression tree on the same
+    * double gets the same bits — unlike exp(), whose libm differs
+    * across engines in ulps and would break the oracle. */
+  @inline private def fastSigmoid(z: Double): Double =
+    0.5 + 0.5 * (z / (1.0 + math.abs(z)))
+
+  /** Integer-weight full-batch GD — every cross-engine-visible number
+    * exact or single-IEEE-op deterministic, which is what puts the
+    * trained CLASSIFIER (not just its scores) under the DuckDB hash
+    * oracle:
+    *
+    *  - weights are LONGS in 2⁻²⁰ units; the per-doc margin
+    *    Z = w_bias + Σ w_f·tf_f is exact integer arithmetic, and
+    *    z = Z/2²⁰ is an exact double (power-of-two scaling);
+    *  - the residual σ̂(z) − y is one division + adds (deterministic),
+    *    then micro-quantized to the integer rq = ⌊resid·2²⁰ + ½⌋, so
+    *    the per-feature gradient Σ rq·tf is a sum of exact integers
+    *    < 2⁵³ — order-free, partitioning-invariant, engine-identical
+    *    (the q_pass_at_k telescoping argument);
+    *  - the update Δw_f = ⌊lr·G_f/n + ½⌋ is two exact steps (lr = ½ is
+    *    a power of two; G_f, n exact) around one IEEE division.
+    *
+    * Same 100 TB shape as [[train]]: epochs × (broadcast weights +
+    * bounded keyed agg); the corpus never shuffles. */
+  def trainFixed(df: DataFrame, label: String, text: String,
+                 numFeatures: Int = FixedFeatures,
+                 epochs: Int = FixedEpochs): Array[Long] = {
+    val data = df.select(col(label).cast("double"),
+      coalesce(col(text), lit(""))).cache()
+    val n = data.count()
+    val sc = df.sparkSession.sparkContext
+    val w = new Array[Long](numFeatures + 1)
+    val enc = Encoders.row(StructType(Seq(
+      StructField("f", IntegerType), StructField("g", LongType))))
+    var epoch = 0
+    while (epoch < epochs) {
+      val bw = sc.broadcast(w.clone())
+      val grad = data.mapPartitions { rows =>
+        val wv = bw.value
+        rows.flatMap { r =>
+          val y = r.getDouble(0)
+          val fs = featurizeFixed(r.getString(1), numFeatures)
+          var zi = wv(numFeatures)
+          fs.foreach { case (f, tf) => zi += wv(f) * tf }
+          val z = zi.toDouble / FixedScale
+          val rq = math.floor((fastSigmoid(z) - y) * FixedScale + 0.5).toLong
+          fs.iterator.map { case (f, tf) => Row(f, rq * tf) } ++
+            Iterator(Row(numFeatures, rq)) // bias gradient
+        }
+      }(enc)
+        .groupBy(col("f")).agg(sum(col("g")).as("g"))
+        .collect() // bounded: numFeatures+1 rows
+      grad.foreach { r =>
+        w(r.getInt(0)) -= math.floor(0.5 * r.getLong(1).toDouble / n.toDouble + 0.5).toLong
+      }
+      epoch += 1
+    }
+    data.unpersist(false)
+    w
+  }
+
+  /** Score with fixed-point weights: (id, prob, pred). prob is the
+    * rational sigmoid rounded by ⌊p·10⁴ + ½⌋/10⁴ (both engines run
+    * the identical float steps, so the rounding is bit-stable); pred
+    * is the sign of the exact integer margin. */
+  def scoreFixed(df: DataFrame, id: String, text: String,
+                 weights: Array[Long],
+                 numFeatures: Int = FixedFeatures): DataFrame = {
+    require(weights.length == numFeatures + 1,
+      s"weights.length ${weights.length} != numFeatures+1 ${numFeatures + 1}")
+    val bw = df.sparkSession.sparkContext.broadcast(weights)
+    val enc = Encoders.row(StructType(Seq(
+      StructField(id, LongType), StructField("prob", DoubleType),
+      StructField("pred", LongType))))
+    Spread.widen(df.select(col(id).cast("long"), coalesce(col(text), lit(""))))
+      .mapPartitions { rows =>
+        val wv = bw.value
+        rows.map { r =>
+          val fs = featurizeFixed(r.getString(1), numFeatures)
+          var zi = wv(wv.length - 1)
+          fs.foreach { case (f, tf) => zi += wv(f) * tf }
+          val p = fastSigmoid(zi.toDouble / FixedScale)
+          Row(r.getLong(0),
+            math.floor(p * 10000.0 + 0.5) / 10000.0,
+            if (zi >= 0L) 1L else 0L)
+        }
+      }(enc)
+  }
+
+  /** The hash-oracled classifier gate: same task as [[qLrClassify]]
+    * (is-English on the fixture lang tag, 256 features, 3 epochs) with
+    * [[trainFixed]]'s integer-quantized arithmetic, so DuckDB replays
+    * the ENTIRE training trajectory — three unrolled epochs of
+    * margin → residual → gradient → update — and the scored corpus
+    * hash-matches. The float path keeps the production-default role;
+    * LogRegSpec pins the two paths' prediction agreement. */
+  def qLrClassifyFixed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (col("lang") === "en").cast("double").as("y"))
+    val w = trainFixed(docs, "y", "text")
+    scoreFixed(docs, "doc_id", "text", w)
+  }
+
+  /** DuckDB replay of [[qLrClassifyFixed]]: the three GD epochs
+    * unrolled as CTE stages over a dense 257-row weight table. Every
+    * boundary number is either an exact integer (margins, gradients,
+    * weights, tf) or one IEEE op away from exact inputs — see
+    * [[trainFixed]]. */
+  val lrClassifyFixedOracle: String = {
+    val F = FixedFeatures
+    val S = "1048576.0::DOUBLE"
+    // one epoch: weights w{k} -> margins z{k+1} -> residuals r{k+1} ->
+    // gradients g{k+1} -> weights w{k+1}
+    def epoch(k: Int): String = {
+      val (wIn, z, r, g, wOut) = (s"w$k", s"z${k + 1}", s"r${k + 1}", s"g${k + 1}", s"w${k + 1}")
+      s"""$z AS (
+         |  SELECT d.doc_id, d.y,
+         |    ((SELECT wv FROM $wIn WHERE f = $F)
+         |      + coalesce(sum(fe.tf * w.wv), 0))::BIGINT AS zi
+         |  FROM docs d
+         |  LEFT JOIN feats fe ON fe.doc_id = d.doc_id
+         |  LEFT JOIN $wIn w ON w.f = fe.f
+         |  GROUP BY d.doc_id, d.y
+         |), $r AS (
+         |  SELECT doc_id,
+         |    floor(((0.5::DOUBLE + 0.5::DOUBLE * (z / (1.0::DOUBLE + abs(z)))) - y)
+         |      * $S + 0.5::DOUBLE)::BIGINT AS rq
+         |  FROM (SELECT doc_id, y, zi::DOUBLE / $S AS z FROM $z)
+         |), $g AS (
+         |  SELECT f, sum(gg)::BIGINT AS g FROM (
+         |    SELECT fe.f AS f, r.rq * fe.tf AS gg FROM $r r JOIN feats fe USING (doc_id)
+         |    UNION ALL
+         |    SELECT $F AS f, rq AS gg FROM $r)
+         |  GROUP BY f
+         |), $wOut AS (
+         |  SELECT w.f,
+         |    (w.wv - floor(0.5::DOUBLE * coalesce(g.g, 0)::DOUBLE
+         |      / (SELECT n FROM nn) + 0.5::DOUBLE)::BIGINT)::BIGINT AS wv
+         |  FROM $wIn w LEFT JOIN $g g USING (f)
+         |)""".stripMargin
+    }
+    val epochs = (0 until FixedEpochs).map(epoch).mkString(", ")
+    val wFinal = s"w$FixedEpochs"
+    s"""WITH docs AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id,
+       |    (list_reduce(
+       |      list_prepend(0::BIGINT, list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+       |      (acc, c) -> (acc * 31 + c) % 2147483648) % $F)::INT AS f,
+       |    count(*)::BIGINT AS tf
+       |  FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |), nn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+       |w0 AS (SELECT unnest(range(0, ${F + 1}))::INT AS f, 0::BIGINT AS wv),
+       |$epochs
+       |SELECT doc_id,
+       |  floor((0.5::DOUBLE + 0.5::DOUBLE * (z / (1.0::DOUBLE + abs(z))))
+       |    * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE AS prob,
+       |  (CASE WHEN zi >= 0 THEN 1 ELSE 0 END)::BIGINT AS pred
+       |FROM (
+       |  SELECT doc_id, zi, zi::DOUBLE / $S AS z FROM (
+       |    SELECT d0.doc_id,
+       |      ((SELECT wv FROM $wFinal WHERE f = $F)
+       |        + coalesce(sum(fe.tf * w.wv), 0))::BIGINT AS zi
+       |    FROM docs d0
+       |    LEFT JOIN feats fe ON fe.doc_id = d0.doc_id
+       |    LEFT JOIN $wFinal w ON w.f = fe.f
+       |    GROUP BY d0.doc_id))""".stripMargin
   }
 }

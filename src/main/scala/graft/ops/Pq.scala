@@ -159,7 +159,15 @@ object Pq {
     * dot product. Emits ≤ partitions × |queries| × shortlist rows (the
     * global top-`shortlist` per query is a subset of the union of the
     * per-partition ones); self-matches (id == query id) are skipped.
-    * Output: (query_id, neighbor_id, adc). */
+    * Output: (query_id, neighbor_id, adc), with `adc` ROUND-12 (the
+    * gate's tie-proofing: duplicate corpus vectors produce exactly
+    * equal ADC, and an unrounded (adc, id) cut at the shortlist
+    * boundary would depend on the other engine's grouped-sum
+    * accumulation order — round(12) makes both engines tie-break such
+    * rows by id). The heap evicts on the SAME rounded key, so the
+    * subset property above survives the rounding (a per-partition
+    * eviction under a different key could drop a row the global
+    * rounded cut keeps). */
   def adcShortlist(codes: DataFrame, id: String, cb: Codebooks,
       queries: Array[(Long, Array[Double])], shortlist: Int): DataFrame = {
     require(shortlist >= 1, s"shortlist must be >= 1, got $shortlist")
@@ -195,7 +203,10 @@ object Pq {
               var adc = 0.0
               var s = 0
               while (s < m) { adc += luts(qi)(s)(code(s) & 0xff); s += 1 }
-              val cos = adc / (qnrm(qi) * nrm)
+              // Spark round(x, 12) semantics (BigDecimal HALF_UP) —
+              // the same pairing every round-12 oracle in the gate uses
+              val cos = java.math.BigDecimal.valueOf(adc / (qnrm(qi) * nrm))
+                .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
               val h = heaps(qi)
               if (h.size < shortlist) h.enqueue((cos, nid))
               else {

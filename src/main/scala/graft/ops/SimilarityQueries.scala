@@ -163,9 +163,12 @@ object SimilarityQueries {
     * stride rows (LIMIT 128) in id order; encode = per-(row, subspace)
     * L2 argmin with lower-code ties; ADC = per-query lookup-table sum
     * over the row's 8 codes, divided by the norms; global 40-deep
-    * shortlist by (adc desc, id asc); exact rerank per [[knnOracle]].
-    * The grouped ADC sum is 8 doubles — reassociation error ~1e-16 vs
-    * shortlist-boundary gaps ~1e-3, the cell-ranking argument. */
+    * shortlist by (round-12 adc desc, id asc); exact rerank per
+    * [[knnOracle]]. Both sides round the ADC to 12 before the cut —
+    * the grouped sum here is 8 doubles whose accumulation order DuckDB
+    * does not guarantee, and an exact ADC tie (duplicate vectors)
+    * straddling the shortlist boundary would otherwise make the
+    * unrounded cut run-to-run nondeterministic. */
   val similarityPqOracle: String =
     s"""WITH p AS (
       |  SELECT greatest(1, count(*) // 128)::BIGINT AS s FROM embeddings
@@ -203,7 +206,7 @@ object SimilarityQueries {
       |  FROM q, cb, subs
       |), adc AS (
       |  SELECT l.query_id, c.vec_id AS neighbor_id,
-      |    sum(l.l) / (max(qn.qn) * max(n.nrm)) AS a
+      |    round(sum(l.l) / (max(qn.qn) * max(n.nrm)), 12) AS a
       |  FROM codes c
       |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
       |  JOIN nrm n ON n.vec_id = c.vec_id

@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   * it before `writeStream.start()` (existing running queries keep their
   * provider). All graft streaming operators are provider-agnostic;
   * RocksDBStateSpec runs the dedup + custom-state sessionizer against
-  * RocksDB to pin that.
+  * RocksDB to pin that, and RocksDBArmsSpec pins RocksDB==default
+  * parity for the other five keyed-state arms (SFT session assembly,
+  * best-of-N, GRPO advantages, the RL-metrics monitor, domain quota).
   */
 object StateStores {
 

@@ -23,7 +23,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * with ONE final IEEE division, and both Spearman sides rank the same
   * deterministic tie-broken permutations ((value, event_id) /
   * (ts, event_id)) so Σd² is an exact integer — arrival order cannot
-  * change any of it, the replay-determinism argument. At 100 TB/day
+  * change any of it, the replay-determinism argument.
+  *
+  * Pool BOUNDARIES are event-time-only, the other half of that
+  * argument: the buffer is re-split at every close into maximal runs
+  * whose consecutive event-time gaps are < quietUs (the event-time
+  * mirror of the close rule wm ≥ last + quietUs), and a session is
+  * emitted only once the watermark clears ITS OWN last + quietUs. Two
+  * bursts of one key separated by ≥ quietUs in event time therefore
+  * emit as two pools even when a catch-up / AvailableNow replay
+  * advances the watermark in hour-sized jumps that cover both — the
+  * case where a close keyed on the whole buffer's `lastUs` would have
+  * merged them. A bridging event can only merge OPEN sessions: closing
+  * a session needs wm ≥ last + quietUs, and any later event that could
+  * bridge it (ts < last + quietUs ≤ wm) is behind the watermark and
+  * dropped as late on every path, replayed or live. At 100 TB/day
   * the operator shuffles once on the pool key into the state store;
   * per-key work is O(N log N) at close, O(1) per candidate before. */
 object StreamingRlMetrics {
@@ -105,21 +119,46 @@ object StreamingRlMetrics {
             st = PoolState(Cand(eid, tsUs, value) :: st.cands,
               math.max(st.lastUs, tsUs))
           }
-          if (st.cands.nonEmpty &&
-              state.getCurrentWatermarkMs() * 1000L >= st.lastUs + quietUs) {
-            state.remove()
-            val cands = st.cands
-            val n = cands.length.toLong
-            val c = cands.count(_.value >= 60.0).toLong
-            Iterator.single(RlMetricsOut(user, etype, n, c,
-              passAtK(n, c, 1), passAtK(n, c, 5), passAtK(n, c, 10),
-              spearman(cands)))
-          } else {
-            state.update(st)
-            state.setTimeoutTimestamp(
-              math.max((st.lastUs + quietUs) / 1000L + 1L,
-                state.getCurrentWatermarkMs() + 1L))
-            Iterator.empty
+          if (st.cands.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // Re-split the buffer into event-time sessions: a gap of
+            // ≥ quietUs between consecutive candidates starts a new
+            // pool (mirrors the close rule below, which fires exactly
+            // when wm reaches last + quietUs). Sort is deterministic
+            // ((ts, event_id)) so arrival order can't change the split.
+            val sorted = st.cands.sortBy(cd => (cd.tsUs, cd.eventId))
+            val sessions =
+              scala.collection.mutable.ListBuffer.empty[
+                scala.collection.mutable.ListBuffer[Cand]]
+            sorted.foreach { cd =>
+              if (sessions.isEmpty ||
+                  cd.tsUs - sessions.last.last.tsUs >= quietUs)
+                sessions += scala.collection.mutable.ListBuffer(cd)
+              else sessions.last += cd
+            }
+            // Sessions are event-time-ordered, so closed ones form a
+            // prefix; emit them oldest-first.
+            val (closed, open) =
+              sessions.partition(s => wmUs >= s.last.tsUs + quietUs)
+            val out = closed.iterator.map { s =>
+              val cands = s.toList
+              val n = cands.length.toLong
+              val c = cands.count(_.value >= 60.0).toLong
+              RlMetricsOut(user, etype, n, c,
+                passAtK(n, c, 1), passAtK(n, c, 5), passAtK(n, c, 10),
+                spearman(cands))
+            }.toList
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(
+                PoolState(open.iterator.flatten.toList, open.last.last.tsUs))
+              // wake at the EARLIEST open session's close time
+              state.setTimeoutTimestamp(
+                math.max((open.head.last.tsUs + quietUs) / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
       }
   }

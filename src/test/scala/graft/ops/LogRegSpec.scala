@@ -89,6 +89,39 @@ class LogRegSpec extends SparkTestBase {
     }
   }
 
+  test("trainFixed is partitioning-INVARIANT (exact longs, not a 1e-6 " +
+      "tolerance) and learns the separable corpus") {
+    val docs = corpus(240)
+    val df = docs.toDF("id", "y", "text")
+    val w1 = LogReg.trainFixed(df.repartition(1), "y", "text", numFeatures = 64)
+    val w7 = LogReg.trainFixed(df.repartition(7), "y", "text", numFeatures = 64)
+    assert(w1.toSeq === w7.toSeq,
+      "fixed-point gradients are exact integer sums — any partitioning " +
+        "must give bit-identical weights, unlike the float path")
+    // the quantization must not cost the classifier its signal
+    val test = corpus(300).drop(240)
+    val preds = LogReg.scoreFixed(test.toDF("id", "y", "text"), "id", "text",
+      w1, numFeatures = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val correct = test.count(d => preds(d._1) === d._2.toLong)
+    assert(correct >= (test.size * 0.95).toInt, s"$correct/${test.size}")
+  }
+
+  test("fixed path vs float path: same task, overwhelmingly agreeing " +
+      "predictions (the rational sigmoid surrogate shifts probabilities, " +
+      "not the learned separation)") {
+    val docs = corpus(200)
+    val df = docs.toDF("id", "y", "text")
+    val wFloat = LogReg.train(df, "y", "text", numFeatures = 64, epochs = 3)
+    val wFixed = LogReg.trainFixed(df, "y", "text", numFeatures = 64)
+    val pFloat = LogReg.score(df, "id", "text", wFloat, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pFixed = LogReg.scoreFixed(df, "id", "text", wFixed, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agree = docs.count(d => pFloat(d._1) === pFixed(d._1))
+    assert(agree >= (docs.size * 0.98).toInt, s"$agree/${docs.size}")
+  }
+
   test("null/empty text scores by bias alone") {
     val docs = corpus(50).toDF("id", "y", "text")
     val w = LogReg.train(docs, "y", "text", numFeatures = 64, epochs = 2)

@@ -163,6 +163,58 @@ class StreamingRlMetricsSpec extends SparkTestBase {
     assert(spearman(rev) === Some(-1.0))
   }
 
+  test("two bursts of one key ≥ quietUs apart in EVENT time emit as two " +
+      "pools even when a catch-up replay's watermark jumps past both; " +
+      "the earlier closes while the later stays open") {
+    // burst A (0–5 min) and burst B (100–105 min): 95 min apart, far
+    // beyond quietUs = 30 min. A replay that feeds both in ONE batch
+    // must still split them — the round-13 close rule (one lastUs for
+    // the whole buffer) merged them into a single 6-candidate pool.
+    val burstA: Seq[Ev] = Seq(
+      (7L, 0 * Min, 711L, "gen", 70.0),
+      (7L, 2 * Min, 712L, "gen", 50.0),
+      (7L, 5 * Min, 713L, "gen", 80.0))
+    val burstB: Seq[Ev] = Seq(
+      (7L, 100 * Min, 714L, "gen", 10.0),
+      (7L, 102 * Min, 715L, "gen", 90.0),
+      (7L, 105 * Min, 716L, "gen", 20.0))
+    // watermark advancer: wm = 160 − 120 (delay) = 40 min — past A's
+    // close boundary (5 + 30 = 35 min), before B's (105 + 30 = 135 min)
+    val advance: Seq[Ev] = Seq((998L, 160 * Min, 991L, "gen", 0.0))
+    val sentinel: Seq[Ev] = Seq((999L, 13 * Hour, 901L, "gen", 0.0))
+
+    def slice(evs: Seq[Ev]): Set[OutRow] = {
+      val ev = eventsDf(evs)
+      val pk = RlQueries.passAtKOf(ev)
+      val rd = RlQueries.rewardDriftOf(ev)
+        .select(col("user_id"), col("event_type"), col("spearman"))
+      key(pk.join(rd, Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("n"), col("c"),
+          col("pass_at_1"), col("pass_at_5"), col("pass_at_10"), col("spearman")))
+    }
+    def u7(out: String): Set[OutRow] =
+      key(spark.read.parquet(out).filter(col("user_id") === 7L).select(
+        col("user_id"), col("event_type"), col("n"), col("c"),
+        col("pass_at_1"), col("pass_at_5"), col("pass_at_10"), col("spearman")))
+
+    val root = Files.createTempDirectory("rlm-burst-")
+    new FileStreamClient(root).createStream("cands", 1)
+    val ck = Files.createTempDirectory("rlm-burst-ck-")
+    val out = Files.createTempDirectory("rlm-burst-out-").toString
+
+    produce(root, burstA ++ burstB ++ advance)
+    runOnce(root, ck, out, 1000) // one data batch: wm covers A only
+    assert(u7(out) === slice(burstA),
+      "burst A must close as its own pool while B stays open in state")
+
+    produce(root, sentinel)
+    runOnce(root, ck, out, 1000)
+    assert(u7(out) === slice(burstA) ++ slice(burstB),
+      "burst B must emit as a SECOND pool, never merged with A")
+    assert(spark.read.parquet(out).filter(col("user_id") === 7L).count() === 2L,
+      "exactly two pools for the two bursts")
+  }
+
   test("checkpoint restart mid-stream: open pools recover their buffer; " +
       "the union of both runs equals the batch result exactly once") {
     val root = Files.createTempDirectory("rlm-restart-")
