@@ -426,14 +426,24 @@ trait GraftDedupOps { this: Graft.type =>
     // tighter than the fixed 2·acos(t) margin when cells are tight)
     val probed = Ivf.assignWithinRadii(df, id, vec, centroids, radii, maxPairRad)
       .select(col(id), col(vec).as("__v"), col("nrm"), col("cell"))
+    // One guaranteed generation path per unordered pair: for a
+    // qualifying (x, y) the triangle inequality puts y in x's home
+    // cell's probe set AND x in y's — both directions always exist, so
+    // keeping only (home = lower id, probe = higher id) is still
+    // COMPLETE, skips the cosine verify for half the enumerated
+    // candidates, and each pair appears exactly once (the home side
+    // has one row per vector; the probe side has the partner at most
+    // once per cell) — no least/greatest normalization, no distinct().
+    // In the exhaustive-fallback regime the join's pair ENUMERATION
+    // dominates and is unchanged by the residual predicate, so the
+    // sf10 wall time is flat there (BASELINE.md round 14) — the win is
+    // correctness-shaped (strictly less work, simpler output contract).
     home.as("a").join(probed.as("b"),
-        col("a.cell") === col("b.cell") && col(s"a.$id") =!= col(s"b.$id"))
+        col("a.cell") === col("b.cell") && col(s"a.$id") < col(s"b.$id"))
       .withColumn("cos", round(
         float_dot(col("a.__v"), col("b.__v")) / col("a.nrm") / col("b.nrm"), 12))
       .filter(col("cos") >= threshold)
-      .select(least(col(s"a.$id"), col(s"b.$id")).as("id_a"),
-        greatest(col(s"a.$id"), col(s"b.$id")).as("id_b"), col("cos"))
-      .distinct()
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"), col("cos"))
   }
 
   /** IVF approximate top-k cosine search: corpus vectors live in their

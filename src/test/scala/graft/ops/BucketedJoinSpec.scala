@@ -48,4 +48,64 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("curation pipeline joins (docs ⋈ verdicts ⋈ scores, all bucketed " +
+      "on doc_id) plan with ZERO exchanges before the final aggregate") {
+    // The repeated-join 100 TB pattern: a curation pipeline joins the
+    // corpus against per-doc side tables (dedup verdicts, quality
+    // scores) again and again; bucketing all of them on doc_id at
+    // write time makes EVERY such join exchange-free, not just one.
+    // BucketedPipelineDrive times this shape at sf1 (see BASELINE.md).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("docs_b")
+      // derived per-doc side tables, same key domain
+      docs.select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(100L)) < 80L).as("keep"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("verdicts_b")
+      docs.select(col("doc_id"),
+        (col("n_chars").cast("double") / 1000.0).as("score"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable("scores_b")
+
+      val pipeline = spark.table("docs_b")
+        .join(spark.table("verdicts_b"), "doc_id")
+        .join(spark.table("scores_b"), "doc_id")
+        .filter(col("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), round(sum(col("score")), 4).as("s"))
+      val plan = pipeline.queryExecution.executedPlan.toString
+      // two joins, and no exchange anywhere below the aggregate: the
+      // only allowed Exchange is the groupBy(lang) one above both joins
+      assert(plan.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") >= 1, plan)
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange"),
+        s"a pipeline join required a shuffle despite bucketing:\n$plan")
+
+      // parity with the plain (shuffled) form
+      val viaBuckets = pipeline.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val d2 = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      val plain = d2
+        .join(d2.select(col("doc_id"),
+          (pmod(xxhash64(col("doc_id")), lit(100L)) < 80L).as("keep")), "doc_id")
+        .join(d2.select(col("doc_id"),
+          (col("n_chars").cast("double") / 1000.0).as("score")), "doc_id")
+        .filter(col("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), round(sum(col("score")), 4).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaBuckets === plain)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+      spark.sql("DROP TABLE IF EXISTS verdicts_b")
+      spark.sql("DROP TABLE IF EXISTS scores_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }

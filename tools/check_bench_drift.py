@@ -1,14 +1,16 @@
 #!/usr/bin/env python3
 """Flag per-query bench drift against the pinned reference shares.
 
-Usage: python3 tools/check_bench_drift.py BENCH_rN.json [factor] [--sf1]
+Usage: python3 tools/check_bench_drift.py BENCH_rN.json [factor] [--sf1|--sf10]
 
 With --sf1, the run is compared against tools/bench_reference_sf1.json
 (the x10-amplified target/sf1 pins, seeded round 11) with a higher
 absolute noise floor, and the truncation fallback reads
 target/bench_sf1_last.json. Super-linear regressions that stay hidden
 at sf0.1 (a plan that is 1.2x at sf0.1 can be 12x at sf1) surface here
-mechanically.
+mechanically. --sf10 does the same against the x100 scale-gate pins
+(tools/bench_reference_sf10.json, the 7 heavy queries + q_semdedup,
+seeded round 14 from warm-isolated runs on target/sf10).
 
 The reference (tools/bench_reference.json) pins each query's best
 full-run time observed across rounds at sf0.1 — min-over-rounds
@@ -27,19 +29,19 @@ import sys
 from pathlib import Path
 
 SF1 = "--sf1" in sys.argv
-if SF1:
-    sys.argv = [a for a in sys.argv if a != "--sf1"]
+SF10 = "--sf10" in sys.argv
+sys.argv = [a for a in sys.argv if a not in ("--sf1", "--sf10")]
 
-REF_PATH = Path(__file__).parent / (
-    "bench_reference_sf1.json" if SF1 else "bench_reference.json")
+_SUFFIX = "_sf10" if SF10 else ("_sf1" if SF1 else "")
+REF_PATH = Path(__file__).parent / f"bench_reference{_SUFFIX}.json"
 # below this absolute cost, ratio noise is meaningless (first-touch
-# and scheduling jitter are a large share of tiny queries); sf1 runs
-# carry ~10x the work so the floor scales with it
-MIN_FLAG_SECONDS = 1.0 if SF1 else 0.3
+# and scheduling jitter are a large share of tiny queries); amplified
+# runs carry ~10-100x the work so the floor scales with them
+MIN_FLAG_SECONDS = 3.0 if SF10 else (1.0 if SF1 else 0.3)
 
 
 FALLBACK = Path(__file__).parent.parent / "target" / (
-    "bench_sf1_last.json" if SF1 else "bench_last.json")
+    f"bench{_SUFFIX}_last.json" if _SUFFIX else "bench_last.json")
 
 
 def load_bench(path):
