@@ -168,8 +168,19 @@ trait GraftSelectionOps { this: Graft.type =>
   /** Base-31 polynomial extension of `acc` over the UTF-16 units of
     * `s`, mod 2³¹ — plain integer arithmetic, no engine-native hash,
     * so an external engine replays every bucket id with
-    * `(acc*31 + ascii(c)) % 2147483648`. */
-  @inline private def polyExtend(acc0: Long, s: String): Long = {
+    * `(acc*31 + ascii(c)) % 2147483648`.
+    *
+    * REPLAY SCOPE: the DuckDB fold iterates CODE POINTS
+    * (`string_split(s, '')` + `ascii`), this loop UTF-16 units — they
+    * agree exactly on BMP text (combining marks included; both sides
+    * see U+0301 as its own element) and diverge on supplementary-plane
+    * chars (two surrogates here, one code point there). The fixtures
+    * and every oracle built on this hash (DSIR buckets, the
+    * fixed-point LR featurizer) are BMP-scoped by that contract; a
+    * corpus with astral text needs the rows-only gate instead. This is
+    * THE shared engine-replicable hash — do not fork a second copy
+    * (LogReg.fixedFeature call sites reuse it). */
+  @inline private[graft] def polyExtend(acc0: Long, s: String): Long = {
     var acc = acc0
     var i = 0
     while (i < s.length) { acc = (acc * 31L + s.charAt(i).toInt) % 2147483648L; i += 1 }

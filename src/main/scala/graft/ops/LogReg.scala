@@ -112,8 +112,11 @@ object LogReg {
     * accuracy. The hash-oracled sibling is [[qLrClassifyFixed]]. */
   def qLrClassify(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      // when/otherwise, not a bare cast: a NULL lang must label 0.0
+      // (=== yields NULL and train's getDouble would NPE), matching
+      // the oracle's CASE WHEN on the fixed sibling
       .select(col("doc_id"), col("text"),
-        (col("lang") === "en").cast("double").as("y"))
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     val w = train(docs, "y", "text", numFeatures = 256, epochs = 3)
     score(docs, "doc_id", "text", w, numFeatures = 256)
   }
@@ -128,15 +131,13 @@ object LogReg {
   private[ops] val FixedFeatures = 256
   private[ops] val FixedEpochs = 3
 
-  /** Base-31 polynomial token hash mod 2³¹, mod numFeatures — the
-    * engine-replicable rule every selection oracle already replays as
-    * `list_reduce(..., (acc,c) -> (acc*31 + c) % 2147483648)`. */
-  private def fixedFeature(w: String, numFeatures: Int): Int = {
-    var acc = 0L
-    var i = 0
-    while (i < w.length) { acc = (acc * 31L + w.charAt(i).toLong) % 2147483648L; i += 1 }
-    (acc % numFeatures).toInt
-  }
+  /** Base-31 polynomial token hash mod 2³¹, mod numFeatures — THE
+    * shared engine-replicable rule ([[graft.api.Graft]]'s polyExtend,
+    * replayed by every selection oracle as
+    * `list_reduce(..., (acc,c) -> (acc*31 + c) % 2147483648)`; its
+    * BMP replay scope is documented there, not re-stated here). */
+  private def fixedFeature(w: String, numFeatures: Int): Int =
+    (graft.api.Graft.polyExtend(0L, w) % numFeatures).toInt
 
   /** Per-doc (feature, tf) pairs under [[fixedFeature]], tf integral. */
   private def featurizeFixed(text: String, numFeatures: Int): Array[(Int, Long)] = {
@@ -251,8 +252,10 @@ object LogReg {
     * LogRegSpec pins the two paths' prediction agreement. */
   def qLrClassifyFixed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+      // NULL lang labels 0.0 — identical to the oracle's CASE WHEN
+      // (a bare === cast would yield NULL y and NPE in trainFixed)
       .select(col("doc_id"), col("text"),
-        (col("lang") === "en").cast("double").as("y"))
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     val w = trainFixed(docs, "y", "text")
     scoreFixed(docs, "doc_id", "text", w)
   }

@@ -39,7 +39,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bridge it (ts < last + quietUs ≤ wm) is behind the watermark and
   * dropped as late on every path, replayed or live. At 100 TB/day
   * the operator shuffles once on the pool key into the state store;
-  * per-key work is O(N log N) at close, O(1) per candidate before. */
+  * per-key work is O(N) per batch while a pool is open (a min-scan
+  * early-out guards the sort) and O(N log N) on the batches where the
+  * watermark has reached the earliest possible close. */
 object StreamingRlMetrics {
 
   final case class Cand(eventId: Long, tsUs: Long, value: Double)
@@ -122,6 +124,22 @@ object StreamingRlMetrics {
           if (st.cands.isEmpty) { state.remove(); Iterator.empty }
           else {
             val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // Early-out for the common per-batch path: every session's
+            // last ts is ≥ the buffer's MIN ts, so while the watermark
+            // has not even reached minTs + quietUs nothing can close —
+            // skip the sort/split entirely (an O(N) scan instead of
+            // O(N log N) per batch on long-open pools). The timeout may
+            // fire before the true earliest close; the handler then
+            // lands here again and just re-arms.
+            var minUs = Long.MaxValue
+            st.cands.foreach(cd => if (cd.tsUs < minUs) minUs = cd.tsUs)
+            if (wmUs < minUs + quietUs) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max((minUs + quietUs) / 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              Iterator.empty
+            } else {
             // Re-split the buffer into event-time sessions: a gap of
             // ≥ quietUs between consecutive candidates starts a new
             // pool (mirrors the close rule below, which fires exactly
@@ -159,6 +177,7 @@ object StreamingRlMetrics {
                   state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
+            }
           }
       }
   }
