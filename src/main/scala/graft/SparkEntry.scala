@@ -70,6 +70,7 @@ object SparkEntry {
     "q_late_data"       -> CoreQueries.qLateData,
     "q_dedup_exact"     -> CoreQueries.qDedupExact,
     "q_dedup_approx"    -> CoreQueries.qDedupApprox,
+    "q_distinct_kmv"    -> CoreQueries.qDistinctKmv,
     "q_topk"            -> CoreQueries.qTopk,
     "q_set_ops"         -> CoreQueries.qSetOps,
     "q_json_extract"    -> CoreQueries.qJsonExtract,
@@ -518,6 +519,8 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_distinct_kmv" -> CoreQueries.distinctKmvOracle,
 
     "q_topk" ->
       """SELECT user_id, sum(value) AS total_value FROM events

@@ -165,6 +165,49 @@ trait GraftSelectionOps { this: Graft.type =>
 
   // ---------- data selection & corpus monitoring ----------
 
+  /** KMV (k-minimum-values) per-key approximate distinct count
+    * (Bar-Yossef et al. 2002): hash every value with the
+    * engine-replicable 31-bit LCG, keep each key's k smallest DISTINCT
+    * hashes, and estimate |distinct| as (k−1)/u_k with
+    * u_k = (h_k + 0.5)/2³¹; keys with fewer than k distinct hashes
+    * report the EXACT count. Standard error ≈ 1/√(k−2) (~12.7% at the
+    * default k = 64).
+    *
+    * The point vs [[graft.ops.CoreQueries.qDedupApprox]]'s HLL: the
+    * sketch state here is a deterministic pure function of the data
+    * (no engine-private hashing or register layout), so the whole
+    * estimator replays in external SQL and sits under the full hash
+    * oracle — the stride-index/fixed-point-GD pattern applied to
+    * cardinality sketching. Use HLL for constant-memory corpus-wide
+    * profiling; use this when the gate must CHECK the estimate.
+    *
+    * Estimate arithmetic is cross-engine exact: h_k is an exact
+    * integer, (k−1)·2³¹ is exact, one IEEE division, then the
+    * ⌊x·10⁴+½⌋/10⁴ tie-proof rounding — both engines run the same
+    * float steps. Scale shape: one distinct on (key, hash) with
+    * map-side combine, then one window over each key's distinct-hash
+    * stream (sorted within key partitions, spillable); per-key work is
+    * O(m log m) in the key's distinct count m. */
+  def kmvDistinct(df: DataFrame, key: String, value: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = pmod(pmod(col(value).cast("long"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L), lit(2147483648L))
+    val byKey = Window.partitionBy(col(key))
+    val ranked = df.select(col(key), h.as("__h")).distinct()
+      .withColumn("__rn", row_number().over(byKey.orderBy(col("__h").asc)))
+      .withColumn("__m", count(lit(1)).over(byKey))
+      .filter(col("__rn") <= k)
+    ranked.groupBy(col(key))
+      .agg(max(col("__m")).as("__m"),
+        max(when(col("__rn") === k, col("__h"))).as("__hk"))
+      .select(col(key),
+        when(col("__m") < k, col("__m").cast("double"))
+          .otherwise(floor(
+            (lit((k - 1).toDouble) * lit(2147483648.0)
+              / (col("__hk").cast("double") + lit(0.5))) * 1e4 + 0.5) / 1e4)
+          .as("n_distinct_kmv"))
+  }
+
   /** Base-31 polynomial extension of `acc` over the UTF-16 units of
     * `s`, mod 2³¹ — plain integer arithmetic, no engine-native hash,
     * so an external engine replays every bucket id with

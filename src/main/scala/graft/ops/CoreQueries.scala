@@ -291,6 +291,37 @@ object CoreQueries {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
+  /** Approx distinct users per event_type via the KMV sketch
+    * ([[graft.api.Graft.kmvDistinct]], k = 64) — the hash-oracled
+    * sibling of [[qDedupApprox]]: same question, but the sketch is a
+    * pure function of the data (LCG 31-bit hashes), so DuckDB replays
+    * the k-minimum-values state and the ESTIMATE itself is
+    * gate-checked, not just accuracy-bounded. */
+  def qDistinctKmv(spark: SparkSession, dir: String): DataFrame =
+    graft.api.Graft.kmvDistinct(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+      "event_type", "user_id", 64)
+
+  val distinctKmvOracle: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ((user_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM h
+      |)
+      |SELECT event_type,
+      |  CASE WHEN max(m) < 64 THEN max(m)::DOUBLE
+      |       ELSE floor((63.0::DOUBLE * 2147483648.0::DOUBLE
+      |              / (max(CASE WHEN rn = 64 THEN h END)::DOUBLE + 0.5::DOUBLE))
+      |              * 10000.0::DOUBLE + 0.5::DOUBLE) / 10000.0::DOUBLE
+      |  END AS n_distinct_kmv
+      |FROM r WHERE rn <= 64
+      |GROUP BY event_type""".stripMargin
+
   /** Top-K users by total value — O9's take generalized through an agg.
     * Partial agg → shuffle on user_id → TakeOrderedAndProject. */
   def qTopk(spark: SparkSession, dir: String): DataFrame =

@@ -24,6 +24,44 @@ class ApproxOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_distinct_kmv: estimate within 4/sqrt(k-2) of exact per key, " +
+      "EXACT below k, partitioning-invariant") {
+    import spark.implicits._
+    val approx = CoreQueries.qDistinctKmv(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (key, n) =>
+      if (n < 64) assert(approx(key) === n.toDouble, s"$key must be exact below k")
+      // 4 std errors of the KMV estimator (σ ≈ n/√(k−2))
+      else assert(math.abs(approx(key) - n) <= 4.0 * n / math.sqrt(62.0),
+        s"$key: kmv ${approx(key)} vs exact $n")
+    }
+    // the sketch is a pure function of the data: any partitioning of
+    // the same rows gives the same distinct hashes, ranks and estimate
+    val df = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val a = graft.api.Graft.kmvDistinct(df, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    val b = graft.api.Graft.kmvDistinct(df.repartition(13), "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(a === b)
+    // duplicates collapse: the estimate sees distinct VALUES, so a
+    // corpus with every row duplicated 3x reports the same number
+    val tripled = df.union(df).union(df)
+    val c = graft.api.Graft.kmvDistinct(tripled, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(c === a)
+    // k bigger than every key's cardinality degrades to exact counting
+    val small = Seq(("x", 1L), ("x", 2L), ("x", 2L), ("y", 7L))
+      .toDF("event_type", "user_id")
+    val ex = graft.api.Graft.kmvDistinct(small, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(ex === Map("x" -> 2.0, "y" -> 1.0))
+  }
+
   test("q_profile_approx: HLL n_distinct within 5% of the exact profile, " +
       "all other stats identical") {
     val approx = ClassifyQueries.qProfileApprox(spark, dir)
