@@ -94,7 +94,10 @@ object SparkEntry {
     "q_fingerprint"     -> TextQueries.qFingerprint,
     "q_fingerprint64"   -> ((s, dir) => graft.api.Graft.fingerprint64(
       graft.ops.Tables.documents(s, dir), "doc_id", "text")),
+    "q_fingerprint_poly" -> ((s, dir) => graft.api.Graft.polyFingerprint64(
+      graft.ops.Tables.documents(s, dir), "doc_id", "text")),
     "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
+    "q_streaming_sessionize" -> ConnectorQueries.qStreamingSessionize,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -270,9 +273,14 @@ object SparkEntry {
     *    exposes the codec (spec pins known-ratio fixtures);
     *  - q_dedup_approx: HLL sketch cardinality — estimator-specific
     *    hashing (spec bounds the error vs exact distinct);
-    *  - q_fingerprint64: xxhash64 — engine-specific hash constants
-    *    (spec pins values; the SQL-portable rolling hash is
-    *    q_fingerprint, which IS oracled);
+    *  - q_fingerprint64: xxhash64 — engine-private constants, and
+    *    xxhash64-compatibility IS the query's point (Spark's codegen'd
+    *    production hash at zero extra code). Both siblings ARE
+    *    hash-oracled: q_fingerprint (31-bit positional) and
+    *    q_fingerprint_poly (mod-2⁶⁴ polynomial, the scale-grade
+    *    dedup-key width, replayed in DuckDB HUGEINT) — the
+    *    fingerprint FAMILY is gate-checked, only the xxhash64
+    *    constants are not;
     *  - q_lr_classify: iterative gradient descent — per-step float
     *    argmax drift makes cross-engine replay meaningless (spec pins
     *    convergence + accuracy floor; the fixed-point sibling
@@ -650,6 +658,7 @@ object SparkEntry {
          |  FROM documents)""".stripMargin,
 
     "q_dis_roundtrip" -> ConnectorQueries.oracle,
+    "q_streaming_sessionize" -> ConnectorQueries.streamingSessionizeOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->
@@ -783,5 +792,25 @@ object SparkEntry {
       """SELECT doc_id,
         |list_sum(list_transform(string_split(text, ''), (c, i) -> i * ascii(c)))::BIGINT AS fp
         |FROM documents""".stripMargin,
+
+    // mod-2^64 polynomial replayed in HUGEINT; the final CASE maps the
+    // unsigned residue to the signed long Spark's native wrap produces.
+    // list_reduce seeds with the first element — identical to folding
+    // from 0 because 0*31 + c1 = c1; empty/null text stays NULL.
+    "q_fingerprint_poly" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR len(text) = 0 THEN NULL
+        |         ELSE list_reduce(
+        |           list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT),
+        |           (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)
+        |    END AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN u >= 9223372036854775808::HUGEINT
+        |       THEN (u - 18446744073709551616::HUGEINT)::BIGINT
+        |       ELSE u::BIGINT END AS fp64
+        |FROM f""".stripMargin,
   )
 }

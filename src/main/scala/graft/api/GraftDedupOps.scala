@@ -117,6 +117,50 @@ trait GraftDedupOps { this: Graft.type =>
   def fingerprint64(df: DataFrame, id: String, text: String): DataFrame =
     df.select(col(id), xxhash64(col(text)).as("fp64"))
 
+  /** Scale-grade SQL-oracle fingerprint: the base-31 polynomial over
+    * code points in native mod-2⁶⁴ long arithmetic —
+    * h = Σ cpᵢ·31^(n−i) mod 2⁶⁴, emitted as the signed long the wrap
+    * produces. 64-bit width puts birthday collisions at ~2³² distinct
+    * texts (the 31-bit [[graft.ops.CoreQueries]] LCG/poly family
+    * collides from ~600k — fine for bucketing, not for a dedup KEY),
+    * while staying engine-replicable: an external engine folds the
+    * same recurrence in 128-bit integers —
+    * `list_reduce(list_transform(string_split(text,''),
+    * c -> ascii(c)::HUGEINT), (a,b) -> (a*31+b) % 2^64)` — and maps
+    * the result to signed. Unlike [[fingerprint64]]'s xxhash64
+    * (engine-private constants, rows-only check), the VALUES here sit
+    * under the DuckDB hash oracle.
+    *
+    * Both sides iterate CODE POINTS (the kernel steps by
+    * `Character.charCount`), so the replay is exact on ALL text,
+    * supplementary planes included — stricter than polyExtend's
+    * BMP-scoped UTF-16 contract. Null/empty text → null fp. Same
+    * shuffle-free mapPartitions kernel shape as [[charFingerprint]]
+    * (the expression/HOF form re-splits per char and interprets the
+    * lambda — the measured 9×/100×-sensitive family). */
+  def polyFingerprint64(df: DataFrame, id: String, text: String): DataFrame = {
+    val projected = df.select(col(id), col(text))
+    val enc = Encoders.row(StructType(Seq(
+      projected.schema.head, StructField("fp64", LongType))))
+    projected.mapPartitions { rows =>
+      rows.map { r =>
+        val idVal = if (r.isNullAt(0)) null else r.get(0)
+        if (r.isNullAt(1) || r.getString(1).isEmpty) Row(idVal, null)
+        else {
+          val s = r.getString(1)
+          var i = 0
+          var acc = 0L // Java long wrap IS mod 2^64
+          while (i < s.length) {
+            val cp = s.codePointAt(i)
+            acc = acc * 31L + cp
+            i += Character.charCount(cp)
+          }
+          Row(idVal, acc)
+        }
+      }
+    }(enc)
+  }
+
   /** SQL-oracle document fingerprint: Σᵢ i·codepoint(charᵢ) (1-based,
     * rolling-hash family) — exists to pin exact cross-engine hash
     * arithmetic (DuckDB: `list_transform(string_split(text,''),

@@ -70,4 +70,109 @@ object ConnectorQueries {
   val oracle: String =
     """SELECT (user_id % 8)::INT AS partition, event_type, count(*) AS cnt
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Puts a STREAMING arm under the DuckDB hash oracle — the
+    * round-14 verdict's ask: the ten streaming arms were suite-proven
+    * but invisible to CORRECTNESS_r*.json. This runs the real
+    * Structured Streaming path end to end per call (dis streaming
+    * source → event-time session windows with a 10-minute watermark →
+    * append-mode memory sink, Trigger.AvailableNow) and returns the
+    * emitted session table, which the driver hashes against a plain
+    * SQL sessionization of the same events.
+    *
+    * Determinism contract (what makes a WATERMARKED stream
+    * hash-oracle-able):
+    *  - the feed is ONE partition ordered by ts, so the watermark
+    *    (max seen ts − 10 min) never overtakes an in-flight event —
+    *    zero late drops by construction. This is the gate BINDING's
+    *    choice, not the operator's limit: production feeds are
+    *    partitioned logs (see StreamingSpec's 4-partition feed) where
+    *    the watermark delay absorbs cross-partition skew;
+    *  - a sentinel event (user_id −1) 10 days past the last real
+    *    event pushes the final watermark beyond every real session's
+    *    end, so append mode emits ALL real sessions — the sentinel's
+    *    own session stays open forever and is filtered out;
+    *  - per-session value totals are cents-quantized BEFORE summing
+    *    (⌊v·100+½⌋ per event, summed as longs) — order-free exact
+    *    integers, immune to the float-reassociation hazard between
+    *    the stream's arrival-order accumulation and the oracle's
+    *    file-order sum.
+    *
+    * Session semantics replayed by the oracle: events of a user chain
+    * into one session while each gap is STRICTLY under 30 minutes
+    * (Spark merges [a,a+g) ∪ [b,b+g) iff b < a+g); session_end =
+    * last ts + 30 min. State scale: O(open sessions) — watermark
+    * eviction, the same shape at any corpus size. */
+  def qStreamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries
+    val root = writtenRoots.synchronized {
+      writtenRoots.getOrElseUpdate((spark.sparkContext.applicationId, s"$dir#sessions"), {
+        val r = Files.createTempDirectory("dis-sessions-")
+        rootsToClean.add(r)
+        new FileStreamClient(r).createStream("sessions", 1)
+        val ev = Tables.events(spark, dir)
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+        val sentinel = ev.sparkSession.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(maxUs + 10L * 24 * 3600 * 1000000).as("ts_us"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+        ev.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .unionAll(sentinel)
+          .orderBy(col("ts_us"))
+          .select(to_json(struct(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"), col("props"))).as("value"),
+            lit(0).as("partition"))
+          .coalesce(1) // one ts-ordered partition: monotone watermark
+          .write.format("dis")
+          .option("client.root", r.toString).option("stream", "sessions")
+          .mode("append").save()
+        r
+      })
+    }
+    val events = StreamingQueries.readEvents(spark, root.toString, "sessions",
+      Map("maxRecordsPerTrigger" -> "50000"))
+    val sessions = events
+      .withColumn("cents", floor(col("value") * 100.0 + 0.5).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_cents"))
+    val name = s"stream_sessions_${sinkSeq.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ck-$name-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Plain-SQL replay of gap-30-min sessionization: island detection
+    * via a strict-gap lag flag + running sum. */
+  val streamingSessionizeOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, floor(value * 100 + 0.5)::BIGINT AS cents,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events, sum(cents)::BIGINT AS sum_cents
+      |FROM s GROUP BY user_id, sid""".stripMargin
 }

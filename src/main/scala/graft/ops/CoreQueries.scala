@@ -302,11 +302,16 @@ object CoreQueries {
       Tables.events(spark, dir).select(col("event_type"), col("user_id")),
       "event_type", "user_id", 64)
 
+  // Sign-safe replay: Spark's pmod is non-negative while DuckDB's %
+  // keeps the dividend's sign, so the inner mod is folded to
+  // ((x % m + m) % m); NULL values are dropped on both sides
+  // (kmvDistinct filters them before sketching).
   val distinctKmvOracle: String =
     """WITH h AS (
       |  SELECT DISTINCT event_type,
-      |    ((user_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS h
-      |  FROM events
+      |    (((user_id % 2147483648 + 2147483648) % 2147483648)
+      |       * 1103515245 + 12345) % 2147483648 AS h
+      |  FROM events WHERE user_id IS NOT NULL
       |), r AS (
       |  SELECT event_type, h,
       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,

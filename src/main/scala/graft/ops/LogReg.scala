@@ -170,9 +170,14 @@ object LogReg {
     *    z = Z/2²⁰ is an exact double (power-of-two scaling);
     *  - the residual σ̂(z) − y is one division + adds (deterministic),
     *    then micro-quantized to the integer rq = ⌊resid·2²⁰ + ½⌋, so
-    *    the per-feature gradient Σ rq·tf is a sum of exact integers
-    *    < 2⁵³ — order-free, partitioning-invariant, engine-identical
-    *    (the q_pass_at_k telescoping argument);
+    *    the per-feature gradient Σ rq·tf is a sum of exact integers —
+    *    order-free, partitioning-invariant, engine-identical (the
+    *    q_pass_at_k telescoping argument). The exactness bound is
+    *    n_contributions(f) · max|rq·tf| < 2⁶³ per feature (|rq| ≤ 2²⁰,
+    *    tf = the doc's term count in bucket f): int64 sums would wrap
+    *    silently past it while the oracle's HUGEINT doesn't, so each
+    *    epoch ASSERTS the bound from the aggregated per-feature
+    *    max/count — a scale-up fails loudly instead of diverging;
     *  - the update Δw_f = ⌊lr·G_f/n + ½⌋ is two exact steps (lr = ½ is
     *    a power of two; G_f, n exact) around one IEEE division.
     *
@@ -204,9 +209,19 @@ object LogReg {
             Iterator(Row(numFeatures, rq)) // bias gradient
         }
       }(enc)
-        .groupBy(col("f")).agg(sum(col("g")).as("g"))
+        // g plus the overflow witness: every partial sum of c values
+        // each ≤ mx in magnitude is ≤ mx·c, so mx·c < 2⁶³ proves the
+        // int64 sum never wrapped in ANY accumulation order
+        .groupBy(col("f")).agg(sum(col("g")).as("g"),
+          max(abs(col("g"))).as("mx"), count(lit(1)).as("c"))
         .collect() // bounded: numFeatures+1 rows
       grad.foreach { r =>
+        val mx = r.getLong(2); val c = r.getLong(3)
+        require(mx == 0L || mx <= Long.MaxValue / c,
+          s"trainFixed gradient overflow risk at feature ${r.getInt(0)}: " +
+            s"max|rq*tf|=$mx over $c contributions exceeds the int64 bound " +
+            "(n_contributions * max|rq*tf| must stay < 2^63); reduce corpus " +
+            "size per batch or cap per-doc term frequency")
         w(r.getInt(0)) -= math.floor(0.5 * r.getLong(1).toDouble / n.toDouble + 0.5).toLong
       }
       epoch += 1

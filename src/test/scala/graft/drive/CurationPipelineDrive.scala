@@ -98,10 +98,18 @@ object CurationPipelineDrive {
     }
     var shape: (Long, Long, Long) = (0L, 0L, 0L)
     val secs = (1 to 3).map(_ => time { shape = chain() })
-    println(s"""{"drive":"curation_pipeline","dir":"$dir",""" +
+    val json = s"""{"drive":"curation_pipeline","dir":"$dir",""" +
       s""""sec_min":${secs.min},"sec_all":[${secs.mkString(",")}],""" +
       s""""docs_after_gates":${shape._1},"docs_in_mixture":${shape._2},""" +
-      s""""sequences":${shape._3}}""")
+      s""""sequences":${shape._3}}"""
+    println(json)
+    // persist for tools/check_bench_drift.py --pipeline: the drift
+    // checker gates BOTH the wall time (2x of the pinned sec_min) and
+    // the exact shape counts (a faster run that drops docs is a
+    // semantics regression, not a win)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/pipeline_last.json"), json)
     spark.stop()
   }
 }

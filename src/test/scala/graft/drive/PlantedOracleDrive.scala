@@ -35,6 +35,15 @@ object PlantedOracleDrive {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "target/sf1"
     val out = if (args.length > 1) args(1) else "target/sf1p"
+    // report path + optional query subset — the sf10 drill runs only
+    // the five heavy gate queries the ×100 table pins:
+    //   Test/runMain graft.drive.PlantedOracleDrive target/sf10 \
+    //     target/sf10p target/planted_sf10.json \
+    //     q_minhash_dupes,q_cross_dedup,q_cluster_dedup,q_knn_classify_ivf,q_hard_negatives_ivf
+    val jsonOut = if (args.length > 2) args(2) else "target/planted_sf1.json"
+    val subset: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -67,12 +76,19 @@ object PlantedOracleDrive {
     val EBase = firstAvoiding97(200000000000L)
     val knnQueryIds = (0L until 10L).toSeq
     val classifyTargets = (100L to 145L by 5L).toSeq // query side: id % 5 == 0
-    val fetchIds = (knnQueryIds ++ classifyTargets).distinct
-    val baseVecs: Map[Long, Seq[Float]] = baseEmb
+    // hard-negative anchors: in the %20==0 panel, disjoint from the
+    // classify targets' vectors
+    val hardNegAnchors = Seq(200L, 240L, 280L, 320L, 360L)
+    val fetchIds = (knnQueryIds ++ classifyTargets ++ hardNegAnchors).distinct
+    val fetched = baseEmb
       .filter(col("vec_id").isin(fetchIds.map(Long.box): _*))
-      .select(col("vec_id"), col("embedding"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val baseVecs: Map[Long, Seq[Float]] = fetched.map(t => t._1 -> t._2).toMap
+    val baseLabels: Map[Long, Int] = fetched.map(t => t._1 -> t._3).toMap
     require(fetchIds.forall(baseVecs.contains), "base query vectors missing")
+    require(hardNegAnchors.forall(a => baseLabels(a) != 99),
+      "planted label 99 collides with an anchor's own label")
 
     // knn plants: one exact copy per query id → must be its rank-1
     val knnPlants = knnQueryIds.map(q => (EBase + q, baseVecs(q), 99))
@@ -94,6 +110,17 @@ object PlantedOracleDrive {
     val deconVecs = (0 until 5).map(_ => randVec())
     val deconPlants = deconBenchIds.zip(deconVecs).map { case (id, v) => (id, v, 99) } ++
       deconCorpusIds.zip(deconVecs).map { case (id, v) => (id, v, 99) }
+    // hard-negative plants: 3 exact copies per anchor, labeled 99
+    // (≠ every anchor's own label), ids off the anchor (%20) and query
+    // (%5) panels and the %97 bench slice → each is a different-label
+    // cos-1.0 candidate in the anchor's own probed cell, so the
+    // anchor's top-3 negatives are exactly its copies (cos ties break
+    // neg_id asc; nothing else reaches cos 1.0)
+    val hardNegIdPool = Iterator.iterate(400000000000L)(_ + 1L)
+      .filter(x => x % 5 != 0 && x % 97 != 0).take(15).toSeq
+    val hardNegPlants = hardNegAnchors.zipWithIndex.flatMap { case (a, i) =>
+      (0 until 3).map(j => (hardNegIdPool(i * 3 + j), baseVecs(a), 99))
+    }
 
     // ---------- write the planted fixture dir ----------
     val fs = new java.io.File(out)
@@ -113,7 +140,7 @@ object PlantedOracleDrive {
       StructField("label", IntegerType)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        (knnPlants ++ classifyPlants ++ deconPlants)
+        (knnPlants ++ classifyPlants ++ deconPlants ++ hardNegPlants)
           .map { case (id, v, l) => Row(id, v, l) }, 1),
       embSchema)
       .write.mode("append").parquet(s"$out/embeddings.parquet")
@@ -142,6 +169,7 @@ object PlantedOracleDrive {
     // ---------- run the gate bindings at sf1 and assert ----------
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, String)]
     def check(name: String)(body: DataFrame => (Boolean, String)): Unit = {
+      if (subset.exists(!_.contains(name))) return
       val t0 = System.nanoTime()
       val r = try body(graft.SparkEntry.queries(name)(spark, out))
         catch { case e: Throwable => (false, s"exception: ${e.getMessage}") }
@@ -222,13 +250,39 @@ object PlantedOracleDrive {
       val want = exact13 // identical text → identical blob → hamming 0
       (want.subsetOf(got), s"recall ${want.intersect(got).size}/13 identical-blob pairs")
     }
+    check("q_knn_classify_ivf") { df =>
+      // approximate path, same plant as q_knn_classify: an exact copy
+      // shares the query's cell ranking, so its top-2 assigned cells sit
+      // inside the query's 8 probed cells — all 5 copies are candidates
+      // at cos 1.0 and the vote is unanimous
+      val got = df.filter(col("query_id").isin(classifyTargets.map(Long.box): _*))
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      val ok = classifyTargets.forall(t => got.get(t).contains((99, 5L)))
+      (ok, s"unanimous planted label for ${got.count(_._2 == ((99, 5L)))}/" +
+        s"${classifyTargets.size} targets (IVF path)")
+    }
+    check("q_hard_negatives_ivf") { df =>
+      // each planted anchor's 3 cos-1.0 different-label copies must be
+      // exactly its rank-1..3 negatives (ties break neg_id asc)
+      val want = hardNegAnchors.zipWithIndex.map { case (a, i) =>
+        a -> (0 until 3).map(j => hardNegIdPool(i * 3 + j)).sorted
+      }.toMap
+      val got = df.filter(col("anchor_id").isin(hardNegAnchors.map(Long.box): _*))
+        .select(col("anchor_id"), col("rank"), col("neg_id"), col("neg_label"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (a, rows) =>
+          a -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq }
+      val ok = hardNegAnchors.forall(a =>
+        got.get(a).contains(want(a).map(id => (id, 99L))))
+      (ok, s"top-3 = planted copies for ${hardNegAnchors.count(a =>
+        got.get(a).contains(want(a).map(id => (id, 99L))))}/${hardNegAnchors.size} anchors")
+    }
 
     // ---------- report ----------
     val json = results.map { case (k, (ok, d)) =>
       s""""$k": {"planted_ok": $ok, "detail": "${d.replace("\"", "'")}"}"""
     }.mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/planted_sf1.json"), json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonOut), json)
     val failed = results.filter(!_._2._1)
     println(s"PLANTED summary: ${results.size - failed.size}/${results.size} ok" +
       (if (failed.nonEmpty) s"; FAILED: ${failed.keys.mkString(",")}" else ""))

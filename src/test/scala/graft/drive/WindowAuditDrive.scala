@@ -28,7 +28,13 @@ object WindowAuditDrive {
           val part = w.partitionSpec.map(_.sql).mkString(",")
           val ord = w.orderSpec.map(_.sql).mkString(",")
           val chunky = w.child.toString.contains("__chunk")
-          println(s"WIN\t$name\tpart=[$part]\torder=[$ord]\tchunkChild=$chunky")
+          val aggs = expand(w.child).collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              a.groupingExpressions.map(_.sql).mkString("|")
+          }
+          val wgl = w.child.toString.contains("WindowGroupLimit")
+          println(s"WIN\t$name\tpart=[$part]\torder=[$ord]\tchunkChild=$chunky" +
+            s"\twgl=$wgl\taggGrains=[${aggs.mkString(" ; ")}]")
         }
       } catch { case e: Throwable =>
         println(s"ERR\t$name\t${e.getMessage}")

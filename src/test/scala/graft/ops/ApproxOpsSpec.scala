@@ -62,6 +62,36 @@ class ApproxOpsSpec extends SparkTestBase {
     assert(ex === Map("x" -> 2.0, "y" -> 1.0))
   }
 
+  test("kmvDistinct input contract: non-integral value columns rejected " +
+      "loudly, NULL values dropped, negative ids hash sign-safely") {
+    import spark.implicits._
+    // strings would cast("long") to NULL and collapse every value to one
+    // hash — reject at plan time instead of reporting 1.0 silently
+    val strs = Seq(("x", "alpha"), ("x", "beta")).toDF("event_type", "user_id")
+    val err = intercept[IllegalArgumentException] {
+      graft.api.Graft.kmvDistinct(strs, "event_type", "user_id", 64)
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
+    // NULL values don't contribute a distinct hash (count-distinct NULL
+    // semantics): (1, 2, NULL) counts 2; a NULL-only key has no
+    // sketchable rows and drops out entirely (both engines filter
+    // NULLs before grouping, so the oracle agrees)
+    val withNulls = Seq(("x", java.lang.Long.valueOf(1L)),
+      ("x", java.lang.Long.valueOf(2L)), ("x", null.asInstanceOf[java.lang.Long]),
+      ("y", null.asInstanceOf[java.lang.Long]))
+      .toDF("event_type", "user_id")
+    val got = graft.api.Graft.kmvDistinct(withNulls, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got === Map("x" -> 2.0))
+    // negative ids: Spark's pmod keeps the hash in [0, 2^31) — the
+    // same value the oracle's ((x % m + m) % m) replay computes — and
+    // distinct negatives stay distinct
+    val negs = Seq(("x", -5L), ("x", -6L), ("x", -5L)).toDF("event_type", "user_id")
+    val gn = graft.api.Graft.kmvDistinct(negs, "event_type", "user_id", 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(gn === Map("x" -> 2.0))
+  }
+
   test("q_profile_approx: HLL n_distinct within 5% of the exact profile, " +
       "all other stats identical") {
     val approx = ClassifyQueries.qProfileApprox(spark, dir)
@@ -311,5 +341,27 @@ class ApproxOpsSpec extends SparkTestBase {
     assert(nFp === nText, s"xxhash64 collided: $nFp fingerprints for $nText texts")
     val pairs = docs.join(fp, "doc_id").select("text", "fp64").distinct().count()
     assert(pairs === nText, "fp64 is not a pure function of text")
+  }
+
+  test("q_fingerprint_poly: mod-2^64 polynomial — pinned values incl. " +
+      "astral text, null/empty -> null, collision-free on the fixtures") {
+    import spark.implicits._
+    // reference values computed independently (python: acc = (acc*31 +
+    // ord(ch)) % 2**64 over code points, mapped to signed) — pins the
+    // kernel's wrap arithmetic AND its code-point (not UTF-16) walk:
+    // 𝄞 is supplementary-plane, one element on both engines
+    val fx = Seq((1L, "hello world"), (2L, ""), (3L, null),
+      (4L, "naïve ☃ text 𝄞")).toDF("doc_id", "text")
+    val got = graft.api.Graft.polyFingerprint64(fx, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got(1L) === 88006926820958916L)
+    assert(got(2L) === null)
+    assert(got(3L) === null)
+    assert(got(4L) === 1494079257533279965L)
+    // 64-bit width: injective on the fixture corpus, like xxhash64
+    val docs = Tables.documents(spark, dir)
+    val fp = graft.api.Graft.polyFingerprint64(docs, "doc_id", "text")
+    val nText = docs.select("text").distinct().count()
+    assert(fp.select("fp64").distinct().count() === nText)
   }
 }

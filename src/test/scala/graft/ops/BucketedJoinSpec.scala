@@ -108,4 +108,58 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("MISMATCHED bucket counts (8 vs 4): the join re-shuffles by default; " +
+      "coalesceBucketsInJoin bridges a power-of-two mismatch exchange-free") {
+    // The 100 TB layout contract the exchange-free numbers rest on:
+    // Spark's bucket join requires COMPATIBLE bucket counts. When a
+    // corpus version doubles its bucket count (files-bounded growth)
+    // while a side table keeps the old count, the default planner
+    // re-shuffles one side — silently paying the exchange the layout
+    // existed to avoid. coalesceBucketsInJoin (ratio <= 4 by default)
+    // reads the finer table at the coarser count instead: still
+    // exchange-free, at the coarser side's parallelism. Hence the
+    // recipe: bucket counts grow by powers of two, never ad-hoc.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      Tables.lineitem(spark, dir)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b8")
+      Tables.orders(spark, dir)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("ord_b4")
+      def joined = spark.table("li_b8")
+        .join(spark.table("ord_b4"), "l_orderkey")
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("qty"))
+
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+      val p1 = joined.queryExecution.executedPlan.toString
+      val join1 = p1.substring(p1.indexOf("SortMergeJoin"))
+      assert(join1.contains("Exchange hashpartitioning(l_orderkey"),
+        s"expected the mismatch to force a shuffle by default:\n$p1")
+
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+      val p2 = joined.queryExecution.executedPlan.toString
+      val join2 = p2.substring(p2.indexOf("SortMergeJoin"))
+      assert(!join2.contains("Exchange hashpartitioning(l_orderkey"),
+        s"coalesced bucket join still shuffled:\n$p2")
+      assert(p2.contains("SelectedBucketsCount") || p2.contains("Coalesced"),
+        s"no coalesced-bucket marker in:\n$p2")
+
+      // both plans compute the same result as the unbucketed join
+      val direct = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity").as("qty"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val viaCoalesced = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaCoalesced === direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b8")
+      spark.sql("DROP TABLE IF EXISTS ord_b4")
+      spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }

@@ -645,10 +645,27 @@ class PlanSpec extends SparkTestBase {
     * Anything else fails here, which is exactly what the pre-fix
     * q_pref_pairs / q_ntile / q_rank_funcs / q_interleave /
     * q_token_budget_sample plans would do. */
-  test("no gate query carries an unbounded window partitioned by a " +
-      "fixed-cardinality stratum (round-11 weak class)") {
+  /** Stratum-window offender scan for one frame — the round-11 rule,
+    * with the Aggregate allowance tightened in round 15: an aggregate
+    * somewhere below the window no longer suffices (the round-14 KMV
+    * plan slipped through exactly that way — its distinct's grain was
+    * (event_type, hash), corpus-sized). The allowance now requires an
+    * aggregate whose grouping grain is BOUNDED: every grouping key is
+    * one of the window's partition keys, a fixed-cardinality stratum
+    * (source/lang/event_type/domain and the transition-pair aliases
+    * src/dst), the two-pass kernels' `__chunk` ordinal (≤ chunkCount
+    * by construction), or a calendar bucket (hour_start/_wN — bounded
+    * by the time span, not the corpus; a scalar/global agg is grain
+    * zero and trivially bounded). Audited against the gate via
+    * WindowAuditDrive: the eight legitimate users (q_autocorr,
+    * q_transitions, and the six chunked StratifiedRank windows) all
+    * satisfy the bounded-grain form; the round-14 q_distinct_kmv plan
+    * does not (see the negative test below). */
+  private def stratumWindowOffenders(df: org.apache.spark.sql.DataFrame,
+      name: String): Seq[String] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExec
     def expand(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
@@ -657,22 +674,64 @@ class PlanSpec extends SparkTestBase {
     // data-derived partition keys: cardinality grows with the corpus
     val dataDerived =
       """(?i).*(id|key)$|^sid$|^__chunk$|^__s$|^shard$|^_w\d+$""".r
-    def hasAgg(p: SparkPlan): Boolean =
-      p.toString.contains("Aggregate") // Hash/ObjectHash/SortAggregate
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val root = fn(spark, dir).queryExecution.executedPlan
-        expand(root).collect { case w: WindowExec => w }.flatMap { w =>
-          val partNames = w.partitionSpec.map(_.sql)
-          val safe =
-            w.partitionSpec.isEmpty || // global windows: separate rule
-            partNames.exists(n => dataDerived.matches(n)) ||
-            w.child.toString.contains("WindowGroupLimit") ||
-            hasAgg(w.child)
-          if (safe) None else Some(s"$name: Window partitioned by " +
-            s"[${partNames.mkString(", ")}] with an unbounded data-sized child")
-        }
+    // columns a bounded-grain aggregate may group by (beyond the
+    // window's own partition keys): fixed-cardinality strata, the
+    // chunk ordinal, calendar buckets
+    val boundedName =
+      """(?i)^(source|lang|event_type|domain|src|dst|label|__chunk|_w\d+)$|(?i)^(hour|day|week|month)(_start)?$|(?i)_(hour|day|week|month|date)$""".r
+    def boundedAggBelow(w: WindowExec): Boolean = {
+      val partKeys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      expand(w.child).exists {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.forall(_.references.forall(r =>
+            partKeys.contains(r.name) || boundedName.matches(r.name)))
+        case _ => false
+      }
     }
+    expand(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }.flatMap { w =>
+        val partNames = w.partitionSpec.map(_.sql)
+        val safe =
+          w.partitionSpec.isEmpty || // global windows: separate rule
+          partNames.exists(n => dataDerived.matches(n)) ||
+          w.child.toString.contains("WindowGroupLimit") ||
+          boundedAggBelow(w)
+        if (safe) None else Some(s"$name: Window partitioned by " +
+          s"[${partNames.mkString(", ")}] with an unbounded data-sized child")
+      }
+  }
+
+  test("no gate query carries an unbounded window partitioned by a " +
+      "fixed-cardinality stratum (round-11 weak class)") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) => stratumWindowOffenders(fn(spark, dir), name)
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("the tightened Aggregate allowance catches the round-14 KMV " +
+      "window plan (negative control) and passes the aggregate re-plan") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+    // the round-14 formulation, verbatim: distinct (event_type, hash)
+    // then two unbounded windows partitioned by the stratum alone —
+    // its child distinct IS an Aggregate, but at corpus grain, which
+    // is exactly the case the old contains("Aggregate") check missed
+    val h = pmod(pmod(col("user_id").cast("long"), lit(2147483648L))
+      * lit(1103515245L) + lit(12345L), lit(2147483648L))
+    val byKey = Window.partitionBy(col("event_type"))
+    val old = ev.select(col("event_type"), h.as("__h")).distinct()
+      .withColumn("__rn", row_number().over(byKey.orderBy(col("__h").asc)))
+      .withColumn("__m", count(lit(1)).over(byKey))
+      .filter(col("__rn") <= 64)
+      .groupBy(col("event_type"))
+      .agg(max(col("__m")).as("m"), max(when(col("__rn") === 64, col("__h"))).as("hk"))
+    assert(stratumWindowOffenders(old, "kmv_old").nonEmpty,
+      "negative control: the round-14 window plan must be flagged")
+    val offenders =
+      stratumWindowOffenders(graft.ops.CoreQueries.qDistinctKmv(spark, dir), "q_distinct_kmv")
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 

@@ -2,6 +2,15 @@
 """Flag per-query bench drift against the pinned reference shares.
 
 Usage: python3 tools/check_bench_drift.py BENCH_rN.json [factor] [--sf1|--sf10]
+       python3 tools/check_bench_drift.py [artifact] [factor] --pipeline
+
+--pipeline checks the CurationPipelineDrive composed run instead of
+per-query bench shares: the artifact (default target/pipeline_last.json,
+written by the drive) is compared to tools/pipeline_reference.json —
+sec_min is gated at factor x the pin AND the three shape counts
+(docs_after_gates, docs_in_mixture, sequences) must match EXACTLY,
+the semantics-regression alarm: a chain that got faster because a gate
+started dropping everything fails loudly.
 
 With --sf1, the run is compared against tools/bench_reference_sf1.json
 (the x10-amplified target/sf1 pins, seeded round 11) with a higher
@@ -30,7 +39,11 @@ from pathlib import Path
 
 SF1 = "--sf1" in sys.argv
 SF10 = "--sf10" in sys.argv
-sys.argv = [a for a in sys.argv if a not in ("--sf1", "--sf10")]
+PIPELINE = "--pipeline" in sys.argv
+if sum((SF1, SF10, PIPELINE)) > 1:
+    sys.exit("error: --sf1 / --sf10 / --pipeline are mutually exclusive "
+             "(each selects its own reference pins); pass exactly one")
+sys.argv = [a for a in sys.argv if a not in ("--sf1", "--sf10", "--pipeline")]
 
 _SUFFIX = "_sf10" if SF10 else ("_sf1" if SF1 else "")
 REF_PATH = Path(__file__).parent / f"bench_reference{_SUFFIX}.json"
@@ -64,16 +77,57 @@ def load_bench(path):
     raise SystemExit(f"no bench JSON line found in {path} and no {FALLBACK}")
 
 
+def check_pipeline(factor):
+    ref = json.load(open(Path(__file__).parent / "pipeline_reference.json"))
+    art_path = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+        Path(__file__).parent.parent / "target" / "pipeline_last.json")
+    if not art_path.exists():
+        raise SystemExit(f"no pipeline artifact at {art_path}; run "
+                         "`Test/runMain graft.drive.CurationPipelineDrive "
+                         f"{ref['dir']}` first")
+    cur = json.load(open(art_path))
+    problems = []
+    if cur.get("dir") != ref["dir"]:
+        problems.append(f"SCALE  artifact ran on {cur.get('dir')!r}, "
+                        f"pin is for {ref['dir']!r}")
+    sec = cur.get("sec_min")
+    if sec is None or sec > factor * ref["sec_min"]:
+        problems.append(f"DRIFT  sec_min {sec}s vs pin {ref['sec_min']}s "
+                        f"(gate {factor}x)")
+    for k, want in ref["shape"].items():
+        got = cur.get(k)
+        if got != want:
+            problems.append(f"SHAPE  {k}={got} vs pinned {want} "
+                            "(exact-match semantics gate)")
+    for p in problems:
+        print(p)
+    if not problems:
+        print(f"pipeline OK: sec_min {sec}s <= {factor}x {ref['sec_min']}s, "
+              f"shape counts exact ({', '.join(f'{k}={v}' for k, v in ref['shape'].items())})")
+    sys.exit(1 if problems else 0)
+
+
 def main():
+    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    if PIPELINE:
+        check_pipeline(factor)
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
-    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
-    ref = json.load(open(REF_PATH))["seconds"]
+    ref_doc = json.load(open(REF_PATH))
+    ref = ref_doc["seconds"]
+    # measure-on-demand pins (e.g. the ~28-min isotropic q_embed_neardup
+    # at sf10) are recorded but never gate a recurring run: skip with an
+    # informational line whether present or absent in the artifact
+    on_demand = ref_doc.get("measure_on_demand", {})
     cur = load_bench(sys.argv[1])
 
     drifted, new = [], []
     for q, t in sorted(cur.items()):
         if q == "_warmup":
+            continue
+        if q in on_demand:
+            print(f"SKIP  {q}: measure-on-demand pin ({on_demand[q]:.1f}s "
+                  "recorded; not gated)")
             continue
         if q not in ref:
             new.append((q, t))
