@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, PolyHash, TokenRunCount}
+import graft.functions.{FloatVecDot, IntVecDot, PolyHash, TokenRunCount}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so pure-SQL users get the
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "float_dot(arrayA, arrayB) takes 2 arguments")
         FloatVecDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntVecDot].getName, "int_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int_dot(arrayA, arrayB) takes 2 arguments")
+        IntVecDot(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),

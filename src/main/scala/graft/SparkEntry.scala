@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Bpe, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, RlQueries, SelectionQueries, SftQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
+import graft.ops.{Bpe, BradleyTerry, ClassifyQueries, ConnectorQueries, CoreQueries, CurationQueries, DedupQueries, MiningQueries, EvalQueries, MultimodalQueries, OlapQueries, RlQueries, SelectionQueries, SftQueries, SimilarityQueries, TemporalQueries, TextQueries, Unigram}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -124,6 +124,10 @@ object SparkEntry {
     "q_line_dedup"      -> TextQueries.qLineDedup,
     "q_shuffle_shards"  -> CoreQueries.qShuffleShards,
     "q_similarity_pq"   -> SimilarityQueries.qSimilarityPq,
+    "q_similarity_sq8"  -> SimilarityQueries.qSimilaritySq8,
+    "q_mmr_select"      -> SimilarityQueries.qMmrSelect,
+    "q_bt_strength"     -> BradleyTerry.qBtStrength,
+    "q_ece_calibration" -> ClassifyQueries.qEceCalibration,
     "q_domain_filter"   -> TextQueries.qDomainFilter,
     "q_compress_ratio"  -> TextQueries.qCompressRatio,
     "q_nb_classify"     -> ClassifyQueries.qNbClassify,
@@ -673,6 +677,10 @@ object SparkEntry {
     "q_embed_neardup" -> SimilarityQueries.neardupOracle,
     "q_similarity_ivf" -> SimilarityQueries.similarityIvfOracle,
     "q_similarity_pq" -> SimilarityQueries.similarityPqOracle,
+    "q_similarity_sq8" -> SimilarityQueries.similaritySq8Oracle,
+    "q_mmr_select" -> SimilarityQueries.mmrSelectOracle,
+    "q_bt_strength" -> BradleyTerry.btStrengthOracle,
+    "q_ece_calibration" -> ClassifyQueries.eceCalibrationOracle,
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,

@@ -313,6 +313,21 @@ trait GraftDedupOps { this: Graft.type =>
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"), col("cos"))
   }
 
+  /** Absmax int8 encoding of a float-vector column (adds `codes`,
+    * array<int> in [−127, 127]) — the 4×-smaller scan representation
+    * for [[sq8Knn]]. */
+  def sq8Encode(df: DataFrame, vec: String, codes: String = "codes"): DataFrame =
+    graft.ops.SimilarityQueries.sq8Encode(df, vec, codes)
+
+  /** Scalar-quantized top-k over int8 codes: exact integer dot
+    * products (no float-determinism caveats), queries broadcast, the
+    * corpus never shuffles. Output: (query_id, neighbor_id, rank,
+    * score). Encode both sides with [[sq8Encode]] first. */
+  def sq8Knn(corpus: DataFrame, id: String, codes: String,
+             queries: DataFrame, queryId: String, queryCodes: String,
+             k: Int = 5): DataFrame =
+    graft.ops.SimilarityQueries.sq8Knn(corpus, id, codes, queries, queryId, queryCodes, k)
+
   /** Contrastive hard-negative mining — the data prep for retrieval /
     * embedding training: for each anchor, the k corpus vectors MOST
     * similar to it whose label DIFFERS (the near-miss impostors a

@@ -14,6 +14,34 @@ import graft.functions.VecMath.float_dot
   * conventions and SparkEntry for the graded fixture bindings. */
 trait GraftSignalOps { this: Graft.type =>
 
+  // ---------- pairwise preference strength ----------
+
+  /** Bradley–Terry strengths from a (winner, loser) match table via
+    * fixed-point MM iterations — every visible number exact integer,
+    * so the fitted model is engine-replayable. Player set must be
+    * bounded (one driver row per player per iteration). Output:
+    * (player, n_matches, n_wins, strength_fx in 2⁻²⁰ units).
+    * See [[graft.ops.BradleyTerry]]. */
+  def btStrength(matches: DataFrame, winner: String, loser: String,
+                 iters: Int = 3): DataFrame =
+    graft.ops.BradleyTerry.fitMatches(matches, winner, loser, iters)
+
+  /** Binned calibration table (Naeini et al. 2015's ECE, binary form)
+    * over an EXACT milli-confidence column (0..1000 integer) and a 0/1
+    * label: per bin (conf div 100, capped at 9) the count, positives,
+    * confidence mass, and the exact gap numerator
+    * |1000·Σy − Σconf_milli|. ECE = Σ gap_num / (1000·N). One bounded
+    * keyed agg with map-side combine. */
+  def calibrationBins(df: DataFrame, confMilli: String, label: String): DataFrame =
+    df.select(col(label).cast("long").as("y"),
+        col(confMilli).cast("long").as("conf_milli"))
+      .withColumn("bin", least(lit(9L), expr("conf_milli div 100")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("conf_milli")).as("conf_milli_sum"))
+      .select(col("bin"), col("n"), col("n_pos"), col("conf_milli_sum"),
+        abs(lit(1000L) * col("n_pos") - col("conf_milli_sum")).as("gap_num"))
+
   // ---------- graph authority ----------
 
   /** Distributed PageRank over an edge list — the domain/page

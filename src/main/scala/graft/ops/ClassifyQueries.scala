@@ -190,6 +190,52 @@ object ClassifyQueries {
     * 20% PROPORTIONAL panel through the broadcast join — both sides
     * grew with the corpus (the round-12 quadratic finding); that
     * corpus-scale shape now runs through [[qKnnClassifyIvf]]. */
+  /** Expected-calibration-error table of a heuristic is-English
+    * scorer (Naeini et al. 2015's binned ECE, binary formulation) —
+    * the reward-model/classifier calibration audit a post-training
+    * pipeline runs before trusting scores as probabilities.
+    *
+    * Confidence = predicted P(en) from the stopword-hit ratio, kept
+    * EXACT: conf_milli = (1000·stop_hits) div n_tokens ∈ [0, 1000].
+    * Outcome y = 1 iff lang = 'en' (NULL labels 0, the
+    * [[LogReg.qLrClassifyFixed]] convention). Ten fixed-width bins on
+    * conf_milli; each bin's calibration-gap numerator
+    * |1000·Σy − Σconf_milli| is exact BIGINT arithmetic — ECE itself
+    * is Σ_b gap_num_b / (1000·N), left to the consumer so the gate
+    * row stays integer-exact.
+    *
+    * 100 TB shape: one shuffle-free codegen'd projection plus one
+    * 10-key aggregation with map-side combine. */
+  def qEceCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val scored = Tables.documents(spark, dir)
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        (size(filter(transform(toks, t => lower(t)),
+          t => t.isin(TextQueries.StopwordsEn: _*))).cast("long") * 1000L)
+          .as("stop_milli"),
+        greatest(size(toks).cast("long"), lit(1L)).as("n_toks"))
+      .withColumn("conf_milli", expr("stop_milli div n_toks"))
+    graft.api.Graft.calibrationBins(scored, "conf_milli", "y")
+  }
+
+  val eceCalibrationOracle: String =
+    """WITH scored AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+      |    (1000 * len(list_filter(list_transform(
+      |       list_filter(string_split(text, ' '), w -> w <> ''), w -> lower(w)),
+      |       w -> w IN ('the','a','an','and','of','to','in','is','on','for'))))::BIGINT
+      |      // greatest(len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT, 1)
+      |      AS conf_milli
+      |  FROM documents
+      |), binned AS (
+      |  SELECT least(9, conf_milli // 100) AS bin, y, conf_milli FROM scored
+      |)
+      |SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+      |  sum(conf_milli)::BIGINT AS conf_milli_sum,
+      |  abs(1000 * sum(y) - sum(conf_milli))::BIGINT AS gap_num
+      |FROM binned GROUP BY bin""".stripMargin
+
   def qKnnClassify(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     graft.api.Graft.knnClassify(

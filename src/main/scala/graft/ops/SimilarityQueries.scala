@@ -300,4 +300,231 @@ object SimilarityQueries {
        |    row_number() OVER (ORDER BY sum(mq) DESC, doc ASC)::BIGINT AS rank
        |  FROM m GROUP BY doc)
        |WHERE rank <= 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  // int8 scalar-quantized top-k (the SQ flavor of faiss/IVF-SQ8)
+  // ---------------------------------------------------------------
+
+  /** Brute-force top-K over INT8 scalar-quantized codes — the
+    * memory-bandwidth flavor of ANN: each vector is encoded once as
+    * 64 signed bytes (per-vector absmax scaling, q_i = ⌊x_i/amax·127
+    * + ½⌋), and the scan scores candidates with an exact INTEGER dot
+    * product over the codes — 4× less data moved than float32 and
+    * SIMD-friendly on a real cluster, with ranking quality within the
+    * quantization error. The integer scores make the whole ranking
+    * engine-exact (no float-sum determinism caveats at all), so the
+    * approximate operator itself sits under the full hash oracle.
+    *
+    * Same 100 TB shape as [[qSimilarityKnn]]: queries broadcast, the
+    * corpus never shuffles, per-query top-k is a
+    * WindowGroupLimit-bounded rank filter. Encoding is a shuffle-free
+    * projection (amax materialized as its own column first — HOF
+    * lambdas must reference attributes, not recompute subtrees). */
+  def qSimilaritySq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val coded = sq8Encode(emb.select(col("vec_id"), col("embedding")),
+      "embedding", "codes").select(col("vec_id"), col("codes"))
+    sq8Knn(coded, "vec_id", "codes",
+      coded.filter(col("vec_id") < NQueries), "vec_id", "codes", K)
+  }
+
+  /** Absmax int8 encoder: adds `codes` (array<int> in [−127, 127])
+    * next to the float vector. A shuffle-free projection; `amax` is
+    * materialized as its own column first because HOF lambdas must
+    * reference attributes, not recompute subtrees (15× trap). */
+  private[graft] def sq8Encode(df: DataFrame, vec: String, codes: String): DataFrame =
+    df.withColumn("__amax", aggregate(col(vec), lit(0.0),
+        (a, x) => greatest(a, abs(x.cast("double")))))
+      .withColumn(codes, when(col("__amax") === 0.0,
+          transform(col(vec), _ => lit(0)))
+        .otherwise(transform(col(vec),
+          x => floor(x.cast("double") / col("__amax") * 127.0 + 0.5).cast("int"))))
+      .drop("__amax")
+
+  /** Top-k over code vectors by QUANTIZED COSINE: three exact integer
+    * dots (pair, and each side with itself) finished with IEEE
+    * sqrt/divide — the per-vector absmax scale cancels in the cosine,
+    * so ranking tracks the float kernel to quantization error (raw
+    * int-dot ranking would be biased by each candidate's own scale).
+    * The ints are ≤ 64·127² so their double images are exact; norms
+    * are hoisted per side (O(n), not O(pairs)). Queries broadcast, the
+    * corpus never shuffles, per-query top-k WindowGroupLimit-bounded.
+    * Output: (query_id, neighbor_id, rank, cos_q). */
+  private[graft] def sq8Knn(corpus: DataFrame, id: String, codes: String,
+      queries: DataFrame, queryId: String, queryCodes: String, k: Int): DataFrame = {
+    import graft.functions.VecMath.int_dot
+    val c = corpus.select(col(id).as("neighbor_id"), col(codes).as("__c"))
+      .withColumn("__nrm", sqrt(int_dot(col("__c"), col("__c"))))
+    val q = queries.select(col(queryId).as("query_id"), col(queryCodes).as("__qc"))
+      .withColumn("__qnrm", sqrt(int_dot(col("__qc"), col("__qc"))))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(int_dot(col("__qc"), col("__c")) / col("__qnrm") / col("__nrm"), 12)
+          .as("cos_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), col("cos_q"))
+  }
+
+  /** SQL replay of [[qSimilaritySq8]] — the quantizer (absmax +
+    * ⌊·127 + ½⌋, both single-IEEE-op deterministic) and the integer
+    * dot are exact in both engines. */
+  val similaritySq8Oracle: String =
+    s"""WITH coded AS (
+       |  SELECT vec_id,
+       |    CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0)
+       |         ELSE list_transform(embedding,
+       |                x -> floor(x::DOUBLE / amax * 127.0 + 0.5)::INTEGER)
+       |    END AS codes
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+       |        FROM embeddings)
+       |), normed AS (
+       |  SELECT vec_id, codes,
+       |    sqrt(list_sum(list_transform(codes, x -> x::BIGINT * x::BIGINT))::DOUBLE) AS nrm
+       |  FROM coded
+       |), q AS (
+       |  SELECT vec_id AS query_id, codes AS qc, nrm AS qnrm
+       |  FROM normed WHERE vec_id < $NQueries
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |        i -> qc[i]::BIGINT * c.codes[i]::BIGINT))::DOUBLE
+       |      / qnrm / c.nrm, 12) AS cos_q
+       |  FROM normed c, q WHERE c.vec_id <> q.query_id
+       |)
+       |SELECT query_id, neighbor_id, rank, cos_q FROM (
+       |  SELECT query_id, neighbor_id, cos_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_q DESC, neighbor_id ASC)::BIGINT AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+
+  // ---------------------------------------------------------------
+  // MMR diverse selection (Carbonell & Goldstein 1998)
+  // ---------------------------------------------------------------
+
+  private val MmrK = 10          // selections
+  private val MmrShortlist = 40  // relevance shortlist fed to the greedy
+  private val MmrLambda = 0.7
+
+  /** Maximal-Marginal-Relevance diverse top-k: greedily pick the
+    * candidate maximizing λ·rel(c) − (1−λ)·max_{s∈selected} cos(c,s) —
+    * the diversity-aware sampler a curation pipeline uses to seed
+    * few-shot/eval sets without near-duplicate picks.
+    *
+    * Scale split: RELEVANCE SHORTLIST is the distributed heavy part —
+    * a TakeOrderedAndProject top-[[MmrShortlist]] over the corpus on
+    * (round(cos, 12) desc, id asc), the [[qSimilarityKnn]] kernel (or
+    * the IVF path at larger k). The greedy loop then runs on the
+    * driver over the BOUNDED shortlist (O(k·|shortlist|) cosines on
+    * ≤ 40 rows — the [[Ivf]] centroid-table pattern), so the
+    * iteration count never touches the corpus.
+    *
+    * Determinism: rel and each pairwise penalty round to 12 dp before
+    * comparison; the combined score is two IEEE mults + a subtract on
+    * identical doubles, re-rounded to 12; ties break on id. Step 1's
+    * score is the bare relevance (empty selected set). */
+  def qMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    spark.createDataFrame(mmrGreedy(
+        emb.filter(col("vec_id") > 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0), "embedding", MmrK))
+      .toDF("step", "vec_id", "score")
+  }
+
+  /** The shortlist + greedy loop of [[qMmrSelect]], parameterized over
+    * the caller's corpus and a one-row query frame; returns
+    * (step, picked id, combined score). */
+  private[graft] def mmrGreedy(corpus: DataFrame, id: String, vec: String,
+      query: DataFrame, queryVec: String, k: Int,
+      lambda: Double = MmrLambda,
+      shortlistN: Int = MmrShortlist): Seq[(Long, Long, Double)] = {
+    val q = query.select(col(queryVec).as("qv")).limit(1)
+    val short = corpus
+      .select(col(id).cast("long").as("__id"), col(vec).as("__v"))
+      .crossJoin(broadcast(q))
+      .select(col("__id"), col("__v"),
+        round(cosine(col("qv"), col("__v")), 12).as("rel"))
+      .orderBy(col("rel").desc, col("__id").asc)
+      .limit(shortlistN)
+      .collect() // bounded: shortlistN rows
+    def r12(x: Double): Double =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var (ab, aa, bb) = (0.0, 0.0, 0.0); var i = 0
+      while (i < a.length) {
+        ab += a(i).toDouble * b(i).toDouble
+        aa += a(i).toDouble * a(i).toDouble
+        bb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      ab / math.sqrt(aa) / math.sqrt(bb)
+    }
+    var remaining = short.map { r =>
+      // penalty starts at −1 (≤ any cosine), so the first fold takes
+      // the raw pick-cosine even when negative — mirrors the oracle's
+      // greatest(−1.0, cos) stage-1 form
+      (r.getLong(0), r.getSeq[Float](1), r.getDouble(2), -1.0)
+    }.toVector // (id, vec, rel, penalty)
+    val picks = Vector.newBuilder[(Long, Long, Double)]
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel, pen) =>
+        val s = if (step == 1) rel
+        else r12(lambda * rel - (1.0 - lambda) * pen)
+        (id, v, rel, pen, s)
+      }
+      val best = scored.minBy { case (id, _, _, _, s) => (-s, id) }
+      picks += ((step.toLong, best._1, best._5))
+      remaining = remaining.collect {
+        case (id, v, rel, pen) if id != best._1 =>
+          (id, v, rel, math.max(pen, r12(cosLocal(v, best._2))))
+      }
+      step += 1
+    }
+    picks.result()
+  }
+
+  /** DuckDB replay of [[qMmrSelect]]: the shortlist then the greedy
+    * unrolled as [[MmrK]] CTE stages — stage k's candidate table
+    * carries each remaining row's running max-cosine penalty. */
+  val mmrSelectOracle: String = {
+    def cosSql(a: String, b: String): String =
+      s"""round(
+         |      list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+         |      / sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+         |      / sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))),
+         |      12)""".stripMargin
+    // stage k ≥ 1: sel_k picks from c_k; c_{k+1} drops the pick and
+    // folds its cosine into the running penalty
+    def stage(k: Int): String = {
+      val (cIn, sel, cOut) = (s"c$k", s"sel$k", s"c${k + 1}")
+      val score =
+        if (k == 1) "rel"
+        else s"round($MmrLambda * rel - ${1.0 - MmrLambda} * pen, 12)"
+      s"""$sel AS (
+         |  SELECT id, v, $score AS score FROM $cIn
+         |  ORDER BY score DESC, id ASC LIMIT 1
+         |), $cOut AS (
+         |  SELECT c.id, c.v, c.rel,
+         |    greatest(${if (k == 1) "-1.0::DOUBLE" else "c.pen"},
+         |      ${cosSql("c.v", "s.v")}) AS pen
+         |  FROM $cIn c, $sel s WHERE c.id <> s.id
+         |)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |c1 AS (
+       |  SELECT e.vec_id AS id, e.embedding AS v,
+       |    ${cosSql("q.qv", "e.embedding")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id > 0
+       |  ORDER BY rel DESC, id ASC LIMIT $MmrShortlist
+       |), ${(1 to MmrK).map(stage).mkString(", ")}
+       |${(1 to MmrK).map(k =>
+          s"SELECT ${k}::BIGINT AS step, id AS vec_id, score FROM sel$k")
+         .mkString("\n", "\nUNION ALL\n", "")}""".stripMargin
+  }
 }

@@ -31,6 +31,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT float_dot(array(cast(1.0 as float)))").collect())
       assert(err.getMessage.toLowerCase.contains("float_dot"))
 
+      // int_dot: exact long accumulation over int codes
+      val di = spark.sql(
+        "SELECT int_dot(array(127, -127, 3), array(127, 127, 2)) AS d")
+        .collect().head.getLong(0)
+      assert(di === 127L * 127 - 127L * 127 + 6)
+
       // poly_hash: SQL surface == the kernel the Scala operators use
       for (s <- Seq("", "a", "table hash", "The quick brown fox! 123")) {
         val viaSql = spark.sql(s"SELECT poly_hash('${s.replace("'", "''")}')")
