@@ -98,6 +98,7 @@ object SparkEntry {
       graft.ops.Tables.documents(s, dir), "doc_id", "text")),
     "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
     "q_streaming_sessionize" -> ConnectorQueries.qStreamingSessionize,
+    "q_streaming_kmv"   -> ConnectorQueries.qStreamingKmv,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_mmr_select"      -> SimilarityQueries.qMmrSelect,
     "q_bt_strength"     -> BradleyTerry.qBtStrength,
     "q_ece_calibration" -> ClassifyQueries.qEceCalibration,
+    "q_heavy_hitters_cms" -> MiningQueries.qHeavyHittersCms,
     "q_domain_filter"   -> TextQueries.qDomainFilter,
     "q_compress_ratio"  -> TextQueries.qCompressRatio,
     "q_nb_classify"     -> ClassifyQueries.qNbClassify,
@@ -663,6 +665,9 @@ object SparkEntry {
 
     "q_dis_roundtrip" -> ConnectorQueries.oracle,
     "q_streaming_sessionize" -> ConnectorQueries.streamingSessionizeOracle,
+    // bit-identical to the batch sketch by the associative merge —
+    // shares q_distinct_kmv's oracle verbatim
+    "q_streaming_kmv" -> CoreQueries.distinctKmvOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->
@@ -681,6 +686,7 @@ object SparkEntry {
     "q_mmr_select" -> SimilarityQueries.mmrSelectOracle,
     "q_bt_strength" -> BradleyTerry.btStrengthOracle,
     "q_ece_calibration" -> ClassifyQueries.eceCalibrationOracle,
+    "q_heavy_hitters_cms" -> MiningQueries.heavyHittersCmsOracle,
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,

@@ -222,19 +222,29 @@ trait GraftSelectionOps { this: Graft.type =>
       vt.isInstanceOf[IntegerType] || vt.isInstanceOf[LongType],
       s"kmvDistinct value column '$value' must be integral (byte/short/int/long), " +
         s"got ${vt.simpleString}; hash strings to a long first (e.g. poly_hash)")
-    val h = pmod(pmod(col(value).cast("long"), lit(2147483648L)) * lit(1103515245L)
-      + lit(12345L), lit(2147483648L))
     df.filter(col(value).isNotNull)
-      .select(col(key), h.as("__h"))
+      .select(col(key), kmvHash(col(value)).as("__h"))
       .groupBy(col(key))
       .agg(graft.functions.KmvMinHashes.kmv_min_hashes(col("__h"), k).as("__mins"))
-      .select(col(key),
-        when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
-          .otherwise(floor(
-            (lit((k - 1).toDouble) * lit(2147483648.0)
-              / (element_at(col("__mins"), k).cast("double") + lit(0.5))) * 1e4 + 0.5) / 1e4)
-          .as("n_distinct_kmv"))
+      .select(col(key), kmvEstimate(col("__mins"), k).as("n_distinct_kmv"))
   }
+
+  /** The KMV sketch's 31-bit LCG hash of an integral column — shared
+    * by the batch and streaming bindings so their estimates are
+    * bit-identical. */
+  private[graft] def kmvHash(value: Column): Column =
+    pmod(pmod(value.cast("long"), lit(2147483648L)) * lit(1103515245L)
+      + lit(12345L), lit(2147483648L))
+
+  /** The KMV estimate from a ≤k min-hash set: exact count below k
+    * (the sketch is complete there), else (k−1)·M/(h_k+½) rounded to
+    * 4 dp with the floor(x·10⁴+½) form both engines compute
+    * identically. */
+  private[graft] def kmvEstimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(floor(
+        (lit((k - 1).toDouble) * lit(2147483648.0)
+          / (element_at(mins, k).cast("double") + lit(0.5))) * 1e4 + 0.5) / 1e4)
 
   /** Base-31 polynomial extension of `acc` over the UTF-16 units of
     * `s`, mod 2³¹ — plain integer arithmetic, no engine-native hash,

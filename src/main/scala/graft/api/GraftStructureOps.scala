@@ -573,6 +573,56 @@ trait GraftStructureOps { this: Graft.type =>
       .select(col("word"), col("cnt"))
   }
 
+  /** Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    * the sketch flavor next to [[heavyHitters]]'s exact Misra–Gries
+    * path: token counts are approximated by a depth×width counter
+    * grid (est = min over depth rows, one-sided ≥-exact error), and
+    * every candidate whose ESTIMATE clears the relative threshold is
+    * returned as (word, est). The whole pipeline is exact integer
+    * arithmetic over the engine-replicable 31-bit poly hash + LCG row
+    * hashes, so the sketch — error and all — replays in ANSI SQL.
+    *
+    * Scale shape: the sketch build is ONE aggregation whose key space
+    * is depth·width (bounded; map-side combine collapses the token
+    * stream before the shuffle). Candidate estimation broadcast-joins
+    * the 4096-cell sketch to the distinct-token table. The threshold
+    * is relative (est·denom ≥ N) so the operator is corpus-size-free. */
+  def cmsHeavyHitters(df: DataFrame, text: String,
+                      width: Int = 1024, depth: Int = 4,
+                      denom: Long = 100L): DataFrame = {
+    require(depth >= 1 && depth <= CmsA.length, s"depth must be 1..${CmsA.length}")
+    require(width >= 2, "width must be >= 2")
+    import graft.functions.VecMath.poly_hash
+    val toks = df.select(explode(tokens(coalesce(col(text), lit("")))).as("w"))
+      .select(col("w"), poly_hash(col("w")).as("__h"))
+    // (row, bucket) pairs of every token instance: h ≤ 2³¹ and A < 2³¹
+    // keep h·A < 2⁶², exact in int64
+    def buckets(h: Column): Column = array((0 until depth).map(i =>
+      struct(lit(i).as("i"),
+        pmod(pmod(h * lit(CmsA(i)) + lit(CmsB(i)), lit(2147483648L)), lit(width.toLong))
+          .as("b"))): _*)
+    val sketch = toks
+      .select(explode(buckets(col("__h"))).as("ib"))
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    val est = toks.select(col("w"), col("__h")).distinct()
+      .select(col("w"), explode(buckets(col("__h"))).as("ib"))
+      .join(broadcast(sketch),
+        col("ib.i") === col("i") && col("ib.b") === col("b"))
+      .groupBy(col("w").as("word"))
+      .agg(min(col("c")).as("est"))
+    est.crossJoin(broadcast(total))
+      .filter(col("est") * lit(denom) >= col("n"))
+      .select(col("word"), col("est"))
+  }
+
+  /** Distinct odd multipliers/offsets of the CMS row-hash family
+    * h_i(x) = ((x·A_i + B_i) mod 2³¹) mod width — classic public LCG
+    * constants, all < 2³¹ so products stay exact in int64. */
+  private val CmsA = Array(1103515245L, 214013L, 69069L, 1664525L)
+  private val CmsB = Array(12345L, 2531011L, 1L, 1013904223L)
+
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * k-char gram ([[polyHash]] arithmetic, O(len) rolling update),
     * slide a window of w gram-hashes, keep each window's minimum, and

@@ -103,9 +103,11 @@ object ConnectorQueries {
     * (Spark merges [a,a+g) ∪ [b,b+g) iff b < a+g); session_end =
     * last ts + 30 min. State scale: O(open sessions) — watermark
     * eviction, the same shape at any corpus size. */
-  def qStreamingSessionize(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.StreamingQueries
-    val root = writtenRoots.synchronized {
+  /** Writes (once per app+dir) the ts-ordered single-partition events
+    * stream with the flush sentinel — shared by every streaming gate
+    * binding. */
+  private def ensureSessionsStream(spark: SparkSession, dir: String): java.nio.file.Path =
+    writtenRoots.synchronized {
       writtenRoots.getOrElseUpdate((spark.sparkContext.applicationId, s"$dir#sessions"), {
         val r = Files.createTempDirectory("dis-sessions-")
         rootsToClean.add(r)
@@ -131,6 +133,10 @@ object ConnectorQueries {
         r
       })
     }
+
+  def qStreamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries
+    val root = ensureSessionsStream(spark, dir)
     val events = StreamingQueries.readEvents(spark, root.toString, "sessions",
       Map("maxRecordsPerTrigger" -> "50000"))
     val sessions = events
@@ -156,6 +162,46 @@ object ConnectorQueries {
   }
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The KMV cardinality sketch running INSIDE Structured Streaming —
+    * the same k-bounded [[graft.functions.KmvMinHashes]]
+    * TypedImperativeAggregate as the batch q_distinct_kmv, planned as
+    * a streaming stateful aggregation (complete mode: the sketch
+    * buffer lives in the state store and merges per micro-batch).
+    * Because the sketch's state is a pure function of the SET of
+    * values seen — order- and batching-independent by the associative
+    * union-then-trim merge — the streamed estimate is bit-identical
+    * to the batch one, and the gate row shares q_distinct_kmv's
+    * DuckDB oracle verbatim. The flush sentinel row (event_type
+    * 'flush') is filtered before sketching.
+    *
+    * 100 TB/continuous shape: state per group is O(k), group count is
+    * the key cardinality — the streaming-native form of approximate
+    * COUNT(DISTINCT) dashboards run over an infinite feed. */
+  def qStreamingKmv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries
+    val root = ensureSessionsStream(spark, dir)
+    val events = StreamingQueries.readEvents(spark, root.toString, "sessions",
+      Map("maxRecordsPerTrigger" -> "50000"))
+    val est = events
+      .filter(col("event_type") =!= "flush" && col("user_id").isNotNull)
+      .select(col("event_type"),
+        graft.api.Graft.kmvHash(col("user_id")).as("__h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvMinHashes.kmv_min_hashes(col("__h"), 64).as("__mins"))
+      .select(col("event_type"),
+        graft.api.Graft.kmvEstimate(col("__mins"), 64).as("n_distinct_kmv"))
+    val name = s"stream_kmv_${sinkSeq.incrementAndGet()}"
+    val q = est.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ck-$name-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    spark.table(name)
+  }
 
   /** Plain-SQL replay of gap-30-min sessionization: island detection
     * via a strict-gap lag flag + running sum. */

@@ -36,6 +36,43 @@ object MiningQueries {
        |FROM t, tot GROUP BY w, tot.n
        |HAVING count(*) >= greatest($HhMin, tot.n // $HhK + 1)""".stripMargin
 
+  /** CMS heavy hitters over the same token domain as
+    * [[qHeavyHitters]] — the sketch itself (4×1024 LCG-hashed counter
+    * grid, est = min over rows) is what the oracle replays, so the
+    * one-sided estimation error is gate-checked, not just the final
+    * set. Threshold: est ≥ 1% of the token count. */
+  def qHeavyHittersCms(spark: SparkSession, dir: String): DataFrame =
+    Graft.cmsHeavyHitters(
+      Tables.documents(spark, dir).select(col("text")), "text",
+      width = 1024, depth = 4, denom = 100L)
+
+  val heavyHittersCmsOracle: String = {
+    val as = Seq(1103515245L, 214013L, 69069L, 1664525L)
+    val bs = Seq(12345L, 2531011L, 1L, 1013904223L)
+    val rows = (0 until 4).map(i =>
+      s"SELECT w, h, $i AS i, ((h * ${as(i)} + ${bs(i)}) % 2147483648) % 1024 AS b FROM h")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+       |  FROM documents
+       |), h AS (
+       |  SELECT w, list_reduce(
+       |      list_prepend(0::BIGINT, list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+       |      (acc, c) -> (acc * 31 + c) % 2147483648) AS h
+       |  FROM t
+       |), ib AS (
+       |$rows
+       |), sketch AS (
+       |  SELECT i, b, count(*)::BIGINT AS c FROM ib GROUP BY i, b
+       |), tot AS (SELECT count(*)::BIGINT AS n FROM t),
+       |cand AS (SELECT DISTINCT w, i, b FROM ib),
+       |est AS (
+       |  SELECT cand.w AS word, min(sketch.c)::BIGINT AS est
+       |  FROM cand JOIN sketch USING (i, b) GROUP BY cand.w
+       |)
+       |SELECT word, est FROM est, tot WHERE est * 100 >= n""".stripMargin
+  }
+
   /** Gini coefficient of the word-frequency distribution — the
     * concentration diagnostic next to [[qZipf]]'s power-law slope
     * (Gini → 1 as a few tokens dominate the corpus). Over SORTED
