@@ -126,6 +126,7 @@ object SparkEntry {
     "q_shuffle_shards"  -> CoreQueries.qShuffleShards,
     "q_similarity_pq"   -> SimilarityQueries.qSimilarityPq,
     "q_similarity_sq8"  -> SimilarityQueries.qSimilaritySq8,
+    "q_ann_recall"      -> SimilarityQueries.qAnnRecall,
     "q_mmr_select"      -> SimilarityQueries.qMmrSelect,
     "q_bt_strength"     -> BradleyTerry.qBtStrength,
     "q_ece_calibration" -> ClassifyQueries.qEceCalibration,
@@ -683,6 +684,7 @@ object SparkEntry {
     "q_similarity_ivf" -> SimilarityQueries.similarityIvfOracle,
     "q_similarity_pq" -> SimilarityQueries.similarityPqOracle,
     "q_similarity_sq8" -> SimilarityQueries.similaritySq8Oracle,
+    "q_ann_recall" -> SimilarityQueries.annRecallOracle,
     "q_mmr_select" -> SimilarityQueries.mmrSelectOracle,
     "q_bt_strength" -> BradleyTerry.btStrengthOracle,
     "q_ece_calibration" -> ClassifyQueries.eceCalibrationOracle,

@@ -84,17 +84,17 @@ object BradleyTerry {
     var last: Array[(String, Long, Long, Long)] = Array.empty
     var it = 0
     while (it < iters) {
-      val sDf = spark.createDataFrame(
-        // every player present in matches; first iteration seeds FxOne
-        (if (s.isEmpty)
-          ms.select(col("w_src").as("p")).union(ms.select(col("l_src")))
-            .distinct().collect().map(r => (r.getString(0), FxOne)).toSeq
-        else s.toSeq)
-      ).toDF("p", "s")
-      val withS = ms
-        .join(broadcast(sDf.withColumnRenamed("p", "w_src").withColumnRenamed("s", "sw")), "w_src")
-        .join(broadcast(sDf.withColumnRenamed("p", "l_src").withColumnRenamed("s", "sl")), "l_src")
-        .withColumn("d", expr(s"$FxNum div (sw + sl)"))
+      // first iteration: strengths are uniformly FxOne, so the MM term
+      // is the constant 2⁴⁰ div 2²¹ — no strength joins, no seed scan
+      // (the oracle's s0 joins produce the same constant)
+      val withS =
+        if (s.isEmpty) ms.withColumn("d", lit(FxNum / (2 * FxOne)))
+        else {
+          val sDf = spark.createDataFrame(s.toSeq).toDF("p", "s")
+          ms.join(broadcast(sDf.withColumnRenamed("p", "w_src").withColumnRenamed("s", "sw")), "w_src")
+            .join(broadcast(sDf.withColumnRenamed("p", "l_src").withColumnRenamed("s", "sl")), "l_src")
+            .withColumn("d", expr(s"$FxNum div (sw + sl)"))
+        }
       val perPlayer = withS.select(col("w_src").as("p"), col("d"), lit(1L).as("win"))
         .union(withS.select(col("l_src").as("p"), col("d"), lit(0L).as("win")))
         .groupBy(col("p"))

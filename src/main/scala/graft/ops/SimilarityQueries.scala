@@ -403,6 +403,43 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rank <= $K""".stripMargin
 
+  /** Recall@K of the int8-quantized index against the exact float
+    * kernel — the index-quality gate a pipeline runs before swapping
+    * an ANN index into production. Per query: |sq8 top-K ∩ exact
+    * top-K| / K. Composes the two gate operators unchanged; the
+    * division by K is one IEEE op on a small exact integer, so the
+    * recall is bit-stable. Scale: two broadcast-query scans + a
+    * K·|queries|-row join — the corpus still never shuffles. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = qSimilarityKnn(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val sq = qSimilaritySq8(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(sq, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / K).as("recall"))
+  }
+
+  /** The two gate oracles composed verbatim (nested WITH), then the
+    * same semi-join + per-query ratio. */
+  val annRecallOracle: String =
+    s"""WITH exact AS ($knnOracle),
+       |sq AS ($similaritySq8Oracle),
+       |hits AS (
+       |  SELECT e.query_id, count(*)::BIGINT AS hits
+       |  FROM exact e
+       |  WHERE EXISTS (SELECT 1 FROM sq s
+       |                WHERE s.query_id = e.query_id
+       |                  AND s.neighbor_id = e.neighbor_id)
+       |  GROUP BY e.query_id
+       |)
+       |SELECT q.query_id, coalesce(hits, 0)::BIGINT AS hits,
+       |  coalesce(hits, 0)::DOUBLE / $K AS recall
+       |FROM (SELECT DISTINCT query_id FROM exact) q
+       |LEFT JOIN hits USING (query_id)""".stripMargin
+
   // ---------------------------------------------------------------
   // MMR diverse selection (Carbonell & Goldstein 1998)
   // ---------------------------------------------------------------
