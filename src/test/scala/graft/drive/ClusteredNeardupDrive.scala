@@ -13,37 +13,50 @@ import graft.api.Graft
   * candidate floor there).
   *
   * Corpus: 200k 64-d vectors (the sf10 embedding count) in 500 planted
-  * clusters of 400 — unit Gaussian centers (cross-cluster cos
-  * concentrates near 0 ± 1/8, far under any useful τ) with σ=0.08
-  * per-coordinate noise (within-cluster cos ≈ 0.71 ± tail, so τ=0.85
-  * keeps a sparse real-duplicate subset). Deterministic: every vector
-  * is a pure function of (seed, cluster, row) via per-row seeded RNGs,
-  * so reruns measure the same problem.
+  * clusters of `members` — unit Gaussian centers (cross-cluster cos
+  * concentrates near 0 ± 1/8, far under any useful τ) with
+  * σ-per-coordinate noise. Deterministic: every vector is a pure
+  * function of (seed, cluster, row) via per-row seeded RNGs, so reruns
+  * measure the same problem.
+  *
+  * THE MARGIN ARITHMETIC PICKS THE REGIME (measured round 15, both
+  * points recorded in BASELINE.md): the completeness rule probes every
+  * cell within θ_top1 + 2·acos(τ) of a vector, where θ_top1 ≈ the
+  * member-to-center angle ≈ atan(σ·√dim).
+  *  - Defaults τ=0.95, σ=0.05: margin ≈ 22° + 36° = 58° ⇒ cells with
+  *    cos > 0.53 — at dim 64 a measure-~10⁻⁵ cap of the random
+  *    centroid sphere, so probing is effectively within-cell and the
+  *    drill completes in minutes. This is the DESIGNED pruned regime
+  *    (GraftApiSpec's production-cut geometry) and the recurring pin.
+  *  - The round-14 parameters τ=0.85, σ=0.08 put the margin at
+  *    ≈ 33° + 64° = 97° — over HALF the centroid sphere, i.e. the
+  *    radius rule provably cannot prune (measured 1235 s vs the
+  *    isotropic floor's 1656 s); kept measure-on-demand as the
+  *    wide-margin stress point, not a pin.
   *
   * Evidence carried:
   *  - TIMING: min-of-3 of the production path (trained spherical
-  *    k-means index, radius-complete probing) — the ×100-scale number
-  *    for the regime the radius rule prunes. The auto √n ≈ 447 cells
-  *    track the 500 natural clusters, so probe sets stay near 1 cell
-  *    per vector and candidates stay within-cell: ~n²/nlist, ~500×
-  *    under the isotropic all-pairs floor.
+  *    k-means index, radius-complete probing) at the chosen
+  *    (τ, σ) operating point.
   *  - CORRECTNESS at scale: each cluster's first member is planted
   *    TWICE (exact copy, ids c*400 and c*400+1) — all 500 exact pairs
   *    must be recalled (completeness holds at any radius), and every
   *    reported pair must be within-cluster (cross-cluster cos cannot
   *    reach τ — a planted-precision check).
   *
-  * Emits `target/neardup_clustered_sf10.json` with
-  * {sec_min, pairs, planted_recall} and exits nonzero on a failed
-  * planted check. */
+  * Emits the JSON artifact (default
+  * `target/neardup_clustered_sf10.json`; args: n clusters tau sigma
+  * outPath) with {sec_min, pairs, planted_recall} and exits nonzero
+  * on a failed planted check. */
 object ClusteredNeardupDrive {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 200000
     val clusters = if (args.length > 1) args(1).toInt else 500
-    val tau = if (args.length > 2) args(2).toDouble else 0.85
+    val tau = if (args.length > 2) args(2).toDouble else 0.95
+    val sigma = if (args.length > 3) args(3).toFloat else 0.05f
+    val outPath = if (args.length > 4) args(4) else "target/neardup_clustered_sf10.json"
     val dim = 64
     val members = n / clusters
-    val sigma = 0.08f
 
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -93,13 +106,13 @@ object ClusteredNeardupDrive {
     val ok = recalled == clusters && crossCluster == 0
 
     val json = s"""{"drive":"neardup_clustered","n":$n,"clusters":$clusters,""" +
-      s""""tau":$tau,"sec_min":$secMin,"sec_all":[${runs.map(_._1).mkString(",")}],""" +
+      s""""tau":$tau,"sigma":$sigma,"sec_min":$secMin,"sec_all":[${runs.map(_._1).mkString(",")}],""" +
       s""""pairs":$pairs,"planted_recall":"$recalled/$clusters",""" +
       s""""cross_cluster_pairs":$crossCluster}"""
     println(json)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/neardup_clustered_sf10.json"), json)
+      java.nio.file.Paths.get(outPath), json)
     spark.stop()
     if (!ok) sys.exit(1)
   }
