@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, IntVecDot, PolyHash, TokenRunCount}
+import graft.functions.{FloatVecDot, IntVecDot, PolyFold, PolyHash, TokenRunCount}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so pure-SQL users get the
@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "poly_hash(text) takes 1 argument")
         PolyHash(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_fold"),
+      new ExpressionInfo(classOf[PolyFold].getName, "poly_fold"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "poly_fold(text) takes 1 argument")
+        PolyFold(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("token_run_count"),

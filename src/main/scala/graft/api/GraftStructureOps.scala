@@ -591,35 +591,43 @@ trait GraftStructureOps { this: Graft.type =>
                       width: Int = 1024, depth: Int = 4,
                       denom: Long = 100L): DataFrame = {
     require(depth >= 1 && depth <= CmsA.length, s"depth must be 1..${CmsA.length}")
-    require(width >= 2, "width must be >= 2")
-    import graft.functions.VecMath.poly_hash
-    val toks = df.select(explode(tokens(coalesce(col(text), lit("")))).as("w"))
-      .select(col("w"), poly_hash(col("w")).as("__h"))
-    // (row, bucket) pairs of every token instance: h ≤ 2³¹ and A < 2³¹
-    // keep h·A < 2⁶², exact in int64
+    require(width == 1024, "width is fixed at 1024: the bucket extraction " +
+      "takes the TOP 10 bits of the 31-bit row hash (see CmsA)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def polyFold(c: Column): Column = ColumnBridge.column(
+      graft.functions.PolyFold(ColumnBridge.expression(c)))
+    // word counts FIRST: the token stream collapses in one map-side-
+    // combinable keyed agg, and everything after (hashing, sketch,
+    // estimate) is vocabulary-sized, never corpus-sized
+    val wc = df.select(explode(tokens(coalesce(col(text), lit("")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__h", polyFold(col("w")))
+    // row-i bucket = TOP 10 bits of (h·A_i + B_i) mod 2³¹: the top
+    // bits genuinely mix per multiplier, where low-bit extraction
+    // would make every row the same function of h mod width (the
+    // classic LCG low-bit trap — all depth rows collapse to one;
+    // caught in round 15). h < 2³¹ and A < 2³¹ keep h·A < 2⁶²,
+    // exact in int64.
     def buckets(h: Column): Column = array((0 until depth).map(i =>
       struct(lit(i).as("i"),
-        pmod(pmod(h * lit(CmsA(i)) + lit(CmsB(i)), lit(2147483648L)), lit(width.toLong))
+        expr(s"pmod(__h * ${CmsA(i)}L + ${CmsB(i)}L, 2147483648L) div 2097152L")
           .as("b"))): _*)
-    val sketch = toks
-      .select(explode(buckets(col("__h"))).as("ib"))
-      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n"))
-    val est = toks.select(col("w"), col("__h")).distinct()
-      .select(col("w"), explode(buckets(col("__h"))).as("ib"))
-      .join(broadcast(sketch),
+    val ib = wc.select(col("w"), col("cnt"), explode(buckets(col("__h"))).as("ib"))
+    val sketch = ib.groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+    val total = wc.agg(sum(col("cnt")).as("n"))
+    ib.join(broadcast(sketch),
         col("ib.i") === col("i") && col("ib.b") === col("b"))
       .groupBy(col("w").as("word"))
       .agg(min(col("c")).as("est"))
-    est.crossJoin(broadcast(total))
+      .crossJoin(broadcast(total))
       .filter(col("est") * lit(denom) >= col("n"))
       .select(col("word"), col("est"))
   }
 
   /** Distinct odd multipliers/offsets of the CMS row-hash family
-    * h_i(x) = ((x·A_i + B_i) mod 2³¹) mod width — classic public LCG
-    * constants, all < 2³¹ so products stay exact in int64. */
+    * bucket_i(x) = ((x·A_i + B_i) mod 2³¹) div 2²¹ — classic public
+    * LCG constants, all < 2³¹ so products stay exact in int64. */
   private val CmsA = Array(1103515245L, 214013L, 69069L, 1664525L)
   private val CmsB = Array(12345L, 2531011L, 1L, 1013904223L)
 

@@ -42,3 +42,42 @@ object PolyHash {
     java.lang.Math.floorMod(acc * 48271L, 2147483647L)
   }
 }
+
+/** Native Catalyst expression for the SHARED base-31 polynomial fold
+  * ([[graft.api.GraftSelectionOps.polyExtend]]'s arithmetic:
+  * acc ← (acc·31 + unit) mod 2³¹ over UTF-16 units) — the hash the
+  * DSIR buckets, fixed-point LR featurizer and CMS sketch replay in
+  * ANSI SQL via `list_reduce((acc,c) -> (acc*31+c) % 2147483648)`.
+  * Same BMP replay scope as polyExtend. Distinct from [[PolyHash]]
+  * (the weighted-sum Lehmer hash): the fold is position-sensitive in
+  * a way the weighted sum is not ('the_2' vs 'agg_5' collide under
+  * PolyHash — caught by the round-15 sf1 CMS gate). */
+case class PolyFold(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    PolyFold.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyFold.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyFold {
+  /** Static entry point shared by eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31L + str.charAt(i).toLong) % 2147483648L
+      i += 1
+    }
+    acc
+  }
+}

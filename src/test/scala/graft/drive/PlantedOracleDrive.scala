@@ -75,7 +75,11 @@ object PlantedOracleDrive {
     val baseEmb = spark.read.parquet(s"$src/embeddings.parquet")
     val EBase = firstAvoiding97(200000000000L)
     val knnQueryIds = (0L until 10L).toSeq
-    val classifyTargets = (100L to 145L by 5L).toSeq // query side: id % 5 == 0
+    // query side of the FIXED panel (vec_id < 100 since round 13);
+    // disjoint from knnQueryIds (0-9). The pre-r13 targets (100-145,
+    // the old %5 panel) silently filtered to an empty result set —
+    // caught by this round's fresh full-sf1 run (0/10).
+    val classifyTargets = (50L to 95L by 5L).toSeq
     // hard-negative anchors: in the %20==0 panel, disjoint from the
     // classify targets' vectors
     val hardNegAnchors = Seq(200L, 240L, 280L, 320L, 360L)
