@@ -32,19 +32,6 @@ trait GraftSelectionOps { this: Graft.type =>
     * One shuffle total (the bin aggregation), everything else map-side.
     * Stage arithmetic is pure integers (`cum_before·nStages div total`),
     * so results are engine-exact at any scale. */
-  /** MMR diverse top-k (Carbonell & Goldstein 1998): greedy picks
-    * maximizing λ·rel − (1−λ)·max-cos-to-selected over a distributed
-    * relevance shortlist; the greedy runs on the driver over the
-    * bounded shortlist. Output rows: (step, vec_id, score). See
-    * [[graft.ops.SimilarityQueries.mmrGreedy]]. */
-  def mmrSelect(corpus: DataFrame, id: String, vec: String,
-                query: DataFrame, queryVec: String, k: Int,
-                lambda: Double = 0.7, shortlist: Int = 40): DataFrame =
-    corpus.sparkSession.createDataFrame(
-      graft.ops.SimilarityQueries.mmrGreedy(
-        corpus, id, vec, query, queryVec, k, lambda, shortlist))
-      .toDF("step", "vec_id", "score")
-
   def curriculumSchedule(df: DataFrame, id: String, difficulty: String,
       tokensCol: String, nStages: Int = 4): DataFrame = {
     require(nStages >= 1, s"nStages must be >= 1, got $nStages")
@@ -69,6 +56,19 @@ trait GraftSelectionOps { this: Graft.type =>
     binned.join(broadcast(sched), Seq("bin"))
       .select(col(id), col("difficulty"), col("bin"), col("stage"))
   }
+
+  /** MMR diverse top-k (Carbonell & Goldstein 1998): greedy picks
+    * maximizing λ·rel − (1−λ)·max-cos-to-selected over a distributed
+    * relevance shortlist; the greedy runs on the driver over the
+    * bounded shortlist. Output rows: (step, vec_id, score). See
+    * [[graft.ops.SimilarityQueries.mmrGreedy]]. */
+  def mmrSelect(corpus: DataFrame, id: String, vec: String,
+                query: DataFrame, queryVec: String, k: Int,
+                lambda: Double = 0.7, shortlist: Int = 40): DataFrame =
+    corpus.sparkSession.createDataFrame(
+      graft.ops.SimilarityQueries.mmrGreedy(
+        corpus, id, vec, query, queryVec, k, lambda, shortlist))
+      .toDF("step", "vec_id", "score")
 
   // ---------- scale joins ----------
 

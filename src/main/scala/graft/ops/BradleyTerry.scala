@@ -45,7 +45,9 @@ object BradleyTerry {
     * (100·stopword_hits + n_tokens, the [[SftQueries]] reward-model
     * signal) wins, ties to the even (lower) id. */
   private def matches(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+    // null guard (cmsHeavyHitters convention): size(split(null)) = -1
+    // would poison the quality surrogate where the oracle yields NULL
+    val toks = filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
     val quality = (size(filter(transform(toks, t => lower(t)),
         t => t.isin(TextQueries.StopwordsEn: _*))).cast("long") * 100L +
       size(toks).cast("long")).as("q")

@@ -207,7 +207,10 @@ object ClassifyQueries {
     * 100 TB shape: one shuffle-free codegen'd projection plus one
     * 10-key aggregation with map-side combine. */
   def qEceCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(col("text"), " "), t => t =!= "")
+    // null guard (cmsHeavyHitters convention): without it a null text
+    // yields size(null) = -1 → conf_milli −1000 / bin −10, while the
+    // DuckDB oracle's NULL propagation lands the row in bin 9
+    val toks = filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "")
     val scored = Tables.documents(spark, dir)
       .select(
         when(col("lang") === "en", 1L).otherwise(0L).as("y"),
