@@ -16,13 +16,23 @@ object MiningQueries {
 
   // ----- heavy hitters -----
 
-  private val HhK = 16
+  private val HhK = 512
   private val HhMin = 1L
 
   /** Exact heavy hitters over `documents.text` tokens: Misra–Gries
-    * candidates (k=16 — smaller than the fixture vocabulary, so the
-    * decrement path is actually exercised) + exact recount; threshold
-    * = max(1, ⌊n/k⌋+1). */
+    * candidates + exact recount; threshold = max(1, ⌊n/k⌋+1).
+    *
+    * k=512 (≈0.2% relative threshold, the q_heavy_hitters_cms cut):
+    * the round-15 verdict's non-vacuity fix — the old k=16 threshold
+    * (⌊n/16⌋+1) exceeded every word's count on BOTH gate fixtures, so
+    * the gate row proved only that two engines agree on the empty set.
+    * At k=512 the gate returns 30 rows at sf0.01 and 300 at sf1
+    * (amplified copies dilute every word's share ~10× via per-copy
+    * suffixes, which is exactly why a relative cut is required). The
+    * gate fixtures' vocabularies (31 / 310 words) are smaller than k,
+    * so the MG summaries there are exact by construction; the
+    * decrement path (vocabulary ≫ k) keeps its own planted exactness
+    * pins in MiningSpec. */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame =
     Graft.heavyHitters(
       Tables.documents(spark, dir).select(col("text")), "text", HhK, HhMin)
