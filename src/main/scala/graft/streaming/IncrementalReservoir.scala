@@ -28,7 +28,10 @@ import graft.api.Graft
   * }}}
   *
   * Store layout under `storeDir`: `sample/` — one parquet table
-  * (stratum, id, weight, __key), bounded at |strata|·k rows forever.
+  * (stratum, id, weight, __key, rank), bounded at |strata|·k rows
+  * forever. The per-stratum rank is PERSISTED at admission time (it
+  * falls out of the top-k cut for free) so [[current]] is a plain
+  * scan — no rank window over the store on the read path.
   * Maintenance is crash-safe through [[AtomicStore.swapIn]] (temp dir +
   * two renames, roll-forward [[AtomicStore.recover]] on every entry),
   * under the store's single-operator contract.
@@ -47,8 +50,8 @@ object IncrementalReservoir {
   def init(spark: SparkSession, storeDir: String): Unit = {
     import spark.implicits._
     if (!AtomicStore.exists(spark, s"$storeDir/$Sub"))
-      Seq.empty[(String, Long, Double, Double)]
-        .toDF("stratum", "id", "weight", "__key")
+      Seq.empty[(String, Long, Double, Double, Long)]
+        .toDF("stratum", "id", "weight", "__key", "rank")
         .write.mode(SaveMode.ErrorIfExists).parquet(s"$storeDir/$Sub")
   }
 
@@ -82,16 +85,18 @@ object IncrementalReservoir {
         .unionByName(keyed.select(col("stratum"), col("id"), col("weight"))),
       "IncrementalReservoir.admitBatch", "weight", "stratum", "id")
     val next = spark.read.parquet(live)
+      .select(col("stratum"), col("id"), col("weight"), col("__key"))
       .unionByName(keyed)
       // a replayed batch re-offers rows already in the store: the key is
       // value-derived, so copies are identical — keep one
       .dropDuplicates("stratum", "id")
-      .withColumn("__rn", row_number().over(
+      // rank ≤ k plans as a map-side WindowGroupLimit pre-prune; the
+      // rank is PERSISTED so the read path never re-sorts the store
+      .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("stratum"))
-          .orderBy(col("__key").desc, col("id").asc)))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+          .orderBy(col("__key").desc, col("id").asc)).cast("long"))
+      .filter(col("rank") <= k)
       .localCheckpoint(true) // cut lineage: the swap deletes the input files
     AtomicStore.swapIn(spark, storeDir, Sub) { (_, tmp) =>
       next.write.parquet(tmp)
@@ -99,14 +104,11 @@ object IncrementalReservoir {
     current(spark, storeDir)
   }
 
-  /** The store's sample as (stratum, id, weight, rank). */
+  /** The store's sample as (stratum, id, weight, rank) — a plain scan
+    * of the persisted admission state, no window on the read path. */
   def current(spark: SparkSession, storeDir: String): DataFrame = {
     AtomicStore.recover(spark, storeDir, Seq(Sub))
     spark.read.parquet(s"$storeDir/$Sub")
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("stratum"))
-          .orderBy(col("__key").desc, col("id").asc)).cast("long"))
       .select(col("stratum"), col("id"), col("weight"), col("rank"))
   }
 }

@@ -52,6 +52,31 @@ object StreamingQueries {
       .drop("ts_us")
   }
 
+  /** Schema of the JSON document payloads the streaming-gate bindings
+    * produce from the `documents` fixture (text omitted — the admission
+    * operators below key on metadata only). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of a dis stream whose record values are JSON
+    * document-metadata rows ([[docSchema]]). */
+  def readDocs(
+      spark: SparkSession,
+      root: String,
+      stream: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.readStream.format("dis")
+      .option("client.root", root)
+      .option("stream", stream)
+    options.foldLeft(base) { case (b, (k, v)) => b.option(k, v) }
+      .load()
+      .select(from_json(col("value").cast("string"), docSchema).as("d"))
+      .select(col("d.*"))
+  }
+
   /** Tumbling event-time window counts with watermarking; append mode
     * emits a window once the watermark passes its end. */
   def tumblingCounts(events: DataFrame, width: String = "1 hour",
