@@ -99,6 +99,9 @@ object SparkEntry {
     "q_dis_roundtrip"   -> ConnectorQueries.qDisRoundtrip,
     "q_streaming_sessionize" -> ConnectorQueries.qStreamingSessionize,
     "q_streaming_kmv"   -> ConnectorQueries.qStreamingKmv,
+    "q_streaming_domain_quota" -> ConnectorQueries.qStreamingDomainQuota,
+    "q_streaming_reservoir" -> ConnectorQueries.qStreamingReservoir,
+    "q_streaming_rl_metrics" -> ConnectorQueries.qStreamingRlMetrics,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -138,6 +141,7 @@ object SparkEntry {
     "q_profile_approx"  -> ClassifyQueries.qProfileApprox,
     "q_cross_dedup"     -> DedupQueries.qCrossDedup,
     "q_bpe_encode"      -> Bpe.qBpeEncode,
+    "q_bpe_apply"       -> Bpe.qBpeApply,
     "q_bpe_bytes"       -> Bpe.qBpeBytes,
     "q_unigram_encode"  -> Unigram.qUnigramEncode,
     "q_split_groups"    -> CoreQueries.qSplitGroups,
@@ -275,7 +279,11 @@ object SparkEntry {
     *  - q_bpe_encode / q_bpe_bytes / q_unigram_encode: iterative
     *    merge-loop / EM training — the vocabulary is an argmax
     *    FIXPOINT, not a query (BpeSpec/UnigramSpec pin the distributed
-    *    rounds bit-identical to a driver-side reference + round-trips);
+    *    rounds bit-identical to a driver-side reference + round-trips).
+    *    The ENCODING pass is replayable once merges are fixed, and IS
+    *    oracled: q_bpe_apply runs the same greedy kernel with a fixed
+    *    merge list under a recursive-CTE DuckDB replay — only the
+    *    training fixpoints stay rows-only;
     *  - q_compress_ratio: zlib DEFLATE byte lengths — no SQL engine
     *    exposes the codec (spec pins known-ratio fixtures);
     *  - q_dedup_approx: HLL sketch cardinality — estimator-specific
@@ -669,6 +677,13 @@ object SparkEntry {
     // bit-identical to the batch sketch by the associative merge —
     // shares q_distinct_kmv's oracle verbatim
     "q_streaming_kmv" -> CoreQueries.distinctKmvOracle,
+    // the ingest-time domain quota under id-ordered arrival IS the
+    // batch cap's smallest-id keeper rule — oracle shared verbatim
+    "q_streaming_domain_quota" -> CurationQueries.domainCapOracle,
+    // the A-Res store after the last trigger == the batch stratum
+    // sample over everything ever arrived — oracle shared verbatim
+    "q_streaming_reservoir" -> SelectionQueries.weightedStratumOracle,
+    "q_streaming_rl_metrics" -> ConnectorQueries.streamingRlMetricsOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->
@@ -689,6 +704,7 @@ object SparkEntry {
     "q_bt_strength" -> BradleyTerry.btStrengthOracle,
     "q_ece_calibration" -> ClassifyQueries.eceCalibrationOracle,
     "q_heavy_hitters_cms" -> MiningQueries.heavyHittersCmsOracle,
+    "q_bpe_apply" -> Bpe.bpeApplyOracle,
     "q_agg_salted" ->
       """SELECT event_type, round(sum(value), 4) AS sum_value, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
