@@ -43,6 +43,17 @@ import org.apache.spark.sql.SparkSession
   * drift gate's apples-to-apples requirement).
   */
 object Bench {
+  /** 1-minute load average from /proc/loadavg (-1.0 where unreadable,
+    * e.g. non-Linux). Captured before AND after the run so the drift
+    * checker can mechanically annotate flags raised under host-steal
+    * contention (BASELINE.md's recurring "load ~10 with zero local
+    * processes" windows) instead of each one costing a manual
+    * re-measure-idle adjudication. */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -54,6 +65,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadBefore = loadAvg1m()
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -130,7 +142,8 @@ object Bench {
     } + "\""
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val loadAfter = loadAvg1m()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadBefore,$loadAfter]}"""
     println(line)
     // The stdout line is also persisted: at 80+ queries it exceeds the
     // driver's tail-capture window, so tools/check_bench_drift.py falls

@@ -57,23 +57,36 @@ FALLBACK = Path(__file__).parent.parent / "target" / (
     f"bench{_SUFFIX}_last.json" if _SUFFIX else "bench_last.json")
 
 
+# 1-min load average at/above which a drift flag is annotated as
+# contention-suspect: this box shows multi-minute HOST-steal windows
+# reading load ~10 with zero runnable local processes (BASELINE.md);
+# a flag raised inside one is a re-measure-idle instruction, not a
+# regression verdict.
+CONTENTION_LOAD = 8.0
+
+
 def load_bench(path):
+    """Returns (queries, loadavg) — loadavg is the Bench-recorded
+    [before, after] 1-min load pair, or None for pre-round-16
+    artifacts that did not record it."""
     d = json.load(open(path))
     if "queries" in d:  # a raw graft.Bench output line
-        return d["queries"]
+        return d["queries"], d.get("loadavg")
     if isinstance(d.get("parsed"), dict) and "queries" in d.get("parsed", {}):
-        return d["parsed"]["queries"]
+        return d["parsed"]["queries"], d["parsed"].get("loadavg")
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
     if m:
         try:
-            return json.loads(m.group(0))["queries"]
+            parsed = json.loads(m.group(0))
+            return parsed["queries"], parsed.get("loadavg")
         except json.JSONDecodeError:
             pass  # tail-capture truncated the line mid-JSON
     # Bench.scala persists the full line to target/bench_last.json for
     # exactly this case: the 80+-query line exceeds tail capture.
     if FALLBACK.exists():
         print(f"(artifact {path} truncated/absent; using {FALLBACK})")
-        return json.load(open(FALLBACK))["queries"]
+        d = json.load(open(FALLBACK))
+        return d["queries"], d.get("loadavg")
     raise SystemExit(f"no bench JSON line found in {path} and no {FALLBACK}")
 
 
@@ -119,7 +132,12 @@ def main():
     # at sf10) are recorded but never gate a recurring run: skip with an
     # informational line whether present or absent in the artifact
     on_demand = ref_doc.get("measure_on_demand", {})
-    cur = load_bench(sys.argv[1])
+    cur, loadavg = load_bench(sys.argv[1])
+    peak_load = max(loadavg) if loadavg else None
+    contended = peak_load is not None and peak_load >= CONTENTION_LOAD
+    if loadavg:
+        print(f"loadavg during run: before {loadavg[0]}, after {loadavg[1]}"
+              + (" — CONTENDED (host-steal regime)" if contended else " (idle)"))
 
     drifted, new = [], []
     for q, t in sorted(cur.items()):
@@ -135,8 +153,11 @@ def main():
         if t > factor * ref[q] and t > MIN_FLAG_SECONDS:
             drifted.append((q, t, ref[q], t / ref[q]))
 
+    suffix = (f" [contention-suspect: load ≥ {CONTENTION_LOAD:g} during run "
+              "— re-measure idle before treating as regression]"
+              if contended else "")
     for q, t, r, ratio in drifted:
-        print(f"DRIFT {q}: {t:.2f}s vs reference {r:.2f}s ({ratio:.1f}x)")
+        print(f"DRIFT {q}: {t:.2f}s vs reference {r:.2f}s ({ratio:.1f}x){suffix}")
     for q, t in new:
         print(f"NEW   {q}: {t:.2f}s (no reference yet)")
     kept = sum(1 for q in cur if q != "_warmup" and q in ref) - len(drifted)
