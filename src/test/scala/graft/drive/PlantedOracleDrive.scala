@@ -35,11 +35,12 @@ object PlantedOracleDrive {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "target/sf1"
     val out = if (args.length > 1) args(1) else "target/sf1p"
-    // report path + optional query subset — the sf10 drill runs only
-    // the five heavy gate queries the ×100 table pins:
+    // report path + optional query subset — the sf10 drill runs the
+    // five heavy gate queries plus the ANN-index family the ×100
+    // table pins (round 16 added sq8/pq/ann_recall at 200k vectors):
     //   Test/runMain graft.drive.PlantedOracleDrive target/sf10 \
     //     target/sf10p target/planted_sf10.json \
-    //     q_minhash_dupes,q_cross_dedup,q_cluster_dedup,q_knn_classify_ivf,q_hard_negatives_ivf
+    //     q_minhash_dupes,q_cross_dedup,q_cluster_dedup,q_knn_classify_ivf,q_hard_negatives_ivf,q_similarity_sq8,q_similarity_pq,q_ann_recall
     val jsonOut = if (args.length > 2) args(2) else "target/planted_sf1.json"
     val subset: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -224,6 +225,39 @@ object PlantedOracleDrive {
       val ok = knnQueryIds.forall(q =>
         got.get(q).exists { case (n, c) => n == EBase + q && c >= 0.999999999999 })
       (ok, s"rank-1 = planted copy for ${got.count { case (q, (n, _)) => n == EBase + q }}/10 queries")
+    }
+    check("q_similarity_sq8") { df =>
+      // an exact copy quantizes to IDENTICAL int8 codes (per-vector
+      // absmax scaling is a pure function of the vector), so its
+      // quantized cosine is exactly 1.0 — the index's rank-1 for its
+      // query unless the int8 grid aliases some other vector to 1.0
+      val got = df.filter(col("rank") === 1 && col("query_id") < 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nOk = knnQueryIds.count(q => got.get(q).contains(EBase + q))
+      (nOk == knnQueryIds.size,
+        s"int8 rank-1 = planted code-identical copy for $nOk/${knnQueryIds.size} queries")
+    }
+    check("q_similarity_pq") { df =>
+      // the copy shares the query's PQ codes, so its ADC score is the
+      // query's own quantized self-similarity — inside the 8K ADC
+      // shortlist — and the exact re-rank puts its cos-1.0 at rank 1
+      val got = df.filter(col("rank") === 1 && col("query_id") < 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nOk = knnQueryIds.count(q => got.get(q).contains(EBase + q))
+      (nOk == knnQueryIds.size,
+        s"PQ-ADC rank-1 = planted copy for $nOk/${knnQueryIds.size} queries")
+    }
+    check("q_ann_recall") { df =>
+      // index-quality at scale: every planted query's copy must be in
+      // BOTH the exact and the int8 top-5 (hits ≥ 1 is the planted
+      // floor); the measured mean recall@5 is the pinned index-quality
+      // number for BASELINE.md
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val sub = rows.filter(_._1 < 10)
+      val hitsOk = sub.nonEmpty && sub.forall(_._2 >= 1L)
+      val mean = if (rows.nonEmpty) rows.map(_._3).sum / rows.length else 0.0
+      (hitsOk, f"copy in both top-5s for ${sub.count(_._2 >= 1L)}/${sub.length} " +
+        f"planted queries; mean recall@5 = $mean%.2f over ${rows.length} queries")
     }
     check("q_knn_classify") { df =>
       val got = df.filter(col("query_id").isin(classifyTargets.map(Long.box): _*))

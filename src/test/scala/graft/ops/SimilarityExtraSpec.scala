@@ -55,6 +55,27 @@ class SimilarityExtraSpec extends SparkTestBase {
       s"MMR should pick one near-dup then the diverse vector, got ${sel.toSeq}")
   }
 
+  test("mmr: shortlist-sufficiency — doubling shortlistN leaves the selection unchanged (sf1)") {
+    // The gate binding feeds a 40-item relevance shortlist to a k=10
+    // greedy; the boundedness argument ("the greedy never needs more
+    // than the top-40") is what keeps the gate hash stable. This makes
+    // it CHECKABLE at the ×10 amplified scale: with twice the
+    // shortlist the greedy must pick the same ids with the same scores
+    // — if the 40-cut ever under-covered, the 80-run would diverge
+    // here before the driver's hash could move.
+    val sf1 = "target/sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists,
+      "amplified sf1 fixture not built on this machine")
+    val emb = Tables.embeddings(spark, sf1)
+    def run(n: Int): Seq[(Long, Long, Double)] = SimilarityQueries.mmrGreedy(
+      emb.filter(col("vec_id") > 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0), "embedding", 10, shortlistN = n)
+    val base = run(40)
+    assert(base.length == 10)
+    assert(run(80) == base, "a 2x shortlist changed the MMR selection — " +
+      "the gate's 40-cut under-covers at sf1")
+  }
+
   test("sq8: quantized cosine tracks the float kernel") {
     val out = SimilarityQueries.qSimilaritySq8(spark, Dir)
     val rows = out.collect()
