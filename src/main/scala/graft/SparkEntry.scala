@@ -102,6 +102,7 @@ object SparkEntry {
     "q_streaming_domain_quota" -> ConnectorQueries.qStreamingDomainQuota,
     "q_streaming_reservoir" -> ConnectorQueries.qStreamingReservoir,
     "q_streaming_rl_metrics" -> ConnectorQueries.qStreamingRlMetrics,
+    "q_streaming_decontam" -> ConnectorQueries.qStreamingDecontam,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -684,6 +685,9 @@ object SparkEntry {
     // sample over everything ever arrived — oracle shared verbatim
     "q_streaming_reservoir" -> SelectionQueries.weightedStratumOracle,
     "q_streaming_rl_metrics" -> ConnectorQueries.streamingRlMetricsOracle,
+    // the static-store stream's unioned per-batch decisions ARE the
+    // batch gate's decisions — oracle shared verbatim
+    "q_streaming_decontam" -> TextQueries.decontaminateOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->
