@@ -133,11 +133,15 @@ def main():
     # informational line whether present or absent in the artifact
     on_demand = ref_doc.get("measure_on_demand", {})
     cur, loadavg = load_bench(sys.argv[1])
-    peak_load = max(loadavg) if loadavg else None
-    contended = peak_load is not None and peak_load >= CONTENTION_LOAD
+    # the BEFORE value is the contention signal: the after value is
+    # polluted by the bench's own local[32] work (a legitimate idle sf1
+    # run ends near load ~7). Host steal shows up as a high load at
+    # session start, before any query has run.
+    contended = bool(loadavg) and loadavg[0] >= CONTENTION_LOAD
     if loadavg:
-        print(f"loadavg during run: before {loadavg[0]}, after {loadavg[1]}"
-              + (" — CONTENDED (host-steal regime)" if contended else " (idle)"))
+        print(f"loadavg: {loadavg[0]} at start (contention signal), "
+              f"{loadavg[1]} at end (includes own work)"
+              + (" — CONTENDED (host-steal regime)" if contended else ""))
 
     drifted, new = [], []
     for q, t in sorted(cur.items()):
