@@ -103,6 +103,7 @@ object SparkEntry {
     "q_streaming_reservoir" -> ConnectorQueries.qStreamingReservoir,
     "q_streaming_rl_metrics" -> ConnectorQueries.qStreamingRlMetrics,
     "q_streaming_decontam" -> ConnectorQueries.qStreamingDecontam,
+    "q_streaming_bm25"  -> ConnectorQueries.qStreamingBm25,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -688,6 +689,10 @@ object SparkEntry {
     // the static-store stream's unioned per-batch decisions ARE the
     // batch gate's decisions — oracle shared verbatim
     "q_streaming_decontam" -> TextQueries.decontaminateOracle,
+    // the streamed index's post-run search == the batch bm25Search
+    // over everything admitted (the operator's own spec-pinned
+    // contract) — oracle shared verbatim
+    "q_streaming_bm25" -> CurationQueries.bm25SearchOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->
