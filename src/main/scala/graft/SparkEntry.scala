@@ -104,6 +104,9 @@ object SparkEntry {
     "q_streaming_rl_metrics" -> ConnectorQueries.qStreamingRlMetrics,
     "q_streaming_decontam" -> ConnectorQueries.qStreamingDecontam,
     "q_streaming_bm25"  -> ConnectorQueries.qStreamingBm25,
+    "q_streaming_best_of_n" -> ConnectorQueries.qStreamingBestOfN,
+    "q_streaming_sft"   -> ConnectorQueries.qStreamingSft,
+    "q_streaming_psi"   -> ConnectorQueries.qStreamingPsi,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -693,6 +696,25 @@ object SparkEntry {
     // over everything admitted (the operator's own spec-pinned
     // contract) — oracle shared verbatim
     "q_streaming_bm25" -> CurationQueries.bm25SearchOracle,
+    // whole-run pools close on the flush sentinel; each closed row ==
+    // the batch best-of-N row (order-independent argmax fold) —
+    // oracle shared verbatim
+    "q_streaming_best_of_n" -> RlQueries.bestOfNOracle,
+    // watermark-closed sessions == the batch assembly rows
+    // field-for-field (shared kernel constants, per-user sid counter
+    // reproduces the batch window numbering) — oracle shared verbatim
+    "q_streaming_sft" ->
+      s"""$sftTurnsCte
+        |SELECT user_id, sid, count(*)::BIGINT AS n_turns,
+        |  string_agg(rendered, '' ORDER BY ts, event_id) AS transcript,
+        |  length(string_agg(rendered, '' ORDER BY ts, event_id))::BIGINT AS transcript_chars,
+        |  sum(CASE WHEN role = 'assistant' THEN length(rendered) ELSE 0 END)::BIGINT AS assistant_chars,
+        |  floor(sum(CASE WHEN role = 'assistant' THEN length(rendered) ELSE 0 END)::DOUBLE
+        |        / greatest(length(string_agg(rendered, '' ORDER BY ts, event_id)), 1) * 1e4 + 0.5) / 1e4 AS mask_frac
+        |FROM rendered GROUP BY user_id, sid""".stripMargin,
+    // per-batch PSI vs the whole-corpus lang histogram, batch = the
+    // binding's own cap-sized id-ordered slice replayed in SQL
+    "q_streaming_psi" -> ConnectorQueries.streamingPsiOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->

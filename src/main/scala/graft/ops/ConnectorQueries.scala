@@ -412,6 +412,20 @@ object ConnectorQueries {
     spark.table(name).filter(col("user_id") >= 0)
   }
 
+  /** Streaming read of the docs-with-text feed. */
+  private def readDocsText(spark: SparkSession, feed: FeedInfo): DataFrame =
+    spark.readStream.format("dis")
+      .option("client.root", feed.root.toString).option("stream", "docstext")
+      .option("maxRecordsPerTrigger", feed.triggerCap.toString)
+      .load()
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))).as("d"))
+      .select(col("d.*"))
+
   /** Streaming benchmark decontamination
     * ([[graft.streaming.IncrementalDecontam]]) bound under the driver
     * hash gate: corpus documents stream through the dis source in
@@ -427,20 +441,6 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per-batch cost ∝ batch (the Bloom is
     * process-cached and broadcast; the benchmark side never re-scans),
     * no history term at all — the one streaming arm with zero state. */
-  /** Streaming read of the docs-with-text feed. */
-  private def readDocsText(spark: SparkSession, feed: FeedInfo): DataFrame =
-    spark.readStream.format("dis")
-      .option("client.root", feed.root.toString).option("stream", "docstext")
-      .option("maxRecordsPerTrigger", feed.triggerCap.toString)
-      .load()
-      .select(from_json(col("value").cast("string"),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType)))).as("d"))
-      .select(col("d.*"))
-
   def qStreamingDecontam(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.IncrementalDecontam
     val feed = ensureDocsTextStream(spark, dir)
@@ -506,6 +506,178 @@ object ConnectorQueries {
     IncrementalBm25.search(spark, storeDir.toString,
       Seq("join", "hash", "vector"), k = 25)
   }
+
+  /** Online rejection sampling
+    * ([[graft.streaming.StreamingBestOfN.selectBest]]) bound under the
+    * driver hash gate: scored candidates stream through the dis
+    * source, each (user_id, event_type) pool folds into O(1) keyed
+    * state (count + top-2 under the batch ordering), and the watermark
+    * closes every pool when the flush sentinel arrives. Binding
+    * determinism: quiet = one fixture SPAN + 1 h, so no pool ever
+    * splits and each group emits exactly ONE row covering the whole
+    * run — by the operator's own spec-pinned contract that row equals
+    * the batch [[graft.ops.RlQueries.qBestOfN]] row field-for-field
+    * (argmax-with-margin is an order-independent, merge-commutative
+    * fold), so q_best_of_n's DuckDB oracle is shared verbatim. ONE
+    * data trigger, the RL-metrics rationale: whole-run pools mean
+    * nothing closes early, so extra triggers only re-serialize all
+    * ~|users×types| pool states per version; the cross-trigger fold is
+    * pinned by StreamingBestOfNSpec (and exercised at the gate by the
+    * progressive-close arms). The sentinel's own pool never closes and
+    * is filtered defensively. */
+  def qStreamingBestOfN(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamingBestOfN, StreamingQueries}
+    val feed = ensureSessionsStream(spark, dir)
+    val events = StreamingQueries.readEvents(spark, feed.root.toString, "sessions",
+      Map("maxRecordsPerTrigger" -> (feed.triggerCap * 5).toString))
+    val out = StreamingBestOfN.selectBest(spark, events,
+      quietUs = feed.spanUs + 3600L * 1000000)
+    val name = s"stream_bofn_${sinkSeq.incrementAndGet()}"
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"ck-$name-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "streaming best-of-N gate timed out")
+    q.stop()
+    spark.table(name).filter(col("user_id") >= 0)
+  }
+
+  /** Ingest-time SFT transcript assembly
+    * ([[graft.streaming.StreamingSft.assembleSessions]]) bound under
+    * the driver hash gate: events stream through the dis source,
+    * gap-defined sessions buffer their turns in keyed state, and each
+    * session emits its assembled chat transcript + loss-mask summary
+    * when the watermark passes its end — sessions close PROGRESSIVELY
+    * across triggers (the state-eviction contrast with the whole-run
+    * pool arms: TWO data triggers here, so the first trigger's
+    * sessions demonstrably close and evict before the second's
+    * arrive), the sentinel closes the tail. By the operator's own
+    * spec-pinned contract every closed row equals the batch
+    * [[graft.ops.SftQueries.qSftAssemble]] row field-for-field
+    * (same gap, template, parity roles, per-user sid counter, mask
+    * rounding), so q_sft_assemble's DuckDB oracle is shared verbatim.
+    * The sink is PARQUET, not memory: one transcript row per session
+    * (~1M at sf1) must never collect on the driver. The sentinel's
+    * own session never closes and is filtered defensively.
+    *
+    * 100 TB/continuous shape: one shuffle on user_id into the state
+    * store; state is the OPEN sessions' turn buffers — bounded by one
+    * human's activity inside gap windows times the users active near
+    * the watermark frontier, never corpus-sized. */
+  def qStreamingSft(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamingQueries, StreamingSft}
+    val feed = ensureSessionsStream(spark, dir)
+    val events = StreamingQueries.readEvents(spark, feed.root.toString, "sessions",
+      Map("maxRecordsPerTrigger" -> (feed.triggerCap * 2).toString))
+    val out = StreamingSft.assembleSessions(spark, events)
+    val outDir = Files.createTempDirectory("stream-sft-out-")
+    rootsToClean.add(outDir)
+    val q = out.toDF().writeStream.format("parquet")
+      .outputMode("append")
+      .option("path", outDir.toString)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ck-stream-sft-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "streaming SFT gate timed out")
+    q.stop()
+    spark.read.parquet(outDir.toString).filter(col("user_id") >= 0)
+  }
+
+  /** The per-micro-batch PSI drift monitor
+    * ([[graft.streaming.StreamingQueries.psiMonitorBatch]]) bound
+    * under the driver hash gate — the one arm whose OUTPUT depends on
+    * the trigger boundaries themselves, so the gate row checks the
+    * source's admission-control slicing (batch i = feed rows
+    * [i·cap, (i+1)·cap) in doc_id order), not just the fold. Each
+    * micro-batch of the id-ordered docs feed is scored against the
+    * whole-corpus lang histogram (aggregated once, persisted — the
+    * reference is never re-scanned) and the per-batch reports
+    * accumulate in a parquet sink. [[streamingPsiOracle]] replays the
+    * same slicing arithmetically in SQL: this binding reads the shared
+    * docs feed with its OWN cap = max(125, ⌈n/4⌉) — unlike the
+    * admission arms (whose 12500 floor collapses sf0.01 to one
+    * trigger), the PSI row only discriminates when there ARE multiple
+    * batches, so the cap scales to exactly 4 data batches at every
+    * gate scale — and batch_id = (id_rank − 1) ÷ cap. Batch ids are
+    * re-densified from the sink (ordered by the raw trigger id) so an
+    * empty planning trigger can never shift the numbering.
+    *
+    * 100 TB/continuous shape: state-free; per trigger one bounded agg
+    * of the batch + a |categories|-row broadcast join. */
+  def qStreamingPsi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingQueries
+    val feed = ensureDocsStream(spark, dir)
+    val ref = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_a")).persist()
+    // materialize once, before the stream starts; its total is the
+    // feed row count the per-arm trigger cap derives from
+    val n = ref.agg(sum(col("n_a"))).collect()(0).getLong(0)
+    val cap = math.max(125L, (n + 3) / 4)
+    val docs = StreamingQueries.readDocs(spark, feed.root.toString, "docs",
+      Map("maxRecordsPerTrigger" -> cap.toString))
+    val outDir = Files.createTempDirectory("stream-psi-out-")
+    rootsToClean.add(outDir)
+    val q = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = StreamingQueries.psiMonitorBatch(batch, batchId, "lang", ref)
+          .withColumnRenamed("batch_id", "__bid")
+        if (!batch.isEmpty)
+          report.write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ck-stream-psi-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "streaming PSI gate timed out")
+    q.stop()
+    ref.unpersist()
+    // densify trigger ids → data-batch index (bounded frame:
+    // |batches| × |langs| rows)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bid"))
+    spark.read.parquet(outDir.toString)
+      .withColumn("batch_id", (dense_rank().over(w) - 1).cast("long"))
+      .drop("__bid")
+  }
+
+  /** [[psiDriftOracle]]'s arithmetic replayed per micro-batch: the
+    * reference histogram is the whole corpus's lang counts, a batch is
+    * a cap-sized doc_id-ordered slice (the binding's scaledTriggerCap
+    * formula for the docs feed), and every batch's category set is the
+    * reference's (a batch cannot carry a lang the corpus lacks). */
+  val streamingPsiOracle: String =
+    """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |cap AS (SELECT greatest(125, (n + 3) // 4)::BIGINT AS cap FROM nn),
+      |idx AS (
+      |  SELECT lang,
+      |    ((row_number() OVER (ORDER BY doc_id)) - 1)
+      |      // (SELECT cap FROM cap) AS batch_id
+      |  FROM documents
+      |), ca AS (
+      |  SELECT lang, count(*)::BIGINT AS n_a FROM documents GROUP BY lang
+      |), cb AS (
+      |  SELECT batch_id, lang, count(*)::BIGINT AS n_b
+      |  FROM idx GROUP BY batch_id, lang
+      |), cats AS (
+      |  SELECT b.batch_id, ca.lang, ca.n_a,
+      |    coalesce(cb.n_b, 0)::BIGINT AS n_b
+      |  FROM (SELECT DISTINCT batch_id FROM idx) b
+      |  CROSS JOIN ca
+      |  LEFT JOIN cb ON cb.batch_id = b.batch_id AND cb.lang = ca.lang
+      |), tot AS (
+      |  SELECT batch_id, count(*)::BIGINT AS c,
+      |    sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb
+      |  FROM cats GROUP BY batch_id
+      |)
+      |SELECT cats.lang, cats.n_a, cats.n_b,
+      |  round(((n_a + 0.5) / (ta + 0.5 * c) - (n_b + 0.5) / (tb + 0.5 * c)) *
+      |    ln(((n_a + 0.5) / (ta + 0.5 * c)) / ((n_b + 0.5) / (tb + 0.5 * c))),
+      |    6) AS psi,
+      |  cats.batch_id
+      |FROM cats JOIN tot USING (batch_id)""".stripMargin
 
   /** q_pass_at_k's and q_reward_drift's oracles joined per pool — the
     * batch replay of the whole-run pools the binding's quiet horizon
