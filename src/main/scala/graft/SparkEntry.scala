@@ -107,6 +107,7 @@ object SparkEntry {
     "q_streaming_best_of_n" -> ConnectorQueries.qStreamingBestOfN,
     "q_streaming_sft"   -> ConnectorQueries.qStreamingSft,
     "q_streaming_psi"   -> ConnectorQueries.qStreamingPsi,
+    "q_streaming_neardup" -> ConnectorQueries.qStreamingNeardup,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -715,6 +716,10 @@ object SparkEntry {
     // per-batch PSI vs the whole-corpus lang histogram, batch = the
     // binding's own cap-sized id-ordered slice replayed in SQL
     "q_streaming_psi" -> ConnectorQueries.streamingPsiOracle,
+    // sequential two-batch admission replay: per-batch recursive-CTE
+    // connected components + history rejection against the prior
+    // batch's admitted set — the stateful-sequential oracle
+    "q_streaming_neardup" -> ConnectorQueries.streamingNeardupOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->

@@ -813,17 +813,71 @@ trait GraftDedupOps { this: Graft.type =>
     * write rounds to the reliable checkpoint dir (the caller must have
     * set `sparkContext.setCheckpointDir` to durable storage); each
     * round then survives executor loss at the cost of a distributed
-    * write per round. */
+    * write per round.
+    *
+    * Small pair lists (≤ [[LocalEdgeCap]] rows, `reliable = false`)
+    * take a DRIVER union-find fast path: the distributed loop costs
+    * ~8-10 Spark jobs PER ROUND (joins, checkpoints, the convergence
+    * aggregate — AQE runs each stage as its own job), a fixed ~1-2 s
+    * floor per round that dwarfs tiny graphs; one bounded collect
+    * (≤ 50k edges ≈ 800 KB) replaces all of it with a single job.
+    * The labels are identical by the GraftApiSpec union-find pinning;
+    * per-micro-batch ingest dedup (IncrementalDedup, whose within-batch
+    * pair lists are small by construction) is the shape this exists
+    * for. `reliable = true` always runs distributed — durable rounds
+    * are the caller's explicit request. */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
       reliable: Boolean = false): DataFrame =
     dupClustersCounted(pairs, idA, idB, reliable)._1
 
+  /** Edge-count bound for [[dupClusters]]'s driver fast path — below
+    * the adversarial-topology sizes GraftApiSpec pins the distributed
+    * round bounds on, far above any realistic per-batch pair list. */
+  private[graft] val LocalEdgeCap = 50000
+
   /** [[dupClusters]] plus the number of label-propagation rounds it
-    * took — the observable that lets tests (and capacity planning) pin
-    * the pointer-jumping O(log diameter) bound on adversarial
-    * topologies instead of trusting the comment. */
+    * took (0 = the driver fast path) — the observable that lets tests
+    * (and capacity planning) pin the pointer-jumping O(log diameter)
+    * bound on adversarial topologies instead of trusting the comment. */
   private[graft] def dupClustersCounted(pairs: DataFrame, idA: String, idB: String,
       reliable: Boolean = false): (DataFrame, Int) = {
+    if (!reliable) {
+      // one early-terminating job: ≤ cap+1 rows decide the path, and
+      // when the fast path applies these ARE the edges
+      val probe = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
+        .limit(LocalEdgeCap + 1).collect()
+      if (probe.length <= LocalEdgeCap) {
+        val spark = pairs.sparkSession
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        probe.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.putIfAbsent(a, a)
+          parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // union by min root: labels only ever decrease
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet.forEach(k => rows += ((k, find(k))))
+        import spark.implicits._
+        return (rows.toSeq.toDF("id", "cluster_id"), 0)
+      }
+    }
+    dupClustersDistributed(pairs, idA, idB, reliable)
+  }
+
+  /** The distributed label-propagation + pointer-jumping loop behind
+    * [[dupClustersCounted]]. */
+  private def dupClustersDistributed(pairs: DataFrame, idA: String, idB: String,
+      reliable: Boolean): (DataFrame, Int) = {
     def checkpointed(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = checkpointed(pairs.select(col(idA).as("src"), col(idB).as("dst"))

@@ -643,6 +643,106 @@ object ConnectorQueries {
       .drop("__bid")
   }
 
+  /** Streaming MinHash near-duplicate ADMISSION
+    * ([[graft.streaming.IncrementalDedup]]) bound under the driver
+    * hash gate — the flagship incremental-dedup arm: documents stream
+    * through the dis source in TWO id-ordered batches, each batch is
+    * (1) rejected against the PERSISTED band index (banded candidates
+    * → exact-Jaccard verify, τ = 0.8) and (2) canonicalized within
+    * itself (near-dup pairs → connected components → min-id keeper),
+    * and the admitted docs + their band rows append to the store. The
+    * admitted set is a pure function of the batch partition (id-rank
+    * slices of the binding's own cap = max(250, ⌈n/2⌉)), so
+    * [[streamingNeardupOracle]] replays the two-stage admission
+    * sequentially in SQL — the recursive-CTE connected components of
+    * q_dup_clusters run per batch, plus a NOT EXISTS edge check
+    * against the previously-admitted set. Unlike every other arm, the
+    * ORACLE here is stateful-sequential: it checks the cross-batch
+    * history rejection itself, which no batch query shares.
+    *
+    * 100 TB/continuous shape: per batch, band equi-joins against the
+    * bucket-pruned index + verify on candidates only — never
+    * all-pairs; the store grows with ADMITTED docs only. */
+  def qStreamingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalDedup
+    val feed = ensureDocsTextStream(spark, dir)
+    // per-arm cap (PSI rationale): exactly 2 data batches at every
+    // gate scale — cross-batch rejection needs a prior batch, and the
+    // signature kernel over the whole corpus is this arm's real cost,
+    // so 2 batches buys the history path at half the fixed overhead
+    val n = Tables.documents(spark, dir).count()
+    val cap = math.max(250L, (n + 1) / 2)
+    val storeDir = Files.createTempDirectory("stream-neardup-")
+    rootsToClean.add(storeDir)
+    val q = readDocsText(spark, FeedInfo(feed.root, cap, 0L))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalDedup.admitBatch(batch, "doc_id", "text", 0.8, storeDir.toString)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ck-stream-neardup-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "streaming near-dup gate timed out")
+    q.stop()
+    IncrementalDedup.admittedDocs(spark, storeDir.toString)
+  }
+
+  /** The two-batch admission replay: exact-Jaccard pairs (the
+    * q_minhash_dupes oracle — banding is recall-complete on these
+    * fixtures, pinned by that gate row at both scales), batch = the
+    * binding's id-rank slice, per-batch connected components via the
+    * q_dup_clusters recursive reachability, history rejection via an
+    * edge into the prior batches' admitted set. CTEs are MATERIALIZED:
+    * without it the recursion re-expands the shingle self-join per
+    * stage and the oracle never finishes. */
+  val streamingNeardupOracle: String = {
+    def stage(b: Int): String = {
+      val surv =
+        if (b == 0) s"s$b AS MATERIALIZED (SELECT doc_id FROM bdocs WHERE b = $b)"
+        else s"""s$b AS MATERIALIZED (
+                |  SELECT d.doc_id FROM bdocs d WHERE d.b = $b
+                |  AND NOT EXISTS (SELECT 1 FROM edges e
+                |    JOIN a${b - 1} p ON e.v = p.doc_id WHERE e.u = d.doc_id))""".stripMargin
+      val cc = s"""r$b(id, r) AS (
+                  |  SELECT e.u, e.u FROM edges e
+                  |    JOIN s$b x ON e.u = x.doc_id JOIN s$b y ON e.v = y.doc_id
+                  |  UNION
+                  |  SELECT e.u, r$b.r FROM edges e
+                  |    JOIN s$b x ON e.u = x.doc_id JOIN s$b y ON e.v = y.doc_id
+                  |    JOIN r$b ON e.v = r$b.id)""".stripMargin
+      val keep = s"""k$b AS MATERIALIZED (
+                    |  SELECT s$b.doc_id FROM s$b
+                    |  LEFT JOIN (SELECT id, min(r) AS cid FROM r$b GROUP BY id) cc
+                    |    ON s$b.doc_id = cc.id
+                    |  WHERE cc.id IS NULL OR cc.cid = s$b.doc_id)""".stripMargin
+      val adm =
+        if (b == 0) s"a$b AS MATERIALIZED (SELECT doc_id FROM k$b)"
+        else s"a$b AS MATERIALIZED (SELECT doc_id FROM a${b - 1} " +
+          s"UNION ALL SELECT doc_id FROM k$b)"
+      Seq(surv, cc, keep, adm).mkString(",\n")
+    }
+    s"""WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+       |bdocs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ((row_number() OVER (ORDER BY doc_id)) - 1)
+       |      // (SELECT greatest(250, (n + 1) // 2) FROM nn) AS b
+       |  FROM documents
+       |),
+       |pairs AS MATERIALIZED (
+       |${DedupQueries.minhashOracle}
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |${stage(0)},
+       |${stage(1)}
+       |SELECT d.doc_id, d.text FROM documents d
+       |JOIN a1 ON d.doc_id = a1.doc_id""".stripMargin
+  }
+
   /** [[psiDriftOracle]]'s arithmetic replayed per micro-batch: the
     * reference histogram is the whole corpus's lang counts, a batch is
     * a cap-sized doc_id-ordered slice (the binding's scaledTriggerCap

@@ -52,12 +52,16 @@ import graft.ops.DedupQueries
   * the replay-during-append edge. */
 object IncrementalDedup {
 
-  /** Bucket fan-out of the band index directory layout. 256 keeps the
-    * per-trigger pruned read to ≲1/256 of the index (uniform bandhash)
-    * while staying far under filesystem directory-count pain; a batch
-    * touching all buckets degrades to the unpartitioned scan, never
-    * worse. */
-  val BandBuckets = 256
+  /** Bucket fan-out of the band index directory layout. 64 balances
+    * the per-trigger pruned read (≲1/64 of the index under uniform
+    * bandhash — a batch touching all buckets degrades to the
+    * unpartitioned scan, never worse) against the dynamic-partition
+    * COMMIT cost every append pays: the commit merges one directory
+    * per non-empty bucket and measures super-linear in dir count
+    * (40k-row append: 256 dirs ≈ 4-6 s, 64 ≈ 1.1 s, 16 ≈ 0.5 s —
+    * BandWriteProbeDrive), so 256 capped trigger throughput at
+    * ~0.2 Hz regardless of batch size. */
+  val BandBuckets = 64
 
   private def exists(spark: SparkSession, path: String): Boolean =
     AtomicStore.exists(spark, path)
@@ -120,9 +124,12 @@ object IncrementalDedup {
   def admitBatch(batch: DataFrame, id: String, text: String,
       threshold: Double, storeDir: String): DataFrame = {
     val spark = batch.sparkSession
+    def phase(s: String): Unit =
+      spark.sparkContext.setJobDescription(s"admitBatch/$s")
     recoverStore(spark, storeDir)
     // two rows sharing an id would both survive within-batch
     // canonicalization (self-pairs are excluded) and double-append
+    phase("requireUnique")
     Admission.requireUnique(batch, "IncrementalDedup.admitBatch", id)
     val docsPath = s"$storeDir/docs"
     val bandsPath = s"$storeDir/bands"
@@ -152,6 +159,7 @@ object IncrementalDedup {
     //    driver-side by construction, not by data size).
     val rejectedByHistory: DataFrame =
       if (exists(spark, bandsPath)) {
+        phase("bucket-discovery")
         val batchBuckets = newBands.select(col("bucket")).distinct()
           .collect().map(_.getInt(0)).toSeq
         val seenBands = bandIndexScan(spark, bandsPath, batchBuckets)
@@ -168,31 +176,58 @@ object IncrementalDedup {
           .join(seenSh, Seq("seen_id"))
           .filter(DedupQueries.jaccardCol(col("sh"), col("sh_seen")) >= threshold)
           .select(col("doc_id")).distinct()
+          // eager checkpoint of the (tiny) rejected-id frame: both the
+          // within-batch pair probe and the admitted build consume
+          // survivors, and without this each re-runs the whole history
+          // verify (band scan + candidate re-shingle + jaccard)
+          .localCheckpoint(true)
       } else spark.range(0).select(col("id").as("doc_id"))
 
     val survivors = newDocs.join(rejectedByHistory, Seq("doc_id"), "left_anti")
 
     // 2. within-batch canonicalization: near-dup pairs among survivors →
-    //    connected clusters → keep the min id of each cluster
-    val pairs = graft.api.Graft.minhashDupes(survivors, "doc_id", "text", threshold)
+    //    connected clusters → keep the min id of each cluster. The
+    //    pairs reuse the CACHED signatures/bands computed above —
+    //    band hashes are a pure function of a doc's own signature, so
+    //    restricting the cached rows to survivors is exactly
+    //    minhashDupes(survivors) without a second kernel pass
+    val sBands = newBands.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cands = sBands.as("x").join(sBands.as("y"),
+        col("x.band") === col("y.band") &&
+        col("x.bandhash") === col("y.bandhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = cands
+      .join(newSigs.select(col("doc_id"), col("sh").as("sh_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(newSigs.select(col("doc_id"), col("sh").as("sh_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .filter(DedupQueries.jaccardCol(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    phase("within-batch-cc")
     val clusters = graft.api.Graft.dupClusters(pairs, "id_a", "id_b")
       .withColumnRenamed("id", "doc_id")
     // localCheckpoint (eager) truncates lineage BEFORE the store writes:
     // the admitted plan reads the store's current files, so a lazy
     // recompute after the appends below would see its own output
+    phase("admitted-checkpoint")
     val admitted = survivors.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
       .select(col("doc_id"), col("text"))
       .localCheckpoint(true)
 
+    phase("docs-append")
     admitted.write.mode(SaveMode.Append).parquet(docsPath)
     // repartition by bucket before the partitioned append: one file per
     // non-empty bucket per batch instead of tasks × buckets tiny files
+    phase("bands-append")
     newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
     newBands.unpersist()
     newSigs.unpersist()
+    phase(null)
     admitted
   }
 

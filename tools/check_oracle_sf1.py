@@ -33,6 +33,8 @@ SKIP = {
                           # PassJoin-blocked (linear emit + equi-join)
     "q_phash_dupes",      # all-pairs hamming oracle; the engine side is
                           # pigeonhole-banded (q_simhash_dupes rule)
+    "q_streaming_neardup",  # two-batch admission replay over the same
+                            # all-pairs jaccard set as q_minhash_dupes
 }
 
 con = duckdb.connect()
