@@ -108,6 +108,8 @@ object SparkEntry {
     "q_streaming_sft"   -> ConnectorQueries.qStreamingSft,
     "q_streaming_psi"   -> ConnectorQueries.qStreamingPsi,
     "q_streaming_neardup" -> ConnectorQueries.qStreamingNeardup,
+    "q_streaming_embed_neardup" -> ConnectorQueries.qStreamingEmbedNeardup,
+    "q_streaming_chunks" -> ConnectorQueries.qStreamingChunks,
     "q_minhash_dupes"   -> DedupQueries.qMinhashDupes,
     "q_simhash"         -> DedupQueries.qSimhash,
     "q_simhash_dupes"   -> ((s, dir) => graft.api.Graft.simhashDupes(
@@ -720,6 +722,12 @@ object SparkEntry {
     // connected components + history rejection against the prior
     // batch's admitted set — the stateful-sequential oracle
     "q_streaming_neardup" -> ConnectorQueries.streamingNeardupOracle,
+    // the vector sibling: same sequential replay over the exact-cosine
+    // pair set, even-vec_id slice
+    "q_streaming_embed_neardup" -> ConnectorQueries.streamingEmbedNeardupOracle,
+    // chunk novelty is the global first occurrence by (doc_id,
+    // chunk_idx) under id-ordered batches — a LINEAR window replay
+    "q_streaming_chunks" -> ConnectorQueries.streamingChunksOracle,
     "q_minhash_dupes" -> DedupQueries.minhashOracle,
     "q_simhash"       -> DedupQueries.simhashOracle,
     "q_simhash_dupes" ->

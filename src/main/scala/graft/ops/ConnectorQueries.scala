@@ -689,6 +689,231 @@ object ConnectorQueries {
     IncrementalDedup.admittedDocs(spark, storeDir.toString)
   }
 
+  /** Streaming chunk-store novelty accounting
+    * ([[graft.streaming.IncrementalChunkStore]]) bound under the
+    * driver hash gate: documents stream in two id-ordered batches,
+    * each batch's gear-CDC chunks anti-join the persisted chunk index
+    * (bucket-pruned), and the per-doc novel-vs-stored accounting rows
+    * accumulate in a parquet sink. Oracle determinism: a chunk
+    * occurrence is novel iff it is the GLOBAL first by
+    * (doc_id, chunk_idx) — within a batch the operator keeps the min
+    * (doc_id, chunk_idx) occurrence per key, and the store holds
+    * exactly the keys of earlier (smaller-id) batches, so under
+    * id-ordered arrival the batch split cannot move novelty — making
+    * [[streamingChunksOracle]] a LINEAR window over the batch
+    * q_cdc_chunks oracle's chunk table (keyed by chunk text ≡ the
+    * store's (fp64, len) key modulo FNV-1a collisions), sf1-checkable
+    * unlike the quadratic near-dup replays.
+    *
+    * 100 TB/continuous shape: per-batch cost ∝ batch + matched
+    * buckets; the store is ~16 B per unique chunk forever. */
+  def qStreamingChunks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalChunkStore
+    val feed = ensureDocsTextStream(spark, dir)
+    val storeDir = Files.createTempDirectory("stream-chunks-")
+    rootsToClean.add(storeDir)
+    val outDir = Files.createTempDirectory("stream-chunks-out-")
+    rootsToClean.add(outDir)
+    // TWO data triggers (the BM25 arm's store-maintenance rationale)
+    val q = readDocsText(spark, FeedInfo(feed.root, feed.triggerCap * 2, 0L))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalChunkStore.admitBatch(batch, "doc_id", "text", storeDir.toString)
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ck-stream-chunks-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "streaming chunk-store gate timed out")
+    q.stop()
+    spark.read.parquet(outDir.toString)
+  }
+
+  /** Global-first-occurrence novelty over the batch CDC chunk table:
+    * one window by chunk text, per-doc aggregate — the id-ordered
+    * two-batch replay collapses to a batch-independent expression
+    * (see [[qStreamingChunks]]). */
+  val streamingChunksOracle: String =
+    s"""${DedupQueries.cdcChunkTextCte},
+       |r AS (
+       |  SELECT doc_id, length(ctext)::BIGINT AS chunk_len,
+       |    row_number() OVER (PARTITION BY ctext
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM c
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS novel_chunks,
+       |  sum(CASE WHEN rn = 1 THEN chunk_len ELSE 0 END)::BIGINT AS novel_chars,
+       |  sum(chunk_len)::BIGINT AS total_chars,
+       |  round(1.0::DOUBLE
+       |    - sum(CASE WHEN rn = 1 THEN chunk_len ELSE 0 END)::DOUBLE
+       |      / sum(chunk_len)::DOUBLE, 6) AS dedup_ratio
+       |FROM r GROUP BY doc_id""".stripMargin
+
+  /** Writes (once per app+dir) ALL embeddings as a single-partition
+    * id-ordered stream — the vector arms' feed. Vectors transport as
+    * array<double> (float→double, double→JSON, JSON→double, and the
+    * final cast back to float are each exact, so the streamed vector
+    * is bit-identical to the fixture's). */
+  private def ensureVecsStream(spark: SparkSession, dir: String): FeedInfo =
+    writtenRoots.synchronized {
+      feedInfos.getOrElseUpdate((spark.sparkContext.applicationId, s"$dir#vecs"), {
+        val r = Files.createTempDirectory("dis-vecs-")
+        rootsToClean.add(r)
+        new FileStreamClient(r).createStream("vecs", 1)
+        val vecs = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        vecs.orderBy(col("vec_id"))
+          .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"),
+            lit(0).as("partition"))
+          .coalesce(1)
+          .write.format("dis")
+          .option("client.root", r.toString).option("stream", "vecs")
+          .mode("append").save()
+        FeedInfo(r, 0L, 0L) // per-arm caps: vector arms derive their own
+      })
+    }
+
+  /** Streaming read of the vectors feed → (vec_id, vec: array<float>). */
+  private def readVecs(spark: SparkSession, root: java.nio.file.Path,
+      cap: Long): DataFrame =
+    spark.readStream.format("dis")
+      .option("client.root", root.toString).option("stream", "vecs")
+      .option("maxRecordsPerTrigger", cap.toString)
+      .load()
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))).as("v"))
+      .select(col("v.vec_id").as("vec_id"),
+        col("v.embedding").cast("array<float>").as("vec"))
+
+  /** Streaming EMBEDDING near-duplicate admission
+    * ([[graft.streaming.IncrementalEmbedDedup]]) bound under the
+    * driver hash gate — [[qStreamingNeardup]]'s vector sibling:
+    * two id-ordered micro-batches, history rejection against the
+    * persisted IVF-bucketed vector index (radius-complete cell
+    * probing → exact rounded-cosine verify at τ = 0.45, the batch
+    * q_embed_neardup cut), within-batch canonicalization via
+    * connected components, min-id keeper. The binding gates the
+    * EVEN-vec_id half of the corpus (the decontamination arm's
+    * slice pattern): the fixture's isotropic embeddings make every
+    * cosine verify pay the documented exhaustive regime, so the
+    * half-corpus slice keeps the arm's quadratic term at ¼ cost while
+    * still carrying cross-batch AND within-batch planted pairs at
+    * both gate scales. [[streamingEmbedNeardupOracle]] replays the
+    * admission exactly as the text arm's oracle does, over the
+    * exact-cosine pair set of q_embed_neardup's oracle restricted to
+    * the slice.
+    *
+    * 100 TB/continuous shape: per batch, cell equi-joins against the
+    * bucket-pruned vector index + verify on candidates only; the
+    * store grows with ADMITTED vectors only. */
+  def qStreamingEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.IncrementalEmbedDedup
+    val feed = ensureVecsStream(spark, dir)
+    val m = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(2)) === 0).count()
+    // per-arm cap (PSI rationale): exactly 2 data batches of the SLICE
+    // at every gate scale. The feed carries all vectors in id order;
+    // the slice filter is map-side, so slice batch boundaries are the
+    // slice's own id-rank halves whatever the feed batching — cap on
+    // the FEED grain that yields 2 slice batches: 2·⌈m/2⌉ feed rows
+    // cover ⌈m/2⌉ slice rows (even ids alternate in the id-ordered
+    // feed), so cap = max(125, m) feed rows per trigger... with m
+    // even-id rows interleaved 1:1, a feed trigger of m rows carries
+    // ⌈m/2⌉ even ids — exactly half the slice
+    val cap = math.max(250L, m)
+    val storeDir = Files.createTempDirectory("stream-embdedup-")
+    rootsToClean.add(storeDir)
+    val q = readVecs(spark, feed.root, cap)
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IncrementalEmbedDedup.admitBatch(batch, "vec_id", "vec", 0.45, storeDir.toString)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("ck-stream-embdedup-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "streaming embed near-dup gate timed out")
+    q.stop()
+    IncrementalEmbedDedup.admittedVecs(spark, storeDir.toString)
+      .select(col("doc_id").as("vec_id"))
+  }
+
+  /** The two-batch embed-admission replay over the even-id slice:
+    * [[graft.ops.SimilarityQueries.neardupOracle]]'s exact rounded
+    * cosine as the pair set, batch = the slice's id-rank halves,
+    * per-batch recursive-CTE connected components, history rejection
+    * via an edge into the prior batch's admitted set. */
+  val streamingEmbedNeardupOracle: String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(range(1, 65), i -> $a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE))"
+    s"""WITH RECURSIVE sl AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+       |),
+       |nn AS (SELECT count(*)::BIGINT AS m FROM sl),
+       |bdocs AS MATERIALIZED (
+       |  SELECT vec_id AS doc_id,
+       |    CASE WHEN row_number() OVER (ORDER BY vec_id)
+       |      <= (SELECT (m + 1) // 2 FROM nn) THEN 0 ELSE 1 END AS b
+       |  FROM sl
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |      round(${dot("a", "b")}
+       |        / sqrt(${dot("a", "a")})
+       |        / sqrt(${dot("b", "b")}), 12) AS cos
+       |    FROM sl a, sl b WHERE a.vec_id < b.vec_id)
+       |  WHERE cos >= 0.45
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |),
+       |s0 AS MATERIALIZED (SELECT doc_id FROM bdocs WHERE b = 0),
+       |r0(id, r) AS (
+       |  SELECT e.u, e.u FROM edges e
+       |    JOIN s0 x ON e.u = x.doc_id JOIN s0 y ON e.v = y.doc_id
+       |  UNION
+       |  SELECT e.u, r0.r FROM edges e
+       |    JOIN s0 x ON e.u = x.doc_id JOIN s0 y ON e.v = y.doc_id
+       |    JOIN r0 ON e.v = r0.id),
+       |k0 AS MATERIALIZED (
+       |  SELECT s0.doc_id FROM s0
+       |  LEFT JOIN (SELECT id, min(r) AS cid FROM r0 GROUP BY id) cc
+       |    ON s0.doc_id = cc.id
+       |  WHERE cc.id IS NULL OR cc.cid = s0.doc_id),
+       |a0 AS MATERIALIZED (SELECT doc_id FROM k0),
+       |s1 AS MATERIALIZED (
+       |  SELECT d.doc_id FROM bdocs d WHERE d.b = 1
+       |  AND NOT EXISTS (SELECT 1 FROM edges e
+       |    JOIN a0 p ON e.v = p.doc_id WHERE e.u = d.doc_id)),
+       |r1(id, r) AS (
+       |  SELECT e.u, e.u FROM edges e
+       |    JOIN s1 x ON e.u = x.doc_id JOIN s1 y ON e.v = y.doc_id
+       |  UNION
+       |  SELECT e.u, r1.r FROM edges e
+       |    JOIN s1 x ON e.u = x.doc_id JOIN s1 y ON e.v = y.doc_id
+       |    JOIN r1 ON e.v = r1.id),
+       |k1 AS MATERIALIZED (
+       |  SELECT s1.doc_id FROM s1
+       |  LEFT JOIN (SELECT id, min(r) AS cid FROM r1 GROUP BY id) cc
+       |    ON s1.doc_id = cc.id
+       |  WHERE cc.id IS NULL OR cc.cid = s1.doc_id),
+       |a1 AS MATERIALIZED (
+       |  SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM k1)
+       |SELECT doc_id AS vec_id FROM a1""".stripMargin
+  }
+
   /** The two-batch admission replay: exact-Jaccard pairs (the
     * q_minhash_dupes oracle — banding is recall-complete on these
     * fixtures, pinned by that gate row at both scales), batch = the

@@ -499,9 +499,12 @@ object DedupQueries {
   def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
     graft.api.Graft.cdcChunks(Tables.documents(spark, dir), "doc_id", "text", CdcW, CdcM)
 
-  /** Per-position windowed gear hashes via list arithmetic (the
-    * winnowOracle pattern) → cut set → chunk reassembly with lag. */
-  val cdcChunksOracle: String =
+  /** The gear-CDC chunk table CTE — (doc_id, chunk_idx, ctext) in
+    * table `c` — shared by [[cdcChunksOracle]] and the streaming
+    * chunk-store arm's oracle: per-position windowed gear hashes via
+    * list arithmetic (the winnowOracle pattern) → cut set → chunk
+    * reassembly with lag. */
+  private[graft] val cdcChunkTextCte: String =
     s"""WITH d AS (
        |  SELECT doc_id, text FROM documents WHERE length(text) >= $CdcW
        |), g AS (
@@ -526,7 +529,10 @@ object DedupQueries {
        |), c AS (
        |  SELECT b.doc_id, chunk_idx, substr(d.text, cstart + 1, cend - cstart) AS ctext
        |  FROM b JOIN d ON b.doc_id = d.doc_id
-       |)
+       |)""".stripMargin
+
+  val cdcChunksOracle: String =
+    s"""$cdcChunkTextCte
        |SELECT doc_id, chunk_idx, length(ctext)::BIGINT AS chunk_len,
        |  ((list_sum(list_transform(string_split(ctext, ''), (c2, i) -> i * ascii(c2)))
        |    * 48271) % 2147483647)::BIGINT AS chunk_hash,

@@ -49,8 +49,10 @@ import org.apache.spark.sql.functions._
 object IncrementalChunkStore {
 
   /** Bucket fan-out of the chunk-index layout (the
-    * [[IncrementalDedup.BandBuckets]] sizing argument). */
-  val ChunkBuckets = 256
+    * [[IncrementalDedup.BandBuckets]] sizing argument — including its
+    * measured dynamic-partition commit tax, which caps per-trigger
+    * append cost ∝ dir count; see BandWriteProbeDrive). */
+  val ChunkBuckets = 64
 
   private def bucketCol = pmod(col("chunk_fp"), lit(ChunkBuckets.toLong)).cast("int")
 

@@ -35,6 +35,8 @@ SKIP = {
                           # pigeonhole-banded (q_simhash_dupes rule)
     "q_streaming_neardup",  # two-batch admission replay over the same
                             # all-pairs jaccard set as q_minhash_dupes
+    "q_streaming_embed_neardup",  # same replay over the all-pairs
+                                  # cosine set (q_embed_neardup rule)
 }
 
 con = duckdb.connect()
