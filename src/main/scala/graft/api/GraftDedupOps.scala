@@ -841,12 +841,23 @@ trait GraftDedupOps { this: Graft.type =>
     * bound on adversarial topologies instead of trusting the comment. */
   private[graft] def dupClustersCounted(pairs: DataFrame, idA: String, idB: String,
       reliable: Boolean = false): (DataFrame, Int) = {
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // the (possibly expensive) pair pipeline is evaluated EXACTLY once,
+    // into this checkpoint — both paths read it from there. (A
+    // limit(cap).collect() probe would be wrong here: CollectLimit
+    // executes incrementally, re-running the pipeline with growing
+    // partition counts until the limit fills — measured 1.8x on
+    // q_dup_clusters when the pair count sits far below the cap.)
+    val edges = checkpointed(pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .unionAll(pairs.select(col(idB).cast("long").as("src"),
+        col(idA).cast("long").as("dst")))
+      .distinct())
     if (!reliable) {
-      // one early-terminating job: ≤ cap+1 rows decide the path, and
-      // when the fast path applies these ARE the edges
-      val probe = pairs.select(col(idA).cast("long"), col(idB).cast("long"))
-        .limit(LocalEdgeCap + 1).collect()
-      if (probe.length <= LocalEdgeCap) {
+      // both directions counted: 2 rows per undirected pair
+      val nEdges = edges.count()
+      if (nEdges <= 2L * LocalEdgeCap) {
         val spark = pairs.sparkSession
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
@@ -856,7 +867,7 @@ trait GraftDedupOps { this: Graft.type =>
           while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
           r
         }
-        probe.foreach { row =>
+        edges.collect().foreach { row =>
           val (a, b) = (row.getLong(0), row.getLong(1))
           parent.putIfAbsent(a, a)
           parent.putIfAbsent(b, b)
@@ -871,18 +882,16 @@ trait GraftDedupOps { this: Graft.type =>
         return (rows.toSeq.toDF("id", "cluster_id"), 0)
       }
     }
-    dupClustersDistributed(pairs, idA, idB, reliable)
+    dupClustersDistributed(edges, reliable)
   }
 
   /** The distributed label-propagation + pointer-jumping loop behind
-    * [[dupClustersCounted]]. */
-  private def dupClustersDistributed(pairs: DataFrame, idA: String, idB: String,
+    * [[dupClustersCounted]], over the pre-materialized undirected
+    * `edges` (src, dst) frame. */
+  private def dupClustersDistributed(edges: DataFrame,
       reliable: Boolean): (DataFrame, Int) = {
     def checkpointed(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    val edges = checkpointed(pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct())
     var labels = checkpointed(edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
     // labels only ever decrease, so the label sum is a strictly

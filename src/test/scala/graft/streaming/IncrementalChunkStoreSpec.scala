@@ -45,6 +45,41 @@ class IncrementalChunkStoreSpec extends SparkTestBase {
   // chars == Σ chunk_len over the stored keys, so key-set invariance
   // implies the old novelty-sum assertion.
 
+  test("id-ordered batches: per-doc novelty equals the global-first-occurrence " +
+      "window (the q_streaming_chunks oracle claim)") {
+    // shared + repeated chunks across docs: doc 1 and 3 share a body,
+    // doc 2 repeats doc 1's body internally, doc 4 is fresh
+    val body = rnd(21, 1500)
+    val docs = Seq(
+      1L -> (body + rnd(22, 500)),
+      2L -> (body + body),
+      3L -> (rnd(23, 400) + body),
+      4L -> rnd(24, 1200))
+    // stream shape: two id-ordered batches
+    val store = Files.createTempDirectory("chunkstore-oracle-").toString
+    val streamed = (admit(docs.take(2), store).collect() ++
+      admit(docs.drop(2), store).collect())
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("novel_chunks"), r.getAs[Long]("novel_chars")))).toMap
+    // oracle shape: one window over the whole corpus — novel iff the
+    // occurrence is the global first by (doc_id, chunk_idx)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_fp"), col("chunk_len"))
+      .orderBy(col("__id"), col("chunk_idx"))
+    val oracle = graft.api.Graft
+      .cdcChunkRows(docs.toDF("doc_id", "text"), "doc_id", "text", 16, 64L)
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("__id"))
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("novel_chunks"),
+        sum(when(col("__rn") === 1, col("chunk_len")).otherwise(0L)).as("novel_chars"))
+      .collect()
+      .map(r => r.getAs[Long]("__id") ->
+        ((r.getAs[Long]("novel_chunks"), r.getAs[Long]("novel_chars")))).toMap
+    assert(streamed === oracle,
+      "streamed per-doc novelty diverged from the global-first window")
+  }
+
   test("replayed batch reports zero novelty and leaves the store unchanged") {
     val store = Files.createTempDirectory("chunkstore-replay-").toString
     val batch = Seq(1L -> rnd(7, 2000), 2L -> rnd(8, 2000))
