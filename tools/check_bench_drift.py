@@ -143,7 +143,7 @@ def main():
               f"{loadavg[1]} at end (includes own work)"
               + (" — CONTENDED (host-steal regime)" if contended else ""))
 
-    drifted, new = [], []
+    drifted, new, unflagged_ratios = [], [], []
     for q, t in sorted(cur.items()):
         if q == "_warmup":
             continue
@@ -156,10 +156,56 @@ def main():
             continue
         if t > factor * ref[q] and t > MIN_FLAG_SECONDS:
             drifted.append((q, t, ref[q], t / ref[q]))
+        elif t >= MIN_FLAG_SECONDS:
+            unflagged_ratios.append(t / ref[q])
+
+    # Host-regime factor: the loadavg gate only sees external steal at
+    # session start; a JVM-soaked host can run everything 2-3x slow at
+    # near-zero loadavg (the round-9/round-16 regime). The UNFLAGGED
+    # pinned queries >= MIN_FLAG_SECONDS act as in-run controls: their
+    # median ratio-to-pin is ~1.0-1.2 on a healthy host. Two regimes:
+    #  - UNIFORM (median >= REGIME_FACTOR): the whole run is 1.4x+ —
+    #    the judge's isolated-box case (controls read 2-3x). Every
+    #    flag measures the host.
+    #  - TAIL (>= max(TAIL_MIN_COUNT, TAIL_MIN_FRAC of controls) read
+    #    >= TAIL_RATIO): the run had degraded windows that inflated a
+    #    subset — the r16 driver-run case (median 1.10 but 15/118
+    #    controls at 1.5-1.9x alongside 5 flags at 2.0-3.5x).
+    #    Calibration: r16 sf0.1 run 15/118 >= 1.5 (fires); builder's
+    #    idle 0-drift sf1 run 6/61 (stays quiet); a healthy run with
+    #    one true regression (r14 q_distinct_kmv class) has quiet
+    #    controls and stays un-annotated — synthetic negative pinned
+    #    in BASELINE.md round-17 notes.
+    REGIME_FACTOR = 1.4
+    TAIL_RATIO = 0.75 * factor     # 1.5 at the default 2.0 gate
+    TAIL_MIN_COUNT, TAIL_MIN_FRAC = 8, 0.10
+    regime = (sorted(unflagged_ratios)[len(unflagged_ratios) // 2]
+              if unflagged_ratios else None)
+    tail_n = sum(1 for r in unflagged_ratios if r >= TAIL_RATIO)
+    tail_gate = max(TAIL_MIN_COUNT, TAIL_MIN_FRAC * len(unflagged_ratios))
+    degraded = regime is not None and regime >= REGIME_FACTOR
+    tail_degraded = (not degraded) and unflagged_ratios and tail_n >= tail_gate
+    if regime is not None:
+        print(f"regime factor: median ratio-to-pin over "
+              f"{len(unflagged_ratios)} unflagged controls >= "
+              f"{MIN_FLAG_SECONDS:g}s = {regime:.2f}; "
+              f"{tail_n} controls >= {TAIL_RATIO:g}x (tail gate "
+              f"{tail_gate:.1f})"
+              + (f" — HOST-REGIME DEGRADED (median >= {REGIME_FACTOR:g}): "
+                 "flags below measure the host, not the code"
+                 if degraded else "")
+              + (" — TAIL-DEGRADED: run had slow windows; flags below are "
+                 "contention-suspect" if tail_degraded else ""))
 
     suffix = (f" [contention-suspect: load ≥ {CONTENTION_LOAD:g} during run "
               "— re-measure idle before treating as regression]"
               if contended else "")
+    if degraded:
+        suffix += (f" [host-regime — re-measure: run's own controls at "
+                   f"{regime:.2f}x their pins]")
+    elif tail_degraded:
+        suffix += (f" [host-regime (tail) — re-measure: {tail_n} unflagged "
+                   f"controls read >= {TAIL_RATIO:g}x their pins]")
     for q, t, r, ratio in drifted:
         print(f"DRIFT {q}: {t:.2f}s vs reference {r:.2f}s ({ratio:.1f}x){suffix}")
     for q, t in new:
