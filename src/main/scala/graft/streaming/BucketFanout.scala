@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Size-adaptive bucket fan-out for the directory-partitioned
+  * incremental indexes ([[IncrementalDedup]] band store,
+  * [[IncrementalChunkStore]] chunk store).
+  *
+  * The fan-out trades two costs that move in opposite directions:
+  *  - per-trigger PRUNED READ ≈ touched_buckets/fanout of the index —
+  *    shrinks with fan-out (a small batch touches ≤ its own key count
+  *    of buckets, so only a high fan-out keeps the read a small
+  *    fraction once the index is large);
+  *  - per-trigger dynamic-partition COMMIT — grows super-linearly with
+  *    non-empty dir count (measured, BandWriteProbeDrive: 40k-row
+  *    append at 256 dirs ≈ 4-6 s, 64 ≈ 1.1 s, 16 ≈ 0.5 s).
+  *
+  * A FIXED fan-out is therefore wrong at one end or the other: 256
+  * capped trigger throughput at ~0.2 Hz on kilobyte stores (the r16
+  * finding), while 64 at a 100 TB admitted corpus makes each bucket
+  * ~1.5 TB and the per-trigger read grows linearly with history again.
+  * The schedule below starts at 64 and grows 64 → 256 → 1024 at store
+  * size thresholds where the scan a higher fan-out saves dwarfs the
+  * extra commit seconds (defaults: 4 GiB and 64 GiB — at 4 GiB a
+  * small-batch trigger reads ~3.7 GiB under 64 buckets vs ~1.9 GiB
+  * under 256, saving seconds per trigger for a one-time rewrite;
+  * thresholds are runtime conf so drives can cross a boundary at
+  * fixture scale). Growth is MONOTONIC (max(actual, scheduled)) — a
+  * store is never re-bucketed downward, so byte counts hovering at a
+  * threshold cannot churn rewrites, and legacy 256-bucket stores keep
+  * their layout instead of paying a shrink.
+  *
+  * The store's actual fan-out travels WITH the store as a `_fanout`
+  * manifest file at the index root (underscore-prefixed, so Spark's
+  * partition discovery ignores it; it rides through [[AtomicStore]]
+  * swaps because the rewrite stamps it into the temp dir). Stores
+  * written before the manifest existed are detected from the occupied
+  * `bucket=` dirs: max value + 1, rounded UP to a power of two, floor
+  * [[Base]]. Rounding makes under-detection harmless: for powers of
+  * two F1 ≤ F2, pmod(h, F1) = pmod(h, F2) mod F1, so a store whose
+  * occupied dirs all sit below a smaller power of two is
+  * bucket-COMPATIBLE with that smaller fan-out (every row sits in the
+  * dir the smaller modulus predicts, and the dirs the smaller modulus
+  * cannot reach are empty). Without this reconciliation, a fan-out
+  * constant change silently broke pruning: history rows in dirs ≥ the
+  * new modulus were never scanned and their near-dups re-admitted —
+  * the ADVICE r16 finding, pinned in IncrementalDedupSpec. */
+private[streaming] object BucketFanout {
+
+  /** Fan-out floor and the value every store starts at. */
+  val Base = 64
+
+  /** Runtime-settable thresholds (bytes of index data at which the
+    * scheduled fan-out becomes 256 / 1024). */
+  val GrowAt256Key = "spark.graft.store.growAt256Bytes"
+  val GrowAt1024Key = "spark.graft.store.growAt1024Bytes"
+  val DefaultGrowAt256: Long = 4L << 30
+  val DefaultGrowAt1024: Long = 64L << 30
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The scheduled fan-out for an index currently holding `storeBytes`. */
+  def scheduled(spark: SparkSession, storeBytes: Long): Int = {
+    val g256 = spark.conf.get(GrowAt256Key, DefaultGrowAt256.toString).toLong
+    val g1024 = spark.conf.get(GrowAt1024Key, DefaultGrowAt1024.toString).toLong
+    if (storeBytes >= g1024) 1024 else if (storeBytes >= g256) 256 else Base
+  }
+
+  /** Total data bytes under the index dir (metadata-only probe). */
+  def dirBytes(spark: SparkSession, path: String): Long =
+    fs(spark, path).getContentSummary(new Path(path)).getLength
+
+  /** Stamp the store's fan-out manifest (idempotent overwrite). */
+  def writeManifest(spark: SparkSession, indexDir: String, fanout: Int): Unit = {
+    val out = fs(spark, indexDir).create(new Path(indexDir, "_fanout"), true)
+    try out.write(fanout.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, indexDir: String): Option[Int] = {
+    val p = new Path(indexDir, "_fanout")
+    val f = fs(spark, indexDir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def nextPow2(n: Int): Int = {
+    var p = 1
+    while (p < n) p <<= 1
+    p
+  }
+
+  /** The fan-out the persisted `bucket=` dir values were computed
+    * with: the stamped manifest, else the pre-manifest detection
+    * described above. `Base` for an empty/dir-less index. */
+  def storeFanout(spark: SparkSession, indexDir: String): Int =
+    readManifest(spark, indexDir).getOrElse {
+      val dirs = fs(spark, indexDir).listStatus(new Path(indexDir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+      if (dirs.isEmpty) Base else math.max(nextPow2(dirs.max + 1), Base)
+    }
+
+  /** The fan-out a maintenance rewrite should target right now:
+    * monotonic max of the store's actual fan-out and the size
+    * schedule. */
+  def target(spark: SparkSession, indexDir: String): Int =
+    math.max(storeFanout(spark, indexDir),
+      scheduled(spark, dirBytes(spark, indexDir)))
+}

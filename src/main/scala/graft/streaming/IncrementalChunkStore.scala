@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *
   * Store layout under `storeDir`: `chunks/` — (chunk_fp, chunk_len)
   * keys of every chunk seen, parquet, directory-partitioned by
-  * `bucket = pmod(chunk_fp, ChunkBuckets)`. Matching is by the 64-bit
+  * `bucket = pmod(chunk_fp, fanout)` (fan-out starts at
+  * [[ChunkBuckets]], grows with store size per [[BucketFanout]], and
+  * is stamped in `chunks/_fanout`). Matching is by the 64-bit
   * FNV-1a fingerprint + length (fpp ≈ n²/2⁶⁴ per equal-length pair —
   * the standard chunk-store tradeoff; the store never needs chunk
   * BYTES for accounting, which keeps it ~16 B per unique chunk).
@@ -48,13 +50,48 @@ import org.apache.spark.sql.functions._
   * the store converges. */
 object IncrementalChunkStore {
 
-  /** Bucket fan-out of the chunk-index layout (the
+  /** STARTING bucket fan-out of the chunk-index layout (the
     * [[IncrementalDedup.BandBuckets]] sizing argument — including its
     * measured dynamic-partition commit tax, which caps per-trigger
-    * append cost ∝ dir count; see BandWriteProbeDrive). */
-  val ChunkBuckets = 64
+    * append cost ∝ dir count; see BandWriteProbeDrive). Size-adaptive:
+    * grows 64 → 256 → 1024 at the [[BucketFanout]] byte thresholds via
+    * a crash-safe re-bucketing; the store's actual fan-out is stamped
+    * in `chunks/_fanout` and every batch buckets with it. */
+  val ChunkBuckets: Int = BucketFanout.Base
 
-  private def bucketCol = pmod(col("chunk_fp"), lit(ChunkBuckets.toLong)).cast("int")
+  private def bucketCol(fanout: Int) =
+    pmod(col("chunk_fp"), lit(fanout.toLong)).cast("int")
+
+  /** The fan-out the persisted chunk index is bucketed at. */
+  def storeFanout(spark: SparkSession, storeDir: String): Int =
+    BucketFanout.storeFanout(spark, s"$storeDir/chunks")
+
+  /** The chunk-store rewrite at `fanout`: (re)bucket every key from its
+    * own fingerprint, dedup, cluster by join keys, stamp the manifest. */
+  private def chunksRewrite(spark: SparkSession, fanout: Int)(
+      live: String, tmp: String): Unit = {
+    spark.read.parquet(live)
+      .select(col("chunk_fp"), col("chunk_len"))
+      .withColumn("bucket", bucketCol(fanout)).distinct()
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("chunk_fp"), col("chunk_len"))
+      .write.partitionBy("bucket").parquet(tmp)
+    BucketFanout.writeManifest(spark, tmp, fanout)
+  }
+
+  /** Reconcile the persisted layout with the size schedule (grow the
+    * fan-out crash-safely past a threshold; stamp pre-manifest stores)
+    * and return the fan-out this batch must bucket with. Monotonic. */
+  private def reconcileFanout(spark: SparkSession, storeDir: String,
+      chunksPath: String): Int = {
+    if (!AtomicStore.exists(spark, chunksPath))
+      return BucketFanout.scheduled(spark, 0L)
+    val actual = BucketFanout.storeFanout(spark, chunksPath)
+    val t = BucketFanout.target(spark, chunksPath)
+    if (t != actual) AtomicStore.swapIn(spark, storeDir, "chunks")(chunksRewrite(spark, t))
+    else BucketFanout.writeManifest(spark, chunksPath, actual)
+    t
+  }
 
   private[streaming] def recoverStore(spark: SparkSession, storeDir: String): Unit =
     AtomicStore.recover(spark, storeDir, Seq("chunks"))
@@ -77,11 +114,12 @@ object IncrementalChunkStore {
     // per-doc novelty accounting would silently merge their chunks
     Admission.requireUnique(batch, "IncrementalChunkStore.admitBatch", id)
     val chunksPath = s"$storeDir/chunks"
+    val fanout = reconcileFanout(spark, storeDir, chunksPath)
 
     val rows = graft.api.Graft
       .cdcChunkRows(batch.select(col(id), col(text)), id, text, window, modulus)
       .select(col("__id"), col("chunk_idx"), col("chunk_len"), col("chunk_fp"))
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", bucketCol(fanout))
       .cache()
 
     // 1. history: does the chunk key already exist in the store?
@@ -127,6 +165,7 @@ object IncrementalChunkStore {
       .select(col("chunk_fp"), col("chunk_len"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(chunksPath)
+    BucketFanout.writeManifest(spark, chunksPath, fanout)
     rows.unpersist()
     perDoc
   }
@@ -148,12 +187,9 @@ object IncrementalChunkStore {
     * [[AtomicStore.swapIn]] under the single-operator contract. */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
-    AtomicStore.swapIn(spark, storeDir, "chunks") { (live, tmp) =>
-      spark.read.parquet(live)
-        .select(col("chunk_fp"), col("chunk_len"), col("bucket")).distinct()
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("chunk_fp"), col("chunk_len"))
-        .write.partitionBy("bucket").parquet(tmp)
+    if (AtomicStore.exists(spark, s"$storeDir/chunks")) {
+      val f = BucketFanout.target(spark, s"$storeDir/chunks")
+      AtomicStore.swapIn(spark, storeDir, "chunks")(chunksRewrite(spark, f))
     }
   }
 }

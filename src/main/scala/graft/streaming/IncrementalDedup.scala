@@ -21,7 +21,10 @@ import graft.ops.DedupQueries
   * Store layout under `storeDir` (both plain parquet, append-only):
   *  - `docs/`  — admitted (doc_id, text)
   *  - `bands/` — admitted LSH band rows (doc_id, band, bandhash),
-  *    directory-partitioned by `bucket = pmod(bandhash, BandBuckets)`
+  *    directory-partitioned by `bucket = pmod(bandhash, fanout)` where
+  *    the fan-out starts at [[BandBuckets]] and grows with store size
+  *    (see [[BucketFanout]]; the store's actual fan-out is stamped in
+  *    `bands/_fanout`)
   *
   * Scale shape — per-batch cost is ∝ batch + candidates, NOT history:
   * the batch's band rows equi-join the PERSISTED band table (no
@@ -52,21 +55,27 @@ import graft.ops.DedupQueries
   * the replay-during-append edge. */
 object IncrementalDedup {
 
-  /** Bucket fan-out of the band index directory layout. 64 balances
-    * the per-trigger pruned read (≲1/64 of the index under uniform
-    * bandhash — a batch touching all buckets degrades to the
-    * unpartitioned scan, never worse) against the dynamic-partition
-    * COMMIT cost every append pays: the commit merges one directory
-    * per non-empty bucket and measures super-linear in dir count
-    * (40k-row append: 256 dirs ≈ 4-6 s, 64 ≈ 1.1 s, 16 ≈ 0.5 s —
-    * BandWriteProbeDrive), so 256 capped trigger throughput at
-    * ~0.2 Hz regardless of batch size. */
-  val BandBuckets = 64
+  /** STARTING bucket fan-out of the band index directory layout
+    * (= [[BucketFanout.Base]]). 64 balances the per-trigger pruned
+    * read against the dynamic-partition COMMIT cost every append pays
+    * (super-linear in dir count — 40k-row append: 256 dirs ≈ 4-6 s,
+    * 64 ≈ 1.1 s, 16 ≈ 0.5 s, BandWriteProbeDrive) on a SMALL store.
+    * The fan-out is size-adaptive: it grows 64 → 256 → 1024 at the
+    * [[BucketFanout]] byte thresholds via a crash-safe
+    * [[AtomicStore.swapIn]] re-bucketing, because at a 100 TB admitted
+    * corpus a fixed 64 makes each bucket ~1.5 TB and the per-trigger
+    * read grows linearly with history again. The store's ACTUAL
+    * fan-out is stamped in a `bands/_fanout` manifest (detected from
+    * the occupied dirs for pre-manifest stores) and every batch
+    * buckets with it — a constant/schedule change can never desync
+    * probe buckets from persisted dir values. */
+  val BandBuckets: Int = BucketFanout.Base
 
   private def exists(spark: SparkSession, path: String): Boolean =
     AtomicStore.exists(spark, path)
 
-  private def bucketCol = pmod(col("bandhash"), lit(BandBuckets.toLong)).cast("int")
+  private def bucketCol(fanout: Int) =
+    pmod(col("bandhash"), lit(fanout.toLong)).cast("int")
 
   /** Whether the band store at `bandsPath` has the bucket directory
     * layout (any `bucket=` child). A store written before bucketing —
@@ -82,18 +91,26 @@ object IncrementalDedup {
   /** The band-index scan a batch with band-rows in `buckets` performs:
     * a static `IN` filter on the partition directory column, so Spark
     * plans the read over only those buckets' files (visible as
-    * `numFiles` in the scan metrics). Exposed for the spec that pins
-    * the pruning. Pre-bucketing stores (no `bucket` dir column) fall
-    * back to a full scan with the bucket derived — correct, unpruned;
-    * `compactStore` migrates them. */
+    * `numFiles` in the scan metrics). `buckets` must be computed at the
+    * store's own fan-out ([[storeFanout]]) — admitBatch reconciles
+    * before probing. Exposed for the spec that pins the pruning.
+    * Pre-bucketing stores (no `bucket` dir column) fall back to a full
+    * scan with the bucket derived — correct, unpruned; `compactStore`
+    * migrates them. */
   private[streaming] def bandIndexScan(spark: SparkSession, bandsPath: String,
       buckets: Seq[Int]): DataFrame = {
     val raw = spark.read.parquet(bandsPath)
     if (raw.columns.contains("bucket"))
       raw.filter(col("bucket").isin(buckets.map(Int.box): _*))
-    else raw.withColumn("bucket", bucketCol)
+    else raw.withColumn("bucket", bucketCol(BucketFanout.storeFanout(spark, bandsPath)))
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
   }
+
+  /** The fan-out the persisted band index is bucketed at (manifest, or
+    * occupied-dir detection for pre-manifest stores). Exposed for
+    * specs/drives. */
+  def storeFanout(spark: SparkSession, storeDir: String): Int =
+    BucketFanout.storeFanout(spark, s"$storeDir/bands")
 
   /** Roll the store forward past a compaction crash ([[AtomicStore
     * .recover]] semantics); called by every store entry point. */
@@ -104,19 +121,46 @@ object IncrementalDedup {
       rewrite: (String, String) => Unit): Unit =
     AtomicStore.swapIn(spark, storeDir, sub)(rewrite)
 
-  /** The band-store rewrite: acquire (or keep) the bucket directory
-    * layout, one file per non-empty bucket, rows clustered by the join
-    * keys. Shared by [[compactStore]] and the in-place migration a
-    * pre-bucketing store gets on its first post-upgrade append. */
-  private def bandsRewrite(spark: SparkSession)(live: String, tmp: String): Unit = {
-    val raw = spark.read.parquet(live)
-    val bucketed =
-      if (raw.columns.contains("bucket")) raw
-      else raw.withColumn("bucket", bucketCol) // migrate pre-bucketing store
-    bucketed
+  /** The band-store rewrite at `fanout`: (re)bucket every row from its
+    * own bandhash, one file per non-empty bucket, rows clustered by the
+    * join keys, manifest stamped into the rewrite so it rides the swap.
+    * Shared by [[compactStore]], the in-place migration a pre-bucketing
+    * store gets on its first post-upgrade append, and the size-adaptive
+    * fan-out growth. */
+  private def bandsRewrite(spark: SparkSession, fanout: Int)(
+      live: String, tmp: String): Unit = {
+    spark.read.parquet(live)
+      .withColumn("bucket", bucketCol(fanout))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col("band"), col("bandhash"))
       .write.partitionBy("bucket").parquet(tmp)
+    BucketFanout.writeManifest(spark, tmp, fanout)
+  }
+
+  /** Reconcile the persisted layout with the size schedule and return
+    * the fan-out THIS batch must bucket with: migrates flat
+    * (pre-bucketing) stores, grows the fan-out crash-safely when the
+    * store crossed a [[BucketFanout]] threshold, and otherwise just
+    * reads the store's stamped/detected fan-out. Monotonic — never
+    * re-buckets downward. */
+  private def reconcileFanout(spark: SparkSession, storeDir: String,
+      bandsPath: String): Int = {
+    if (!exists(spark, bandsPath))
+      return BucketFanout.scheduled(spark, 0L)
+    // A pre-bucketing store (flat parquet at bands/ root) must be
+    // migrated BEFORE any partitioned append: bucket= dirs next to flat
+    // files fail Spark's partition discovery ("Conflicting directory
+    // structures") on the next read — the store would be bricked.
+    if (!bandsBucketed(spark, bandsPath)) {
+      val f = BucketFanout.target(spark, bandsPath)
+      swapIn(spark, storeDir, "bands")(bandsRewrite(spark, f))
+      return f
+    }
+    val actual = BucketFanout.storeFanout(spark, bandsPath)
+    val t = BucketFanout.target(spark, bandsPath)
+    if (t != actual) swapIn(spark, storeDir, "bands")(bandsRewrite(spark, t))
+    else BucketFanout.writeManifest(spark, bandsPath, actual) // stamp pre-manifest stores
+    t
   }
 
   /** Run one admission step; appends admitted docs + their band rows to
@@ -134,14 +178,12 @@ object IncrementalDedup {
     val docsPath = s"$storeDir/docs"
     val bandsPath = s"$storeDir/bands"
 
-    // A pre-bucketing store (flat parquet at bands/ root) must be
-    // migrated BEFORE the partitioned append below: bucket= dirs next
-    // to flat files fail Spark's partition discovery ("Conflicting
-    // directory structures") on the next read — the store would be
-    // bricked. One forced compaction-shaped rewrite; every later batch
-    // sees the bucketed layout (and its pruned read).
-    if (exists(spark, bandsPath) && !bandsBucketed(spark, bandsPath))
-      swapIn(spark, storeDir, "bands")(bandsRewrite(spark))
+    // Reconcile layout first: flat-store migration, size-adaptive
+    // fan-out growth, pre-manifest detection — after this, `fanout` is
+    // BOTH what the persisted dirs were bucketed with and what this
+    // batch buckets with, so probe values always match dir values.
+    phase("reconcile-fanout")
+    val fanout = reconcileFanout(spark, storeDir, bandsPath)
 
     val newDocs = batch.select(col(id).as("doc_id"), col(text).as("text"))
     // cached: reused for history verify AND the admitted band append, so
@@ -150,12 +192,13 @@ object IncrementalDedup {
     // also cached: the bucket-discovery collect below is its own action,
     // and bandsOf's posexplode would otherwise re-run for it before the
     // candidate join and the band append reuse the rows
-    val newBands = DedupQueries.bandsOf(newSigs).withColumn("bucket", bucketCol).cache()
+    val newBands = DedupQueries.bandsOf(newSigs)
+      .withColumn("bucket", bucketCol(fanout)).cache()
 
     // 1. history rejection: batch bands ⋈ persisted band index →
     //    candidate (new, seen) pairs → exact verify on shingles of the
     //    candidate subset only. The index read is pruned to the batch's
-    //    own bucket directories (≤ BandBuckets literals — bounded
+    //    own bucket directories (≤ fanout literals — bounded
     //    driver-side by construction, not by data size).
     val rejectedByHistory: DataFrame =
       if (exists(spark, bandsPath)) {
@@ -225,6 +268,9 @@ object IncrementalDedup {
     newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
+    // stamp the fan-out the dirs were just written at (first append
+    // creates the store; later appends overwrite with the same value)
+    BucketFanout.writeManifest(spark, bandsPath, fanout)
     newBands.unpersist()
     newSigs.unpersist()
     phase(null)
@@ -261,14 +307,17 @@ object IncrementalDedup {
     * forever — so the contract, not a marker, carries this.)
     *
     * Bands keep (or, for a pre-bucketing store, acquire) the bucket
-    * directory layout, ending at one file per non-empty bucket with
-    * rows clustered by the join keys — so the per-batch pruned read
-    * opens exactly one file per probed bucket. */
+    * directory layout at the size-scheduled fan-out, ending at one file
+    * per non-empty bucket with rows clustered by the join keys — so the
+    * per-batch pruned read opens exactly one file per probed bucket. */
   def compactStore(spark: SparkSession, storeDir: String, parts: Int = 16): Unit = {
     recoverStore(spark, storeDir) // clears any crashed prior compaction
     swapIn(spark, storeDir, "docs") { (live, tmp) =>
       spark.read.parquet(live).repartition(parts).write.parquet(tmp)
     }
-    swapIn(spark, storeDir, "bands")(bandsRewrite(spark))
+    if (exists(spark, s"$storeDir/bands")) {
+      val f = BucketFanout.target(spark, s"$storeDir/bands")
+      swapIn(spark, storeDir, "bands")(bandsRewrite(spark, f))
+    }
   }
 }

@@ -129,4 +129,35 @@ class IncrementalChunkStoreSpec extends SparkTestBase {
       "chunk index lost in the rename window")
     assert(fs.exists(new org.apache.hadoop.fs.Path(chunksPath)), "live index not restored")
   }
+
+  test("size-adaptive fan-out growth: novelty accounting identical across " +
+      "a 64 -> 256 migration, pre-migration chunks still dedup") {
+    def run(store: String): Seq[Map[Long, Long]] =
+      Seq(
+        Seq(1L -> rnd(11, 3000), 2L -> rnd(12, 3000)),
+        Seq(3L -> rnd(13, 3000), 4L -> rnd(11, 3000)), // 4 = replay of 1's text
+        Seq(5L -> ("X" + rnd(12, 3000)))               // edited 2 → high dedup
+      ).map(b => admit(b, store).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("novel_chars")).toMap)
+
+    val fixed = Files.createTempDirectory("chunkstore-fixed-").toString
+    val adaptive = Files.createTempDirectory("chunkstore-adapt-").toString
+    val control = run(fixed)
+    try {
+      spark.conf.set(BucketFanout.GrowAt256Key, "1")
+      val grown = run(adaptive)
+      assert(grown === control,
+        s"novelty accounting diverged across the migration: $grown vs $control")
+      assert(IncrementalChunkStore.storeFanout(spark, adaptive) === 256,
+        "adaptive chunk store did not migrate")
+      assert(IncrementalChunkStore.storeFanout(spark, fixed) === 64)
+      assert(IncrementalChunkStore.storedChunks(spark, adaptive).count() ===
+        IncrementalChunkStore.storedChunks(spark, fixed).count())
+      // the re-bucketed dirs are self-consistent with the new fan-out
+      val bad = spark.read.parquet(s"$adaptive/chunks")
+        .filter(col("bucket") =!= pmod(col("chunk_fp"), lit(256L)).cast("int"))
+        .count()
+      assert(bad === 0L, s"$bad chunk keys in dirs inconsistent with fan-out 256")
+    } finally spark.conf.unset(BucketFanout.GrowAt256Key)
+  }
 }

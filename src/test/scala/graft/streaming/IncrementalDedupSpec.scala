@@ -330,6 +330,84 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(IncrementalDedup.admittedDocs(spark, fsRoot)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
+
+  test("a legacy store bucketed at a HIGHER fan-out (no manifest) is " +
+      "detected from its dirs: history witnesses in dirs >= 64 are still " +
+      "probed and their near-dups rejected") {
+    import graft.ops.DedupQueries
+    // the ADVICE r16 regression: a store written when the fan-out
+    // constant was 256 has bucket dirs up to 255; probing it with
+    // mod-64 bucket values never scans dirs >= 64, so a doc whose ONLY
+    // shared-band witnesses live there is silently re-admitted. Build
+    // that store exactly: one admitted doc whose band index contains
+    // ONLY its dirs->=64 rows (admission needs one witness; verify
+    // re-shingles the full text).
+    val store = Files.createTempDirectory("incdedup-legacy-").toString
+    val seed = spark.createDataFrame(Seq(doc(1L, "g"))).toDF("doc_id", "text")
+    seed.write.parquet(s"$store/docs")
+    val highBands = DedupQueries.bandsOf(
+        DedupQueries.signatures(seed, "doc_id", "text"))
+      .withColumn("bucket", pmod(col("bandhash"), lit(256L)).cast("int"))
+      .filter(col("bucket") >= 64)
+    assert(highBands.count() > 0, "fixture vacuous: no band landed in a dir >= 64")
+    highBands.repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$store/bands")
+
+    val detected = IncrementalDedup.storeFanout(spark, store)
+    val maxDir = new java.io.File(s"$store/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).max
+    assert(detected >= maxDir + 1 && Integer.bitCount(detected) === 1 &&
+      detected >= IncrementalDedup.BandBuckets,
+      s"detected fan-out $detected does not cover max dir $maxDir")
+
+    // near-dup of the seeded doc + a novel doc: pre-fix code admits BOTH
+    // (all witnesses live in unprobed dirs); fixed code rejects the dup
+    val out = admit(Seq(2L -> (doc(1L, "g")._2 + " zz"), 3L -> doc(3L, "h")._2), store)
+    assert(out.collect().map(_.getLong(0)).toSet === Set(3L),
+      "near-dup re-admitted: legacy high-fan-out dirs were not probed")
+    // the store is now stamped and stays at the detected fan-out
+    assert(IncrementalDedup.storeFanout(spark, store) === detected)
+    // appended rows bucket consistently: every dir value is the row's
+    // own bandhash mod the detected fan-out
+    val bad = spark.read.parquet(s"$store/bands")
+      .filter(col("bucket") =!= pmod(col("bandhash"), lit(detected.toLong)).cast("int"))
+      .count()
+    assert(bad === 0L, s"$bad band rows in dirs inconsistent with fan-out $detected")
+  }
+
+  test("size-adaptive fan-out growth: admission decisions identical across " +
+      "a 64 -> 256 migration, cross-boundary history still rejects") {
+    val fixed = Files.createTempDirectory("incdedup-fixed-").toString
+    val adaptive = Files.createTempDirectory("incdedup-adapt-").toString
+    val b1 = Seq(doc(1L, "p"), 2L -> (doc(1L, "p")._2 + " ax"), doc(3L, "q"))
+    val b2 = Seq(4L -> (doc(1L, "p")._2 + " ay"), doc(5L, "r"))
+    val b3 = Seq(6L -> (doc(3L, "q")._2 + " by"), doc(7L, "s"))
+    def run(store: String): Seq[Set[Long]] =
+      Seq(b1, b2, b3).map(b => admit(b, store).collect().map(_.getLong(0)).toSet)
+
+    val control = run(fixed) // default thresholds: stays at 64
+    try {
+      // 1-byte threshold: batch 1 creates the store at 64 (empty store
+      // schedules Base), batch 2's reconcile sees bytes >= 1 and grows
+      spark.conf.set(BucketFanout.GrowAt256Key, "1")
+      val grown = run(adaptive)
+      assert(grown === control,
+        s"admission diverged across the migration: $grown vs $control")
+      assert(IncrementalDedup.storeFanout(spark, adaptive) === 256,
+        "adaptive store did not migrate")
+      assert(IncrementalDedup.storeFanout(spark, fixed) === 64)
+      // batch-1 history (written at 64, re-bucketed to 256) still
+      // rejects: replayed batch-1 docs self-match post-migration
+      assert(admit(b1.map { case (i, t) => (i + 100L, t) }, adaptive).count() === 0L,
+        "pre-migration history lost its rejection power")
+      // growth is monotonic: removing the override cannot shrink 256
+      spark.conf.unset(BucketFanout.GrowAt256Key)
+      admit(Seq(doc(50L, "z")), adaptive)
+      assert(IncrementalDedup.storeFanout(spark, adaptive) === 256,
+        "fan-out shrank after the threshold override was removed")
+    } finally spark.conf.unset(BucketFanout.GrowAt256Key)
+  }
 }
 
 object IncrementalDedupSpec {
