@@ -825,7 +825,13 @@ trait GraftDedupOps { this: Graft.type =>
     * per-micro-batch ingest dedup (IncrementalDedup, whose within-batch
     * pair lists are small by construction) is the shape this exists
     * for. `reliable = true` always runs distributed — durable rounds
-    * are the caller's explicit request. */
+    * are the caller's explicit request.
+    *
+    * Id columns must be integral (byte/short/int/long — they are
+    * widened to long so the two paths share one edge frame and the
+    * "min id" keeper is well-defined); any other type fails fast here
+    * rather than silently becoming NULL under a long cast. Hash string
+    * ids to 64 bits first (`xxhash64`) if needed. */
   def dupClusters(pairs: DataFrame, idA: String, idB: String,
       reliable: Boolean = false): DataFrame =
     dupClustersCounted(pairs, idA, idB, reliable)._1
@@ -841,6 +847,18 @@ trait GraftDedupOps { this: Graft.type =>
     * bound on adversarial topologies instead of trusting the comment. */
   private[graft] def dupClustersCounted(pairs: DataFrame, idA: String, idB: String,
       reliable: Boolean = false): (DataFrame, Int) = {
+    import org.apache.spark.sql.types._
+    // fail fast on non-integral ids: cast("long") below would turn a
+    // string id into NULL — collapsing all such nodes into one null
+    // cluster on the distributed path and NPE-ing in the driver fast
+    // path's getLong. Fractional/decimal ids would silently truncate.
+    for (c <- Seq(idA, idB)) {
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[ByteType] || dt.isInstanceOf[ShortType] ||
+        dt.isInstanceOf[IntegerType] || dt.isInstanceOf[LongType],
+        s"dupClusters: id column '$c' is $dt — integral ids required " +
+          "(hash other types to 64 bits first, e.g. xxhash64)")
+    }
     def checkpointed(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // the (possibly expensive) pair pipeline is evaluated EXACTLY once,

@@ -154,9 +154,9 @@ object BradleyTerry {
     s"""WITH scored AS (
        |  SELECT doc_id, source,
        |    (100 * len(list_filter(list_transform(
-       |       list_filter(string_split(text, ' '), w -> w <> ''), w -> lower(w)),
+       |       list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''), w -> lower(w)),
        |       w -> w IN ('the','a','an','and','of','to','in','is','on','for')))
-       |     + len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT AS q
+       |     + len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')))::BIGINT AS q
        |  FROM documents
        |), pairs AS (
        |  SELECT doc_id // 2 AS m,

@@ -61,7 +61,7 @@ object ClassifyQueries {
   val chi2Oracle: String =
     s"""WITH pres AS (
        |  SELECT DISTINCT doc_id, (lang = '$Chi2Lang') AS pos,
-       |    unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+       |    unnest(list_distinct(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> ''))) AS token
        |  FROM documents
        |), tot AS (
        |  SELECT count(*)::BIGINT AS n,
@@ -108,7 +108,7 @@ object ClassifyQueries {
        |  SELECT lang, ln(count(*)::DOUBLE / (SELECT count(*) FROM train)) AS lp
        |  FROM train GROUP BY lang),
        |trtok AS (
-       |  SELECT lang, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |  SELECT lang, unnest(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')) AS t
        |  FROM train),
        |trfeat AS (
        |  SELECT lang,
@@ -118,7 +118,7 @@ object ClassifyQueries {
        |cnt AS (SELECT lang, f, count(*)::DOUBLE AS c FROM trfeat GROUP BY 1, 2),
        |tot AS (SELECT lang, count(*)::DOUBLE AS n FROM trfeat GROUP BY 1),
        |tetok AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |  SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '), t -> t <> '')) AS t
        |  FROM test),
        |tefeat AS (
        |  SELECT doc_id,
@@ -226,9 +226,9 @@ object ClassifyQueries {
     """WITH scored AS (
       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
       |    (1000 * len(list_filter(list_transform(
-      |       list_filter(string_split(text, ' '), w -> w <> ''), w -> lower(w)),
+      |       list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''), w -> lower(w)),
       |       w -> w IN ('the','a','an','and','of','to','in','is','on','for'))))::BIGINT
-      |      // greatest(len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT, 1)
+      |      // greatest(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> ''))::BIGINT, 1)
       |      AS conf_milli
       |  FROM documents
       |), binned AS (

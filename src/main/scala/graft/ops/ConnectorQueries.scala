@@ -231,7 +231,10 @@ object ConnectorQueries {
       }
     }
 
-  def qStreamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingSessionize(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_sessionize", sessionsGroup)
+
+  private def buildSessionize(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
     val feed = ensureSessionsStream(spark, dir)
     val events = StreamingQueries.readEvents(spark, feed.root.toString, "sessions",
@@ -253,12 +256,70 @@ object ConnectorQueries {
         Files.createTempDirectory(s"ck-$name-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming sessionize gate timed out")
-    q.stop()
-    spark.table(name).filter(col("user_id") >= 0)
+    (q, () => spark.table(name).filter(col("user_id") >= 0))
   }
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Deposited results of the latest group pass, keyed (appId, dir, arm). */
+  private val armDeposits =
+    scala.collection.mutable.Map[(String, String, String), DataFrame]()
+
+  /** The streaming gate's shared-pass machinery (VERDICT r16 item 2).
+    *
+    * Each gate arm used to pay its own full AvailableNow replay per
+    * call — feed read, per-trigger planning, checkpoint WAL, state
+    * store, sink — a 1-4 s fixed floor per arm that made the 13 arms
+    * 35% of the sf0.1 bench. Arms that read the SAME feed are
+    * independent streaming queries, so one pass runs them
+    * CONCURRENTLY: the group's wall-clock is ~its slowest member plus
+    * core contention, not the sum of 4-5 per-arm floors. (Concurrent
+    * queries over one dis feed are safe: each query has its own
+    * checkpoint/sink/store, and ReaderCache hands concurrent tasks on
+    * a cached (group, stream, partition) an uncached consumer.)
+    *
+    * Accounting contract: each group's LEADER is its alphabetically
+    * first member, so Verify's and Bench's sorted call order hit it
+    * before the rest. The leader's binding ALWAYS runs the whole group
+    * fresh and returns its own result — its bench pin measures the
+    * group's one shared pass, keeping a live drift signal that any
+    * member's kernel regression stretches. Non-leader bindings return
+    * the latest group run's deposit — identical rows by construction
+    * (same stream definitions, caps and feed; the queries are
+    * independent, so concurrency cannot change any arm's rows) — and
+    * fall back to a solo run if ever called before a group pass.
+    * Hashes are therefore unchanged vs the per-arm replays; non-leader
+    * bench numbers become the deposit-lookup cost by design
+    * (BASELINE.md round-17 notes; pins re-seeded). */
+  private def gateArm(spark: SparkSession, dir: String, arm: String,
+      group: Map[String, (SparkSession, String) =>
+        (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)]): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val leader = group.keys.min
+    if (arm != leader) {
+      writtenRoots.synchronized(armDeposits.get((appId, dir, arm))) match {
+        case Some(df) => return df
+        case None => // solo fallback: this arm only, its own pass
+          val (q, fetch) = group(arm)(spark, dir)
+          require(q.awaitTermination(300000), s"streaming $arm gate timed out")
+          q.stop()
+          return fetch()
+      }
+    }
+    // leader: one concurrent AvailableNow pass over the whole group
+    val started = group.toSeq.sortBy(_._1).map { case (n, build) =>
+      (n, build(spark, dir))
+    }
+    val results = started.map { case (n, (q, fetch)) =>
+      require(q.awaitTermination(300000), s"streaming $n gate timed out")
+      q.stop()
+      n -> fetch()
+    }.toMap
+    writtenRoots.synchronized {
+      for ((n, df) <- results if n != arm) armDeposits((appId, dir, n)) = df
+    }
+    results(arm)
+  }
 
   /** The KMV cardinality sketch running INSIDE Structured Streaming —
     * the same k-bounded [[graft.functions.KmvMinHashes]]
@@ -275,7 +336,10 @@ object ConnectorQueries {
     * 100 TB/continuous shape: state per group is O(k), group count is
     * the key cardinality — the streaming-native form of approximate
     * COUNT(DISTINCT) dashboards run over an infinite feed. */
-  def qStreamingKmv(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingKmv(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_kmv", sessionsGroup)
+
+  private def buildKmv(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
     val feed = ensureSessionsStream(spark, dir)
     val events = StreamingQueries.readEvents(spark, feed.root.toString, "sessions",
@@ -298,9 +362,7 @@ object ConnectorQueries {
         Files.createTempDirectory(s"ck-$name-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming KMV gate timed out")
-    q.stop()
-    spark.table(name)
+    (q, () => spark.table(name))
   }
 
   /** Ingest-time per-domain admission quota running INSIDE Structured
@@ -316,7 +378,10 @@ object ConnectorQueries {
     *
     * 100 TB/continuous shape: state is ONE long per domain forever; a
     * trigger shuffles only its own batch on the domain key. */
-  def qStreamingDomainQuota(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingDomainQuota(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_domain_quota", docsGroup)
+
+  private def buildDomainQuota(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
     val feed = ensureDocsStream(spark, dir)
     val docs = StreamingQueries.readDocs(spark, feed.root.toString, "docs",
@@ -329,10 +394,8 @@ object ConnectorQueries {
         Files.createTempDirectory(s"ck-$name-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming domain-quota gate timed out")
-    q.stop()
-    spark.table(name).select(col("id").as("doc_id"),
-      col("domain").as("source"), col("rank"))
+    (q, () => spark.table(name).select(col("id").as("doc_id"),
+      col("domain").as("source"), col("rank")))
   }
 
   /** The incremental A-Res weighted reservoir
@@ -349,7 +412,10 @@ object ConnectorQueries {
     *
     * 100 TB/continuous shape: per trigger cost ∝ batch + |strata|·k;
     * the store is bounded at |strata|·k rows forever. */
-  def qStreamingReservoir(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingReservoir(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_reservoir", docsGroup)
+
+  private def buildReservoir(spark: SparkSession, dir: String) = {
     import graft.streaming.{IncrementalReservoir, StreamingQueries}
     val feed = ensureDocsStream(spark, dir)
     val docs = StreamingQueries.readDocs(spark, feed.root.toString, "docs",
@@ -367,11 +433,9 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-reservoir-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming reservoir gate timed out")
-    q.stop()
-    IncrementalReservoir.current(spark, storeDir.toString)
+    (q, () => IncrementalReservoir.current(spark, storeDir.toString)
       .select(col("stratum").as("lang"), col("id").as("doc_id"),
-        col("weight").cast("long").as("n_chars"), col("rank"))
+        col("weight").cast("long").as("n_chars"), col("rank")))
   }
 
   /** The live RL-metrics monitor
@@ -387,7 +451,10 @@ object ConnectorQueries {
     * what [[streamingRlMetricsOracle]] computes. The flush sentinel's
     * own pool never closes (nothing advances the watermark past it)
     * and is filtered defensively. */
-  def qStreamingRlMetrics(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingRlMetrics(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_rl_metrics", sessionsGroup)
+
+  private def buildRlMetrics(spark: SparkSession, dir: String) = {
     import graft.streaming.{StreamingQueries, StreamingRlMetrics}
     val feed = ensureSessionsStream(spark, dir)
     // ONE data trigger for this arm: whole-run pools mean nothing can
@@ -407,9 +474,7 @@ object ConnectorQueries {
         Files.createTempDirectory(s"ck-$name-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming RL-metrics gate timed out")
-    q.stop()
-    spark.table(name).filter(col("user_id") >= 0)
+    (q, () => spark.table(name).filter(col("user_id") >= 0))
   }
 
   /** Streaming read of the docs-with-text feed. */
@@ -441,7 +506,10 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per-batch cost ∝ batch (the Bloom is
     * process-cached and broadcast; the benchmark side never re-scans),
     * no history term at all — the one streaming arm with zero state. */
-  def qStreamingDecontam(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingDecontam(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_decontam", docsTextGroup)
+
+  private def buildDecontam(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalDecontam
     val feed = ensureDocsTextStream(spark, dir)
     val store = ensureDecontamStore(spark, dir)
@@ -460,9 +528,7 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-decon-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming decontam gate timed out")
-    q.stop()
-    spark.read.parquet(outDir.toString)
+    (q, () => spark.read.parquet(outDir.toString))
   }
 
   /** Streaming retrieval-index maintenance
@@ -481,7 +547,10 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per-batch cost ∝ batch + its doc
     * buckets; the query reads its terms' posting buckets and the
     * O(batches) stats rows — nothing re-scans history. */
-  def qStreamingBm25(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingBm25(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_bm25", docsTextGroup)
+
+  private def buildBm25(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalBm25
     val feed = ensureDocsTextStream(spark, dir)
     val storeDir = Files.createTempDirectory("stream-bm25-")
@@ -501,10 +570,8 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-bm25-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming BM25 gate timed out")
-    q.stop()
-    IncrementalBm25.search(spark, storeDir.toString,
-      Seq("join", "hash", "vector"), k = 25)
+    (q, () => IncrementalBm25.search(spark, storeDir.toString,
+      Seq("join", "hash", "vector"), k = 25))
   }
 
   /** Online rejection sampling
@@ -525,7 +592,10 @@ object ConnectorQueries {
     * pinned by StreamingBestOfNSpec (and exercised at the gate by the
     * progressive-close arms). The sentinel's own pool never closes and
     * is filtered defensively. */
-  def qStreamingBestOfN(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingBestOfN(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_best_of_n", sessionsGroup)
+
+  private def buildBestOfN(spark: SparkSession, dir: String) = {
     import graft.streaming.{StreamingBestOfN, StreamingQueries}
     val feed = ensureSessionsStream(spark, dir)
     val events = StreamingQueries.readEvents(spark, feed.root.toString, "sessions",
@@ -539,9 +609,7 @@ object ConnectorQueries {
         Files.createTempDirectory(s"ck-$name-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming best-of-N gate timed out")
-    q.stop()
-    spark.table(name).filter(col("user_id") >= 0)
+    (q, () => spark.table(name).filter(col("user_id") >= 0))
   }
 
   /** Ingest-time SFT transcript assembly
@@ -566,25 +634,46 @@ object ConnectorQueries {
     * store; state is the OPEN sessions' turn buffers — bounded by one
     * human's activity inside gap windows times the users active near
     * the watermark frontier, never corpus-sized. */
-  def qStreamingSft(spark: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.{StreamingQueries, StreamingSft}
+  def qStreamingSft(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_sft", sessionsGroup)
+
+  private def buildSft(spark: SparkSession, dir: String) = {
+    import graft.streaming.{StateStores, StreamingQueries, StreamingSft}
     val feed = ensureSessionsStream(spark, dir)
     val events = StreamingQueries.readEvents(spark, feed.root.toString, "sessions",
       Map("maxRecordsPerTrigger" -> (feed.triggerCap * 2).toString))
     val out = StreamingSft.assembleSessions(spark, events)
     val outDir = Files.createTempDirectory("stream-sft-out-")
     rootsToClean.add(outDir)
-    val q = out.toDF().writeStream.format("parquet")
-      .outputMode("append")
-      .option("path", outDir.toString)
-      .option("checkpointLocation",
-        Files.createTempDirectory("ck-stream-sft-").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(300000), "streaming SFT gate timed out")
-    q.stop()
-    spark.read.parquet(outDir.toString).filter(col("user_id") >= 0)
+    // 100 TB deployment posture: the progressive-eviction arm runs its
+    // gate binding on the RocksDB state store (state off the executor
+    // heap, changelog checkpointing) — the documented large-state
+    // provider, previously suite-only (VERDICT r16 item 5). The
+    // provider conf is read at query START, so the try/finally scopes
+    // it to this one query; output parity with the default provider is
+    // pinned by RocksDBArmsSpec and the unchanged gate hash.
+    StateStores.useRocksDB(spark)
+    val q =
+      try out.toDF().writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", outDir.toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("ck-stream-sft-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      finally StateStores.useDefault(spark)
+    (q, () => spark.read.parquet(outDir.toString).filter(col("user_id") >= 0))
   }
+
+  /** The sessions-feed group: five arms over one shared AvailableNow
+    * pass (see [[gateArm]]); leader q_streaming_best_of_n. */
+  private val sessionsGroup: Map[String, (SparkSession, String) =>
+      (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)] = Map(
+    "q_streaming_best_of_n" -> (buildBestOfN _),
+    "q_streaming_kmv" -> (buildKmv _),
+    "q_streaming_rl_metrics" -> (buildRlMetrics _),
+    "q_streaming_sessionize" -> (buildSessionize _),
+    "q_streaming_sft" -> (buildSft _))
 
   /** The per-micro-batch PSI drift monitor
     * ([[graft.streaming.StreamingQueries.psiMonitorBatch]]) bound
@@ -607,7 +696,10 @@ object ConnectorQueries {
     *
     * 100 TB/continuous shape: state-free; per trigger one bounded agg
     * of the batch + a |categories|-row broadcast join. */
-  def qStreamingPsi(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingPsi(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_psi", docsGroup)
+
+  private def buildPsi(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
     val feed = ensureDocsStream(spark, dir)
     val ref = Tables.documents(spark, dir)
@@ -632,16 +724,24 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-psi-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming PSI gate timed out")
-    q.stop()
-    ref.unpersist()
-    // densify trigger ids → data-batch index (bounded frame:
-    // |batches| × |langs| rows)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bid"))
-    spark.read.parquet(outDir.toString)
-      .withColumn("batch_id", (dense_rank().over(w) - 1).cast("long"))
-      .drop("__bid")
+    (q, () => {
+      ref.unpersist()
+      // densify trigger ids → data-batch index (bounded frame:
+      // |batches| × |langs| rows)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bid"))
+      spark.read.parquet(outDir.toString)
+        .withColumn("batch_id", (dense_rank().over(w) - 1).cast("long"))
+        .drop("__bid")
+    })
   }
+
+  /** The docs-metadata-feed group: three arms over one shared pass
+    * (see [[gateArm]]); leader q_streaming_domain_quota. */
+  private val docsGroup: Map[String, (SparkSession, String) =>
+      (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)] = Map(
+    "q_streaming_domain_quota" -> (buildDomainQuota _),
+    "q_streaming_psi" -> (buildPsi _),
+    "q_streaming_reservoir" -> (buildReservoir _))
 
   /** Streaming MinHash near-duplicate ADMISSION
     * ([[graft.streaming.IncrementalDedup]]) bound under the driver
@@ -663,7 +763,10 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per batch, band equi-joins against the
     * bucket-pruned index + verify on candidates only — never
     * all-pairs; the store grows with ADMITTED docs only. */
-  def qStreamingNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingNeardup(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_neardup", docsTextGroup)
+
+  private def buildNeardup(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalDedup
     val feed = ensureDocsTextStream(spark, dir)
     // per-arm cap (PSI rationale): exactly 2 data batches at every
@@ -684,9 +787,7 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-neardup-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming near-dup gate timed out")
-    q.stop()
-    IncrementalDedup.admittedDocs(spark, storeDir.toString)
+    (q, () => IncrementalDedup.admittedDocs(spark, storeDir.toString))
   }
 
   /** Streaming chunk-store novelty accounting
@@ -707,7 +808,10 @@ object ConnectorQueries {
     *
     * 100 TB/continuous shape: per-batch cost ∝ batch + matched
     * buckets; the store is ~16 B per unique chunk forever. */
-  def qStreamingChunks(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingChunks(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_chunks", docsTextGroup)
+
+  private def buildChunks(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalChunkStore
     val feed = ensureDocsTextStream(spark, dir)
     val storeDir = Files.createTempDirectory("stream-chunks-")
@@ -726,10 +830,17 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-chunks-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming chunk-store gate timed out")
-    q.stop()
-    spark.read.parquet(outDir.toString)
+    (q, () => spark.read.parquet(outDir.toString))
   }
+
+  /** The docs-with-text-feed group: four store-maintenance arms over
+    * one shared pass (see [[gateArm]]); leader q_streaming_bm25. */
+  private val docsTextGroup: Map[String, (SparkSession, String) =>
+      (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)] = Map(
+    "q_streaming_bm25" -> (buildBm25 _),
+    "q_streaming_chunks" -> (buildChunks _),
+    "q_streaming_decontam" -> (buildDecontam _),
+    "q_streaming_neardup" -> (buildNeardup _))
 
   /** Global-first-occurrence novelty over the batch CDC chunk table:
     * one window by chunk text, per-doc aggregate — the id-ordered
@@ -820,15 +931,16 @@ object ConnectorQueries {
     val m = Tables.embeddings(spark, dir)
       .filter(pmod(col("vec_id"), lit(2)) === 0).count()
     // per-arm cap (PSI rationale): exactly 2 data batches of the SLICE
-    // at every gate scale. The feed carries all vectors in id order;
-    // the slice filter is map-side, so slice batch boundaries are the
-    // slice's own id-rank halves whatever the feed batching — cap on
-    // the FEED grain that yields 2 slice batches: 2·⌈m/2⌉ feed rows
-    // cover ⌈m/2⌉ slice rows (even ids alternate in the id-ordered
-    // feed), so cap = max(125, m) feed rows per trigger... with m
-    // even-id rows interleaved 1:1, a feed trigger of m rows carries
-    // ⌈m/2⌉ even ids — exactly half the slice
-    val cap = math.max(250L, m)
+    // at every gate scale. The feed carries all vectors in id order
+    // with even ids interleaved 1:1, so a feed trigger of m rows
+    // carries ⌈m/2⌉ even ids — exactly half the slice; the cap is
+    // derived PURELY from m so the engine's batch boundaries are the
+    // slice's id-rank halves at ANY fixture size, matching the
+    // oracle's unconditional ceil(m/2) split (a fixed floor here
+    // diverged from the oracle for fixtures with < floor even ids —
+    // ADVICE r16). max(1, ·) only keeps maxRecordsPerTrigger legal on
+    // an empty slice.
+    val cap = math.max(1L, m)
     val storeDir = Files.createTempDirectory("stream-embdedup-")
     rootsToClean.add(storeDir)
     val q = readVecs(spark, feed.root, cap)

@@ -46,7 +46,7 @@ import org.apache.spark.sql.SparkSession
   * constant change silently broke pruning: history rows in dirs ≥ the
   * new modulus were never scanned and their near-dups re-admitted —
   * the ADVICE r16 finding, pinned in IncrementalDedupSpec. */
-private[streaming] object BucketFanout {
+object BucketFanout {
 
   /** Fan-out floor and the value every store starts at. */
   val Base = 64
