@@ -28,15 +28,18 @@ import graft.streaming.{BucketFanout, IncrementalDedup}
   * sets per round across the two modes, straddling both migration
   * boundaries — is asserted exactly.
   *
-  * Usage: Test/runMain graft.drive.FanoutScaleDrive [dir=target/sf1]
+  * Usage: Test/runMain graft.drive.FanoutScaleDrive \
+  *   [dir=target/sf1] [rounds=10] [big=4000]
   */
 object FanoutScaleDrive {
-  private val Rounds = 10
-  private val Big = 4000L
+  private var Rounds = 10
+  private var Big = 4000L
   private val Probe = 5L
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "target/sf1"
+    if (args.length > 1) Rounds = args(1).toInt
+    if (args.length > 2) Big = args(2).toLong
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
