@@ -98,21 +98,43 @@ object BucketFanout {
     p
   }
 
-  /** The fan-out the persisted `bucket=` dir values were computed
+  /** The fan-out the persisted `<dirCol>=` dir values were computed
     * with: the stamped manifest, else the pre-manifest detection
     * described above. `Base` for an empty/dir-less index. */
-  def storeFanout(spark: SparkSession, indexDir: String): Int =
+  def storeFanout(spark: SparkSession, indexDir: String,
+      dirCol: String = "bucket"): Int =
     readManifest(spark, indexDir).getOrElse {
       val dirs = fs(spark, indexDir).listStatus(new Path(indexDir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .map(_.getPath.getName.stripPrefix("bucket=").toInt)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$dirCol="))
+        .map(_.getPath.getName.stripPrefix(s"$dirCol=").toInt)
       if (dirs.isEmpty) Base else math.max(nextPow2(dirs.max + 1), Base)
     }
 
   /** The fan-out a maintenance rewrite should target right now:
     * monotonic max of the store's actual fan-out and the size
     * schedule. */
-  def target(spark: SparkSession, indexDir: String): Int =
-    math.max(storeFanout(spark, indexDir),
+  def target(spark: SparkSession, indexDir: String,
+      dirCol: String = "bucket"): Int =
+    math.max(storeFanout(spark, indexDir, dirCol),
       scheduled(spark, dirBytes(spark, indexDir)))
+
+  /** Reconcile `storeDir/sub`'s persisted layout with the size
+    * schedule and return the fan-out the CALLER must bucket this
+    * batch with: grows the fan-out crash-safely (the
+    * [[AtomicStore.swapIn]] two-rename contract) when the index
+    * crossed a threshold, stamps pre-manifest stores, and returns
+    * [[Base]]-or-scheduled for a store that does not exist yet.
+    * `rewrite(fanout)` must re-bucket every row from its own key at
+    * the given fan-out and stamp the manifest into the temp dir.
+    * Monotonic — never re-buckets downward. */
+  def reconcile(spark: SparkSession, storeDir: String, sub: String,
+      dirCol: String = "bucket")(rewrite: Int => (String, String) => Unit): Int = {
+    val path = s"$storeDir/$sub"
+    if (!AtomicStore.exists(spark, path)) return scheduled(spark, 0L)
+    val actual = storeFanout(spark, path, dirCol)
+    val t = target(spark, path, dirCol)
+    if (t != actual) AtomicStore.swapIn(spark, storeDir, sub)(rewrite(t))
+    else writeManifest(spark, path, actual)
+    t
+  }
 }

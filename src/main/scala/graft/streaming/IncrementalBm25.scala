@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * Store layout under `storeDir` ([[AtomicStore]] crash contract, same
   * as [[IncrementalChunkStore]]):
   *  - `postings/` — (term, doc_id, tf), parquet, directory-partitioned
-  *    by `bucket = pmod(xxhash64(term), TermBuckets)` so a query's
-  *    read is pruned to its own terms' buckets;
+  *    by `bucket = pmod(xxhash64(term), fanout)` so a query's read is
+  *    pruned to its own terms' buckets (fan-out starts at
+  *    [[TermBuckets]], grows with store size per [[BucketFanout]],
+  *    stamped in `postings/_fanout`);
   *  - `docstats/` — (doc_id, dl), partitioned by
-  *    `dbucket = pmod(doc_id, DocBuckets)` so admission's seen-check
-  *    reads only the batch's own doc buckets;
+  *    `dbucket = pmod(doc_id, fanout)` so admission's seen-check
+  *    reads only the batch's own doc buckets (adaptive likewise,
+  *    `docstats/_fanout`);
   *  - `stats/` — one (anchor, n, dlsum) delta row per admitted batch,
   *    so a query's corpus aggregate (N, avgdl) reads O(batches) tiny
   *    rows instead of scanning the full docstats history; compaction
@@ -65,20 +68,59 @@ import org.apache.spark.sql.functions._
   * batch path, so the equality the spec pins cannot drift. */
 object IncrementalBm25 {
 
-  /** Posting-list bucket fan-out (the [[IncrementalChunkStore.ChunkBuckets]]
-    * sizing argument: enough directories that a query's pruned read
-    * touches a small fraction, few enough that per-batch appends don't
-    * spray tiny files). */
-  val TermBuckets = 64
-  /** Doc-stats bucket fan-out for the admission seen-check. */
-  val DocBuckets = 64
+  /** STARTING posting-list bucket fan-out (the
+    * [[IncrementalChunkStore.ChunkBuckets]] sizing argument: enough
+    * directories that a query's pruned read touches a small fraction,
+    * few enough that per-batch appends don't spray tiny files).
+    * Size-adaptive like the band/chunk stores ([[BucketFanout]]):
+    * grows 64 → 256 → 1024 at store byte thresholds via a crash-safe
+    * re-bucketing, stamped in `postings/_fanout`; the read paths
+    * ([[search]], [[statsCorpus]]) always bucket with the PERSISTED
+    * fan-out, so a constant change can never desync probes from dirs. */
+  val TermBuckets: Int = BucketFanout.Base
+  /** STARTING doc-stats bucket fan-out for the admission seen-check
+    * (adaptive likewise; stamped in `docstats/_fanout`). */
+  val DocBuckets: Int = BucketFanout.Base
 
   /** Anchor of the folded stats row compaction writes (below any real
     * doc id, so it can never collide with a batch's min-fresh-id). */
   private val FoldedAnchor = Long.MinValue
 
-  private def termBucket = pmod(xxhash64(col("term")), lit(TermBuckets.toLong)).cast("int")
-  private def docBucket(c: String) = pmod(col(c), lit(DocBuckets.toLong)).cast("int")
+  private def termBucket(fanout: Int) =
+    pmod(xxhash64(col("term")), lit(fanout.toLong)).cast("int")
+  private def docBucket(c: String, fanout: Int) =
+    pmod(col(c), lit(fanout.toLong)).cast("int")
+
+  /** The fan-outs the persisted indexes are bucketed at. */
+  def postingsFanout(spark: SparkSession, storeDir: String): Int =
+    BucketFanout.storeFanout(spark, s"$storeDir/postings")
+  def docstatsFanout(spark: SparkSession, storeDir: String): Int =
+    BucketFanout.storeFanout(spark, s"$storeDir/docstats", "dbucket")
+
+  /** Pure re-bucket rewrites for the fan-out migrations (compaction's
+    * distinct/GC is NOT folded in here — a migration must be a
+    * layout-only change; at-least-once duplicates stay and the read
+    * paths keep distinct-ing them). */
+  private def postingsRewrite(spark: SparkSession, fanout: Int)(
+      live: String, tmp: String): Unit = {
+    spark.read.parquet(live)
+      .select(col("term"), col("doc_id"), col("tf"))
+      .withColumn("bucket", termBucket(fanout))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
+      .write.partitionBy("bucket").parquet(tmp)
+    BucketFanout.writeManifest(spark, tmp, fanout)
+  }
+  private def docstatsRewrite(spark: SparkSession, fanout: Int)(
+      live: String, tmp: String): Unit = {
+    spark.read.parquet(live)
+      .select(col("doc_id"), col("dl"))
+      .withColumn("dbucket", docBucket("doc_id", fanout))
+      .repartition(col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col("doc_id"))
+      .write.partitionBy("dbucket").parquet(tmp)
+    BucketFanout.writeManifest(spark, tmp, fanout)
+  }
 
   private[streaming] def recoverStore(spark: SparkSession, storeDir: String): Unit =
     AtomicStore.recover(spark, storeDir, Seq("postings", "docstats", "stats"))
@@ -106,13 +148,17 @@ object IncrementalBm25 {
     Admission.requireUnique(batch, "IncrementalBm25.admitBatch", id)
 
     bootstrapStats(spark, storeDir)
+    val termFan = BucketFanout.reconcile(spark, storeDir, "postings")(
+      postingsRewrite(spark, _))
+    val docFan = BucketFanout.reconcile(spark, storeDir, "docstats", "dbucket")(
+      docstatsRewrite(spark, _))
 
     val tf = batch
       .select(col(id).cast("long").as("doc_id"),
         explode(graft.api.Graft.tokens(coalesce(col(text), lit("")))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .withColumn("dbucket", docBucket("doc_id"))
+      .withColumn("dbucket", docBucket("doc_id", docFan))
       .cache()
 
     // keep-first: ids already COMMITTED (present in docstats) are
@@ -139,9 +185,10 @@ object IncrementalBm25 {
       //    EXACT duplicates; reads distinct them, compaction removes them
       tf.join(freshIds.select(col("doc_id")), Seq("doc_id"))
         .select(col("term"), col("doc_id"), col("tf"))
-        .withColumn("bucket", termBucket)
+        .withColumn("bucket", termBucket(termFan))
         .repartition(col("bucket"))
         .write.mode(SaveMode.Append).partitionBy("bucket").parquet(postingsPath)
+      BucketFanout.writeManifest(spark, postingsPath, termFan)
       if (crashAfter == 1) throw new InjectedCrash("after postings")
       // 2. stats delta — anchored by the min fresh id so a replayed
       //    duplicate folds away at read time
@@ -154,6 +201,7 @@ object IncrementalBm25 {
       freshIds.select(col("doc_id"), col("dl"), col("dbucket"))
         .repartition(col("dbucket"))
         .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docstatsPath)
+      BucketFanout.writeManifest(spark, docstatsPath, docFan)
     }
 
     val out = dl.select(col("doc_id").as(id), col("dl"))
@@ -215,7 +263,8 @@ object IncrementalBm25 {
     val checked =
       if (anchors.isEmpty || !AtomicStore.exists(spark, s"$storeDir/docstats")) real
       else {
-        val dbuckets = anchors.map(a => math.floorMod(a, DocBuckets.toLong).toInt).distinct
+        val docFan = docstatsFanout(spark, storeDir)
+        val dbuckets = anchors.map(a => math.floorMod(a, docFan.toLong).toInt).distinct
         val committed = spark.read.parquet(s"$storeDir/docstats")
           .filter(col("dbucket").isin(dbuckets.map(Int.box): _*))
           .filter(col("doc_id").isin(anchors.map(Long.box): _*))
@@ -253,8 +302,9 @@ object IncrementalBm25 {
         !AtomicStore.exists(spark, postingsPath))
       return spark.range(0).select(col("id").as("doc_id"),
         lit(0.0).as("score"), col("id").as("rank"))
+    val termFan = postingsFanout(spark, storeDir)
     val qBuckets = queryTerms
-      .map(t => math.floorMod(TermHash.xx64(t), TermBuckets.toLong).toInt)
+      .map(t => math.floorMod(TermHash.xx64(t), termFan.toLong).toInt)
       .distinct
     // distinct kills the exact-duplicate rows a crash-then-replay leaves
     val qtfRaw = spark.read.parquet(postingsPath)
@@ -263,9 +313,10 @@ object IncrementalBm25 {
       .select(col("term"), col("doc_id"), col("tf"))
       .distinct()
     // dl read pruned to the candidates' dbuckets (bounded driver-side
-    // collect, ≤ DocBuckets — the admitBatch pattern)
-    val candBuckets = qtfRaw.select(docBucket("doc_id").as("dbucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // collect, ≤ the docstats fan-out — the admitBatch pattern)
+    val candBuckets = qtfRaw
+      .select(docBucket("doc_id", docstatsFanout(spark, storeDir)).as("dbucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     if (candBuckets.isEmpty)
       return spark.range(0).select(col("id").as("doc_id"),
         lit(0.0).as("score"), col("id").as("rank"))
@@ -297,20 +348,32 @@ object IncrementalBm25 {
       if (AtomicStore.exists(spark, s"$storeDir/docstats"))
         spark.read.parquet(s"$storeDir/docstats").select(col("doc_id")).cache()
       else spark.range(0).select(col("id").as("doc_id"))
+    val termFan =
+      if (AtomicStore.exists(spark, s"$storeDir/postings"))
+        BucketFanout.target(spark, s"$storeDir/postings")
+      else TermBuckets
     AtomicStore.swapIn(spark, storeDir, "postings") { (live, tmp) =>
       spark.read.parquet(live)
-        .select(col("term"), col("doc_id"), col("tf"), col("bucket")).distinct()
+        .select(col("term"), col("doc_id"), col("tf")).distinct()
         .join(committed, Seq("doc_id"), "left_semi")
+        .withColumn("bucket", termBucket(termFan))
         .repartition(col("bucket"))
         .sortWithinPartitions(col("bucket"), col("term"), col("doc_id"))
         .write.partitionBy("bucket").parquet(tmp)
+      BucketFanout.writeManifest(spark, tmp, termFan)
     }
+    val docFan =
+      if (AtomicStore.exists(spark, s"$storeDir/docstats"))
+        BucketFanout.target(spark, s"$storeDir/docstats", "dbucket")
+      else DocBuckets
     AtomicStore.swapIn(spark, storeDir, "docstats") { (live, tmp) =>
       spark.read.parquet(live)
-        .select(col("doc_id"), col("dl"), col("dbucket")).distinct()
+        .select(col("doc_id"), col("dl")).distinct()
+        .withColumn("dbucket", docBucket("doc_id", docFan))
         .repartition(col("dbucket"))
         .sortWithinPartitions(col("dbucket"), col("doc_id"))
         .write.partitionBy("dbucket").parquet(tmp)
+      BucketFanout.writeManifest(spark, tmp, docFan)
     }
     // stats are RECONCILED, not folded: recompute the single row from
     // the (just-compacted) docstats commit record. Folding the deltas

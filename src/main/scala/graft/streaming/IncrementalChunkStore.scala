@@ -79,20 +79,6 @@ object IncrementalChunkStore {
     BucketFanout.writeManifest(spark, tmp, fanout)
   }
 
-  /** Reconcile the persisted layout with the size schedule (grow the
-    * fan-out crash-safely past a threshold; stamp pre-manifest stores)
-    * and return the fan-out this batch must bucket with. Monotonic. */
-  private def reconcileFanout(spark: SparkSession, storeDir: String,
-      chunksPath: String): Int = {
-    if (!AtomicStore.exists(spark, chunksPath))
-      return BucketFanout.scheduled(spark, 0L)
-    val actual = BucketFanout.storeFanout(spark, chunksPath)
-    val t = BucketFanout.target(spark, chunksPath)
-    if (t != actual) AtomicStore.swapIn(spark, storeDir, "chunks")(chunksRewrite(spark, t))
-    else BucketFanout.writeManifest(spark, chunksPath, actual)
-    t
-  }
-
   private[streaming] def recoverStore(spark: SparkSession, storeDir: String): Unit =
     AtomicStore.recover(spark, storeDir, Seq("chunks"))
 
@@ -114,7 +100,8 @@ object IncrementalChunkStore {
     // per-doc novelty accounting would silently merge their chunks
     Admission.requireUnique(batch, "IncrementalChunkStore.admitBatch", id)
     val chunksPath = s"$storeDir/chunks"
-    val fanout = reconcileFanout(spark, storeDir, chunksPath)
+    val fanout = BucketFanout.reconcile(spark, storeDir, "chunks")(
+      chunksRewrite(spark, _))
 
     val rows = graft.api.Graft
       .cdcChunkRows(batch.select(col(id), col(text)), id, text, window, modulus)

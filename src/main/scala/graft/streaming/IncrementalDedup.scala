@@ -19,7 +19,11 @@ import graft.ops.DedupQueries
   * }}}
   *
   * Store layout under `storeDir` (both plain parquet, append-only):
-  *  - `docs/`  — admitted (doc_id, text)
+  *  - `docs/`  — admitted (doc_id, text), directory-partitioned by
+  *    `dbucket = pmod(doc_id, fanout)` so the history verify fetches
+  *    CANDIDATE texts from the candidates' own dbuckets instead of
+  *    scanning the whole admitted table per trigger (stamped in
+  *    `docs/_fanout`)
   *  - `bands/` — admitted LSH band rows (doc_id, band, bandhash),
   *    directory-partitioned by `bucket = pmod(bandhash, fanout)` where
   *    the fan-out starts at [[BandBuckets]] and grows with store size
@@ -77,16 +81,19 @@ object IncrementalDedup {
   private def bucketCol(fanout: Int) =
     pmod(col("bandhash"), lit(fanout.toLong)).cast("int")
 
-  /** Whether the band store at `bandsPath` has the bucket directory
-    * layout (any `bucket=` child). A store written before bucketing —
-    * flat parquet files at the root — must NOT receive a partitioned
-    * append: the mixed layout fails Spark's partition discovery
-    * ("Conflicting directory structures") and bricks the store. */
-  private def bandsBucketed(spark: SparkSession, bandsPath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(bandsPath)
+  /** Whether the store at `path` has the `dirCol=` directory layout.
+    * A store written before bucketing — flat parquet files at the
+    * root — must NOT receive a partitioned append: the mixed layout
+    * fails Spark's partition discovery ("Conflicting directory
+    * structures") and bricks the store. */
+  private def hasBucketDirs(spark: SparkSession, path: String,
+      dirCol: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    fs.listStatus(p).exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$dirCol="))
   }
+  private def bandsBucketed(spark: SparkSession, bandsPath: String): Boolean =
+    hasBucketDirs(spark, bandsPath, "bucket")
 
   /** The band-index scan a batch with band-rows in `buckets` performs:
     * a static `IN` filter on the partition directory column, so Spark
@@ -145,22 +152,50 @@ object IncrementalDedup {
     * re-buckets downward. */
   private def reconcileFanout(spark: SparkSession, storeDir: String,
       bandsPath: String): Int = {
-    if (!exists(spark, bandsPath))
-      return BucketFanout.scheduled(spark, 0L)
     // A pre-bucketing store (flat parquet at bands/ root) must be
     // migrated BEFORE any partitioned append: bucket= dirs next to flat
     // files fail Spark's partition discovery ("Conflicting directory
     // structures") on the next read — the store would be bricked.
-    if (!bandsBucketed(spark, bandsPath)) {
+    if (exists(spark, bandsPath) && !bandsBucketed(spark, bandsPath)) {
       val f = BucketFanout.target(spark, bandsPath)
       swapIn(spark, storeDir, "bands")(bandsRewrite(spark, f))
       return f
     }
-    val actual = BucketFanout.storeFanout(spark, bandsPath)
-    val t = BucketFanout.target(spark, bandsPath)
-    if (t != actual) swapIn(spark, storeDir, "bands")(bandsRewrite(spark, t))
-    else BucketFanout.writeManifest(spark, bandsPath, actual) // stamp pre-manifest stores
-    t
+    BucketFanout.reconcile(spark, storeDir, "bands")(bandsRewrite(spark, _))
+  }
+
+  private def docBucketCol(fanout: Int) =
+    pmod(col("doc_id"), lit(fanout.toLong)).cast("int")
+
+  /** The docs-store rewrite at `fanout`: bucket every admitted doc by
+    * `dbucket = pmod(doc_id, fanout)`. The docs store is bucketed for
+    * the same reason docstats is in [[IncrementalBm25]]: the history
+    * verify re-shingles CANDIDATE docs only, and without a pruned
+    * lookup that "candidates-only" join still SCANS the whole admitted
+    * text table per trigger — measured ~95 MB/probe at sf1 (dominating
+    * the probe's I/O and growing linearly with history; FanoutScaleDrive
+    * round-17 found it). With the layout, the candidate fetch reads
+    * only the candidates' own dbuckets. */
+  private def docsRewrite(spark: SparkSession, fanout: Int)(
+      live: String, tmp: String): Unit = {
+    spark.read.parquet(live)
+      .select(col("doc_id"), col("text"))
+      .withColumn("dbucket", docBucketCol(fanout))
+      .repartition(col("dbucket"))
+      .sortWithinPartitions(col("dbucket"), col("doc_id"))
+      .write.partitionBy("dbucket").parquet(tmp)
+    BucketFanout.writeManifest(spark, tmp, fanout)
+  }
+
+  /** [[reconcileFanout]] for the docs store (dir column `dbucket`). */
+  private def reconcileDocsFanout(spark: SparkSession, storeDir: String,
+      docsPath: String): Int = {
+    if (exists(spark, docsPath) && !hasBucketDirs(spark, docsPath, "dbucket")) {
+      val f = BucketFanout.target(spark, docsPath, "dbucket")
+      swapIn(spark, storeDir, "docs")(docsRewrite(spark, f))
+      return f
+    }
+    BucketFanout.reconcile(spark, storeDir, "docs", "dbucket")(docsRewrite(spark, _))
   }
 
   /** Run one admission step; appends admitted docs + their band rows to
@@ -184,6 +219,7 @@ object IncrementalDedup {
     // batch buckets with, so probe values always match dir values.
     phase("reconcile-fanout")
     val fanout = reconcileFanout(spark, storeDir, bandsPath)
+    val docFanout = reconcileDocsFanout(spark, storeDir, docsPath)
 
     val newDocs = batch.select(col(id).as("doc_id"), col(text).as("text"))
     // cached: reused for history verify AND the admitted band append, so
@@ -209,8 +245,24 @@ object IncrementalDedup {
           .select(col("doc_id").as("seen_id"), col("band"), col("bandhash"))
         val cand = newBands.join(seenBands, Seq("band", "bandhash"))
           .select(col("doc_id"), col("seen_id")).distinct()
+          // candidates feed TWO consumers below (the dbucket discovery
+          // collect and the verify join) — materialize once
+          .localCheckpoint(true)
+        // the candidate re-shingle reads ONLY the candidates' own
+        // dbucket directories (bounded: ≤ docFanout literals), not the
+        // whole admitted text table — the docs-store analog of the
+        // band-index pruning (the unpruned join scanned all of docs/
+        // per trigger, an O(history) read)
+        val candBuckets = cand
+          .select(pmod(col("seen_id"), lit(docFanout.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val docsRaw = spark.read.parquet(docsPath)
+        val docsPruned =
+          if (docsRaw.columns.contains("dbucket"))
+            docsRaw.filter(col("dbucket").isin(candBuckets.map(Int.box): _*))
+          else docsRaw // pre-bucketing store mid-migration: full scan, correct
         val seenSh = DedupQueries.shingleFrame(
-          spark.read.parquet(docsPath)
+          docsPruned.select(col("doc_id"), col("text"))
             .join(cand.select(col("seen_id").as("doc_id")).distinct(), Seq("doc_id")),
           "doc_id", "text")
           .select(col("doc_id").as("seen_id"), col("sh").as("sh_seen"))
@@ -261,7 +313,10 @@ object IncrementalDedup {
       .localCheckpoint(true)
 
     phase("docs-append")
-    admitted.write.mode(SaveMode.Append).parquet(docsPath)
+    admitted.withColumn("dbucket", docBucketCol(docFanout))
+      .repartition(col("dbucket"))
+      .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docsPath)
+    BucketFanout.writeManifest(spark, docsPath, docFanout)
     // repartition by bucket before the partitioned append: one file per
     // non-empty bucket per batch instead of tasks × buckets tiny files
     phase("bands-append")
@@ -283,7 +338,8 @@ object IncrementalDedup {
     * with a running [[compactStore]] (see its scaladoc for why). */
   def admittedDocs(spark: SparkSession, storeDir: String): DataFrame = {
     recoverStore(spark, storeDir)
-    if (exists(spark, s"$storeDir/docs")) spark.read.parquet(s"$storeDir/docs")
+    if (exists(spark, s"$storeDir/docs"))
+      spark.read.parquet(s"$storeDir/docs").select(col("doc_id"), col("text"))
     else spark.range(0).select(col("id").as("doc_id"), lit("").as("text")).limit(0)
   }
 
@@ -306,14 +362,17 @@ object IncrementalDedup {
     * liveness marker left by a crash would instead disable recovery
     * forever — so the contract, not a marker, carries this.)
     *
-    * Bands keep (or, for a pre-bucketing store, acquire) the bucket
-    * directory layout at the size-scheduled fan-out, ending at one file
-    * per non-empty bucket with rows clustered by the join keys — so the
-    * per-batch pruned read opens exactly one file per probed bucket. */
+    * Bands and docs keep (or, for a pre-bucketing store, acquire) their
+    * bucket directory layouts at the size-scheduled fan-out, ending at
+    * one file per non-empty bucket with rows clustered by the read
+    * keys — so the per-batch pruned reads open exactly one file per
+    * probed bucket. (`parts` is retained for source compatibility; the
+    * docs rewrite is bucketed now, so it is ignored.) */
   def compactStore(spark: SparkSession, storeDir: String, parts: Int = 16): Unit = {
     recoverStore(spark, storeDir) // clears any crashed prior compaction
-    swapIn(spark, storeDir, "docs") { (live, tmp) =>
-      spark.read.parquet(live).repartition(parts).write.parquet(tmp)
+    if (exists(spark, s"$storeDir/docs")) {
+      val f = BucketFanout.target(spark, s"$storeDir/docs", "dbucket")
+      swapIn(spark, storeDir, "docs")(docsRewrite(spark, f))
     }
     if (exists(spark, s"$storeDir/bands")) {
       val f = BucketFanout.target(spark, s"$storeDir/bands")

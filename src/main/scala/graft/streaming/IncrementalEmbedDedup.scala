@@ -20,7 +20,9 @@ import graft.ops.Ivf
   *    batch ([[graft.ops.Ivf.save]] format) and amortized across every
   *    later batch: no per-trigger centroid training.
   *  - `vecs/`  — admitted (doc_id, vec, nrm, cell), directory-partitioned
-  *    by `bucket = pmod(cell, VecBuckets)`, append-only.
+  *    by `bucket = pmod(cell, fanout)`, append-only (fan-out starts at
+  *    [[VecBuckets]], grows with store size per [[BucketFanout]],
+  *    stamped in `vecs/_fanout`).
   *  - `radii/` — append-only (cell, radius) rows; the live per-cell
   *    radius is the MAX per cell, maintained by appending each admitted
   *    batch's home angles. Nlist-sized reads, never corpus-sized.
@@ -43,14 +45,33 @@ import graft.ops.Ivf
   * missed pairs, never a nested loop. */
 object IncrementalEmbedDedup {
 
-  /** Bucket fan-out of the vector index directory layout (same role as
-    * [[IncrementalDedup.BandBuckets]]): cells hash into 64 directories,
-    * so a batch probing k cells reads ≤ min(k, 64) directories. 64 (not
-    * 256) because nlist ≈ √n keeps cell counts modest; a batch probing
-    * all buckets degrades to the unpartitioned scan, never worse. */
-  val VecBuckets = 64
+  /** STARTING bucket fan-out of the vector index directory layout
+    * (same role as [[IncrementalDedup.BandBuckets]]): cells hash into
+    * 64 directories, so a batch probing k cells reads ≤ min(k, fanout)
+    * directories. Size-adaptive like the band/chunk stores
+    * ([[BucketFanout]]): the fan-out grows 64 → 256 → 1024 at store
+    * byte thresholds via a crash-safe re-bucketing, stamped in
+    * `vecs/_fanout` — a fan-out above nlist simply converges to one
+    * cell per directory, the pruned-read-optimal layout. */
+  val VecBuckets: Int = BucketFanout.Base
 
-  private def bucketCol = pmod(col("cell"), lit(VecBuckets)).cast("int")
+  private def bucketCol(fanout: Int) = pmod(col("cell"), lit(fanout)).cast("int")
+
+  /** The fan-out the persisted vector index is bucketed at. */
+  def storeFanout(spark: SparkSession, storeDir: String): Int =
+    BucketFanout.storeFanout(spark, s"$storeDir/vecs")
+
+  /** The vector-index rewrite at `fanout`: re-bucket every row from its
+    * own cell, cluster by cell, stamp the manifest. */
+  private def vecsRewrite(spark: SparkSession, fanout: Int)(
+      live: String, tmp: String): Unit = {
+    spark.read.parquet(live)
+      .withColumn("bucket", bucketCol(fanout))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("cell"))
+      .write.partitionBy("bucket").parquet(tmp)
+    BucketFanout.writeManifest(spark, tmp, fanout)
+  }
 
   private def clamp(t: Double): Double = math.max(-1.0, math.min(1.0, t))
 
@@ -113,6 +134,8 @@ object IncrementalEmbedDedup {
 
     val newVecs = batch.select(col(id).as("doc_id"), col(vec).as("vec"))
     if (newVecs.isEmpty) return newVecs
+    val fanout = BucketFanout.reconcile(spark, storeDir, "vecs")(
+      vecsRewrite(spark, _))
 
     // amortized index: trained once, on the first non-empty batch; all
     // radii live in radii/ (the saved radii are the train-time zeros)
@@ -143,7 +166,7 @@ object IncrementalEmbedDedup {
         val probed = Ivf.assignWithinRadii(
             newVecs, "doc_id", "vec", index.centroids, radii, maxPairRad)
           .select(col("doc_id"), col("vec").as("__v"), col("nrm"), col("cell"))
-          .withColumn("bucket", bucketCol)
+          .withColumn("bucket", bucketCol(fanout))
           .cache()
         val batchBuckets = probed.select(col("bucket")).distinct()
           .collect().map(_.getInt(0)).toSeq
@@ -177,7 +200,7 @@ object IncrementalEmbedDedup {
       .join(survivors.join(clusters, Seq("doc_id"), "left")
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .withColumn("bucket", bucketCol)
+      .withColumn("bucket", bucketCol(fanout))
       .localCheckpoint(true)
 
     // radii BEFORE vectors: a crash between the two appends must leave
@@ -192,6 +215,7 @@ object IncrementalEmbedDedup {
     admittedHome.select(col("doc_id"), col("vec"), col("nrm"), col("cell"), col("bucket"))
       .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(vecsPath)
+    BucketFanout.writeManifest(spark, vecsPath, fanout)
     admittedHome.select(col("doc_id"), col("vec"))
   }
 
@@ -214,11 +238,9 @@ object IncrementalEmbedDedup {
     * (writers AND readers paused — see that method's scaladoc). */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
-    AtomicStore.swapIn(spark, storeDir, "vecs") { (live, tmp) =>
-      spark.read.parquet(live)
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col("cell"))
-        .write.partitionBy("bucket").parquet(tmp)
+    if (AtomicStore.exists(spark, s"$storeDir/vecs")) {
+      val f = BucketFanout.target(spark, s"$storeDir/vecs")
+      AtomicStore.swapIn(spark, storeDir, "vecs")(vecsRewrite(spark, f))
     }
     AtomicStore.swapIn(spark, storeDir, "radii") { (live, tmp) =>
       spark.read.parquet(live)

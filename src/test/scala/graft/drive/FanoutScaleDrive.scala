@@ -52,13 +52,27 @@ object FanoutScaleDrive {
           bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
     })
 
-    // contiguous slicing key (amplified ids are scattered)
+    // contiguous slicing key (amplified ids are scattered). Each
+    // round's big/probe slice is pre-written to its OWN parquet dir so
+    // the per-batch bytesRead measures the STORE's reads (+ the tiny
+    // slice itself), not repeated scans of a 100 MB corpus checkpoint
+    // — the first version of this drive attributed ~95 MB of its own
+    // corpus filtering to every probe and buried the store signal.
     val w = Window.orderBy(col("doc_id"))
     val corpus = graft.ops.Tables.documents(spark, dir)
       .select((row_number().over(w) - 1).cast("long").as("rk"),
         col("doc_id"), col("text"))
       .localCheckpoint(true)
     val stride = Big + Probe
+    val sliceRoot = java.nio.file.Files.createTempDirectory("fanout-slices-").toString
+    for (k <- 0 until Rounds) {
+      corpus.filter(col("rk") >= k * stride && col("rk") < k * stride + Big)
+        .select(col("doc_id"), col("text"))
+        .coalesce(4).write.parquet(s"$sliceRoot/big$k")
+      corpus.filter(col("rk") >= k * stride + Big && col("rk") < (k + 1) * stride)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.parquet(s"$sliceRoot/probe$k")
+    }
     println(s"FANOUTSCALE dir=$dir rounds=$Rounds big=$Big probe=$Probe " +
       s"docs=${corpus.count()}")
 
@@ -78,17 +92,13 @@ object FanoutScaleDrive {
       val store = java.nio.file.Files.createTempDirectory(s"fanout-$mode-").toString
       val perRound = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
       for (k <- 0 until Rounds) {
-        val bigBatch = corpus
-          .filter(col("rk") >= k * stride && col("rk") < k * stride + Big)
-          .select(col("doc_id"), col("text"))
+        val bigBatch = spark.read.parquet(s"$sliceRoot/big$k")
         val t0 = System.nanoTime()
         val bigAdmitted = IncrementalDedup
           .admitBatch(bigBatch, "doc_id", "text", 0.8, store)
           .collect().map(_.getLong(0)).toSet
         val bigSec = (System.nanoTime() - t0) / 1e9
-        val probeBatch = corpus
-          .filter(col("rk") >= k * stride + Big && col("rk") < (k + 1) * stride)
-          .select(col("doc_id"), col("text"))
+        val probeBatch = spark.read.parquet(s"$sliceRoot/probe$k")
         val b0 = bytesRead.get()
         val t1 = System.nanoTime()
         val probeAdmitted = IncrementalDedup

@@ -301,4 +301,35 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(storeTopK(store) === expected, "postings lost in the rename window")
     assert(fs.exists(new org.apache.hadoop.fs.Path(postingsPath)), "live postings not restored")
   }
+
+  test("size-adaptive fan-out growth: search answers identical across a " +
+      "64 -> 256 migration of both indexes, query pruning follows the store") {
+    val fixed = Files.createTempDirectory("bm25-fixed-").toString
+    val adaptive = Files.createTempDirectory("bm25-adapt-").toString
+    def run(store: String): Seq[Seq[(Long, Double, Long)]] =
+      Seq(corpus.take(9), corpus.slice(9, 21), corpus.drop(21)).map { b =>
+        IncrementalBm25.admitBatch(b.toDF("doc_id", "text"), "doc_id", "text", store)
+          .count()
+        storeTopK(store)
+      }
+    val control = run(fixed)
+    try {
+      spark.conf.set(BucketFanout.GrowAt256Key, "1")
+      val grown = run(adaptive)
+      assert(grown === control,
+        "search answers diverged across the fan-out migration")
+      assert(IncrementalBm25.postingsFanout(spark, adaptive) === 256)
+      assert(IncrementalBm25.docstatsFanout(spark, adaptive) === 256)
+      assert(IncrementalBm25.postingsFanout(spark, fixed) === 64)
+      // post-migration dirs are self-consistent with the new fan-out
+      val badP = spark.read.parquet(s"$adaptive/postings")
+        .filter(col("bucket") =!= pmod(xxhash64(col("term")), lit(256L)).cast("int"))
+        .count()
+      val badD = spark.read.parquet(s"$adaptive/docstats")
+        .filter(col("dbucket") =!= pmod(col("doc_id"), lit(256L)).cast("int"))
+        .count()
+      assert(badP === 0L && badD === 0L,
+        s"$badP postings / $badD docstats rows inconsistent with fan-out 256")
+    } finally spark.conf.unset(BucketFanout.GrowAt256Key)
+  }
 }

@@ -134,13 +134,16 @@ class IncrementalDedupSpec extends SparkTestBase {
     val beforeDocs = parquetFiles("docs")
     val beforeBands = parquetFiles("bands")
     IncrementalDedup.compactStore(spark, store, parts = 1)
-    // docs collapse to `parts`; bands collapse to ONE file per non-empty
-    // bucket directory (the pruned-read-optimal layout)
+    // docs AND bands collapse to ONE file per non-empty bucket
+    // directory (the pruned-read-optimal layout; docs are dbucket-
+    // partitioned since the round-17 candidate-fetch pruning)
     val bucketDirs = new java.io.File(s"$store/bands").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
-    assert(parquetFiles("docs") === 1 && parquetFiles("bands") === bucketDirs,
-      s"docs ${parquetFiles("docs")} (was $beforeDocs) bands ${parquetFiles("bands")} " +
-        s"over $bucketDirs buckets (was $beforeBands)")
+    val docBucketDirs = new java.io.File(s"$store/docs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("dbucket="))
+    assert(parquetFiles("docs") === docBucketDirs && parquetFiles("bands") === bucketDirs,
+      s"docs ${parquetFiles("docs")} (was $beforeDocs) over $docBucketDirs dbuckets, " +
+        s"bands ${parquetFiles("bands")} over $bucketDirs buckets (was $beforeBands)")
     assert(parquetFiles("bands") <= beforeBands)
     assert(IncrementalDedup.admittedDocs(spark, store)
       .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))

@@ -189,4 +189,33 @@ class IncrementalEmbedDedupSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/__compact_radii")),
       "stale compaction artifact not cleaned")
   }
+
+  test("size-adaptive fan-out growth: admission decisions identical across " +
+      "a 64 -> 256 migration, pre-migration history still rejects") {
+    def run(store: String): Seq[Set[Long]] =
+      Seq(
+        (0 until 8).map(f => (f.toLong, fam(f, 0))),
+        (0 until 8).map(f => (100L + f, if (f < 4) dupOf(f, 0) else fam(f, 1))),
+        (0 until 4).map(f => (200L + f, dupOf(f, 1)))
+      ).map(b => admit(b, store).collect().map(_.getLong(0)).toSet)
+
+    val fixed = java.nio.file.Files.createTempDirectory("embdedup-fixed-").toString
+    val adaptive = java.nio.file.Files.createTempDirectory("embdedup-adapt-").toString
+    val control = run(fixed)
+    try {
+      spark.conf.set(BucketFanout.GrowAt256Key, "1")
+      val grown = run(adaptive)
+      assert(grown === control,
+        s"admission diverged across the migration: $grown vs $control")
+      assert(IncrementalEmbedDedup.storeFanout(spark, adaptive) === 256)
+      assert(IncrementalEmbedDedup.storeFanout(spark, fixed) === 64)
+      // batch-1 vectors (written at 64, re-bucketed to 256) still reject
+      assert(admit(Seq((300L, fam(0, 0))), adaptive).count() === 0L,
+        "pre-migration history lost its rejection power")
+      val bad = spark.read.parquet(s"$adaptive/vecs")
+        .filter(col("bucket") =!= pmod(col("cell"), lit(256)).cast("int"))
+        .count()
+      assert(bad === 0L, s"$bad vec rows inconsistent with fan-out 256")
+    } finally spark.conf.unset(BucketFanout.GrowAt256Key)
+  }
 }
