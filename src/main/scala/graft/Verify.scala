@@ -21,7 +21,11 @@ object Verify {
     // run over whatever subset of outputs exists.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // sorted: deterministic dump order, and the streaming gate arms hit
+    // their group LEADER (alphabetically first) before any deposit
+    // consumer — unsorted hash order made some arms fall back to solo
+    // replays the one shared pass exists to avoid
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -232,7 +232,7 @@ object ConnectorQueries {
     }
 
   def qStreamingSessionize(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_sessionize", sessionsGroup)
+    gateArm(spark, dir, "q_streaming_sessionize", gateGroup)
 
   private def buildSessionize(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
@@ -337,7 +337,7 @@ object ConnectorQueries {
     * the key cardinality — the streaming-native form of approximate
     * COUNT(DISTINCT) dashboards run over an infinite feed. */
   def qStreamingKmv(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_kmv", sessionsGroup)
+    gateArm(spark, dir, "q_streaming_kmv", gateGroup)
 
   private def buildKmv(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
@@ -379,7 +379,7 @@ object ConnectorQueries {
     * 100 TB/continuous shape: state is ONE long per domain forever; a
     * trigger shuffles only its own batch on the domain key. */
   def qStreamingDomainQuota(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_domain_quota", docsGroup)
+    gateArm(spark, dir, "q_streaming_domain_quota", gateGroup)
 
   private def buildDomainQuota(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
@@ -413,7 +413,7 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per trigger cost ∝ batch + |strata|·k;
     * the store is bounded at |strata|·k rows forever. */
   def qStreamingReservoir(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_reservoir", docsGroup)
+    gateArm(spark, dir, "q_streaming_reservoir", gateGroup)
 
   private def buildReservoir(spark: SparkSession, dir: String) = {
     import graft.streaming.{IncrementalReservoir, StreamingQueries}
@@ -452,7 +452,7 @@ object ConnectorQueries {
     * own pool never closes (nothing advances the watermark past it)
     * and is filtered defensively. */
   def qStreamingRlMetrics(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_rl_metrics", sessionsGroup)
+    gateArm(spark, dir, "q_streaming_rl_metrics", gateGroup)
 
   private def buildRlMetrics(spark: SparkSession, dir: String) = {
     import graft.streaming.{StreamingQueries, StreamingRlMetrics}
@@ -507,7 +507,7 @@ object ConnectorQueries {
     * process-cached and broadcast; the benchmark side never re-scans),
     * no history term at all — the one streaming arm with zero state. */
   def qStreamingDecontam(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_decontam", docsTextGroup)
+    gateArm(spark, dir, "q_streaming_decontam", gateGroup)
 
   private def buildDecontam(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalDecontam
@@ -548,7 +548,7 @@ object ConnectorQueries {
     * buckets; the query reads its terms' posting buckets and the
     * O(batches) stats rows — nothing re-scans history. */
   def qStreamingBm25(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_bm25", docsTextGroup)
+    gateArm(spark, dir, "q_streaming_bm25", gateGroup)
 
   private def buildBm25(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalBm25
@@ -593,7 +593,7 @@ object ConnectorQueries {
     * progressive-close arms). The sentinel's own pool never closes and
     * is filtered defensively. */
   def qStreamingBestOfN(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_best_of_n", sessionsGroup)
+    gateArm(spark, dir, "q_streaming_best_of_n", gateGroup)
 
   private def buildBestOfN(spark: SparkSession, dir: String) = {
     import graft.streaming.{StreamingBestOfN, StreamingQueries}
@@ -635,7 +635,7 @@ object ConnectorQueries {
     * human's activity inside gap windows times the users active near
     * the watermark frontier, never corpus-sized. */
   def qStreamingSft(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_sft", sessionsGroup)
+    gateArm(spark, dir, "q_streaming_sft", gateGroup)
 
   private def buildSft(spark: SparkSession, dir: String) = {
     import graft.streaming.{StateStores, StreamingQueries, StreamingSft}
@@ -665,15 +665,29 @@ object ConnectorQueries {
     (q, () => spark.read.parquet(outDir.toString).filter(col("user_id") >= 0))
   }
 
-  /** The sessions-feed group: five arms over one shared AvailableNow
-    * pass (see [[gateArm]]); leader q_streaming_best_of_n. */
-  private val sessionsGroup: Map[String, (SparkSession, String) =>
+  /** ALL thirteen streaming gate arms as ONE concurrent AvailableNow
+    * pass (see [[gateArm]]); leader q_streaming_best_of_n (the
+    * alphabetically first arm, so the sorted Verify/Bench call orders
+    * hit it before every deposit consumer). One pass is also the
+    * realistic deployment shape: a production ingest runs all of these
+    * operators CONCURRENTLY over the same feeds — sessionization,
+    * quota, sampling, drift, dedup admission, index maintenance are
+    * one pipeline, not thirteen serial replays. */
+  private lazy val gateGroup: Map[String, (SparkSession, String) =>
       (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)] = Map(
     "q_streaming_best_of_n" -> (buildBestOfN _),
     "q_streaming_kmv" -> (buildKmv _),
     "q_streaming_rl_metrics" -> (buildRlMetrics _),
     "q_streaming_sessionize" -> (buildSessionize _),
-    "q_streaming_sft" -> (buildSft _))
+    "q_streaming_sft" -> (buildSft _),
+    "q_streaming_domain_quota" -> (buildDomainQuota _),
+    "q_streaming_psi" -> (buildPsi _),
+    "q_streaming_reservoir" -> (buildReservoir _),
+    "q_streaming_bm25" -> (buildBm25 _),
+    "q_streaming_chunks" -> (buildChunks _),
+    "q_streaming_decontam" -> (buildDecontam _),
+    "q_streaming_neardup" -> (buildNeardup _),
+    "q_streaming_embed_neardup" -> (buildEmbedNeardup _))
 
   /** The per-micro-batch PSI drift monitor
     * ([[graft.streaming.StreamingQueries.psiMonitorBatch]]) bound
@@ -697,7 +711,7 @@ object ConnectorQueries {
     * 100 TB/continuous shape: state-free; per trigger one bounded agg
     * of the batch + a |categories|-row broadcast join. */
   def qStreamingPsi(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_psi", docsGroup)
+    gateArm(spark, dir, "q_streaming_psi", gateGroup)
 
   private def buildPsi(spark: SparkSession, dir: String) = {
     import graft.streaming.StreamingQueries
@@ -735,13 +749,6 @@ object ConnectorQueries {
     })
   }
 
-  /** The docs-metadata-feed group: three arms over one shared pass
-    * (see [[gateArm]]); leader q_streaming_domain_quota. */
-  private val docsGroup: Map[String, (SparkSession, String) =>
-      (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)] = Map(
-    "q_streaming_domain_quota" -> (buildDomainQuota _),
-    "q_streaming_psi" -> (buildPsi _),
-    "q_streaming_reservoir" -> (buildReservoir _))
 
   /** Streaming MinHash near-duplicate ADMISSION
     * ([[graft.streaming.IncrementalDedup]]) bound under the driver
@@ -764,7 +771,7 @@ object ConnectorQueries {
     * bucket-pruned index + verify on candidates only — never
     * all-pairs; the store grows with ADMITTED docs only. */
   def qStreamingNeardup(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_neardup", docsTextGroup)
+    gateArm(spark, dir, "q_streaming_neardup", gateGroup)
 
   private def buildNeardup(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalDedup
@@ -809,7 +816,7 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per-batch cost ∝ batch + matched
     * buckets; the store is ~16 B per unique chunk forever. */
   def qStreamingChunks(spark: SparkSession, dir: String): DataFrame =
-    gateArm(spark, dir, "q_streaming_chunks", docsTextGroup)
+    gateArm(spark, dir, "q_streaming_chunks", gateGroup)
 
   private def buildChunks(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalChunkStore
@@ -833,14 +840,6 @@ object ConnectorQueries {
     (q, () => spark.read.parquet(outDir.toString))
   }
 
-  /** The docs-with-text-feed group: four store-maintenance arms over
-    * one shared pass (see [[gateArm]]); leader q_streaming_bm25. */
-  private val docsTextGroup: Map[String, (SparkSession, String) =>
-      (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)] = Map(
-    "q_streaming_bm25" -> (buildBm25 _),
-    "q_streaming_chunks" -> (buildChunks _),
-    "q_streaming_decontam" -> (buildDecontam _),
-    "q_streaming_neardup" -> (buildNeardup _))
 
   /** Global-first-occurrence novelty over the batch CDC chunk table:
     * one window by chunk text, per-doc aggregate — the id-ordered
@@ -925,7 +924,10 @@ object ConnectorQueries {
     * 100 TB/continuous shape: per batch, cell equi-joins against the
     * bucket-pruned vector index + verify on candidates only; the
     * store grows with ADMITTED vectors only. */
-  def qStreamingEmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def qStreamingEmbedNeardup(spark: SparkSession, dir: String): DataFrame =
+    gateArm(spark, dir, "q_streaming_embed_neardup", gateGroup)
+
+  private def buildEmbedNeardup(spark: SparkSession, dir: String) = {
     import graft.streaming.IncrementalEmbedDedup
     val feed = ensureVecsStream(spark, dir)
     val m = Tables.embeddings(spark, dir)
@@ -954,10 +956,8 @@ object ConnectorQueries {
         Files.createTempDirectory("ck-stream-embdedup-").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000), "streaming embed near-dup gate timed out")
-    q.stop()
-    IncrementalEmbedDedup.admittedVecs(spark, storeDir.toString)
-      .select(col("doc_id").as("vec_id"))
+    (q, () => IncrementalEmbedDedup.admittedVecs(spark, storeDir.toString)
+      .select(col("doc_id").as("vec_id")))
   }
 
   /** The two-batch embed-admission replay over the even-id slice:
