@@ -74,11 +74,20 @@ def norm(df):
 # injected known-dup pairs with globally unique vocabulary / exact-copy
 # vectors, exact-set or full-recall assertions on the planted slice.
 planted = {}
+# the streaming-admission arms' planted evidence lands in its own file
+# (graft.drive.StreamingPlantedDrive, round 17): merge it the same way
+_seen_main = False
 for cand in ("target/planted_sf1.json",
-             os.path.join(os.path.dirname(outdir), "planted_sf1.json")):
+             os.path.join(os.path.dirname(outdir), "planted_sf1.json"),
+             "target/planted_stream_sf1.json"):
     if os.path.exists(cand):
-        planted = json.load(open(cand))
-        break
+        # first hit wins for the MAIN planted file's two locations;
+        # the streaming file is additive (disjoint query names)
+        if cand.endswith("planted_stream_sf1.json"):
+            planted.update(json.load(open(cand)))
+        elif not _seen_main:
+            planted.update(json.load(open(cand)))
+            _seen_main = True
 
 fails, ok, skipped = [], 0, 0
 for name, sql in sorted(oracle.items()):
