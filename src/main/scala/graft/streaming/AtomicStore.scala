@@ -81,6 +81,27 @@ private[streaming] object AtomicStore {
     }
   }
 
+  /** (data files, occupied bucket dirs) under an index dir — the
+    * compaction-policy observable: every micro-batch appends one file
+    * per non-empty bucket, so files/dir ≈ triggers since the last
+    * compaction. Metadata-only (recursive listing, the same cost class
+    * as the read planning the file count is inflating). */
+  def filesPerDir(spark: SparkSession, path: String,
+      dirPrefix: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, 0L)
+    val dirs = fs.listStatus(p)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith(s"$dirPrefix="))
+    var files = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += 1
+    }
+    (files, dirs.toLong)
+  }
+
   /** Rewrite `storeDir/sub` via a temp dir and swap it in (two renames);
     * a crash at ANY point is rolled forward by [[recover]]. */
   def swapIn(spark: SparkSession, storeDir: String, sub: String)(

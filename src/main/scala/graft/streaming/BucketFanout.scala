@@ -45,7 +45,16 @@ import org.apache.spark.sql.SparkSession
   * cannot reach are empty). Without this reconciliation, a fan-out
   * constant change silently broke pruning: history rows in dirs ≥ the
   * new modulus were never scanned and their near-dups re-admitted —
-  * the ADVICE r16 finding, pinned in IncrementalDedupSpec. */
+  * the ADVICE r16 finding, pinned in IncrementalDedupSpec.
+  *
+  * Operational note: [[reconcile]] performs a threshold-crossing
+  * rewrite INSIDE the trigger that discovers it — correct but a
+  * one-off ingest pause ∝ store size. To avoid that, run the store's
+  * `compactStore` (or `maybeCompact`) in a maintenance window: it
+  * rewrites at the scheduled target fan-out, so the next trigger's
+  * reconcile sees actual == target and is a no-op. A store crosses
+  * each threshold at most once in its lifetime (monotonic growth), so
+  * there are at most two such rewrites ever. */
 object BucketFanout {
 
   /** Fan-out floor and the value every store starts at. */

@@ -172,6 +172,19 @@ object IncrementalChunkStore {
   /** Compact the append-only index to one file per non-empty bucket,
     * rows de-duplicated and clustered by the join keys; crash-safe via
     * [[AtomicStore.swapIn]] under the single-operator contract. */
+  /** Compaction policy ([[IncrementalDedup.maybeCompact]] semantics,
+    * same single-operator contract): compact when the chunk index
+    * holds more than `maxFilesPerBucket` files per occupied bucket;
+    * returns true iff it compacted. */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      maxFilesPerBucket: Int = 32): Boolean = {
+    recoverStore(spark, storeDir)
+    val (files, dirs) = AtomicStore.filesPerDir(spark, s"$storeDir/chunks", "bucket")
+    if (dirs == 0L || files <= maxFilesPerBucket * dirs) return false
+    compactStore(spark, storeDir)
+    true
+  }
+
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
     if (AtomicStore.exists(spark, s"$storeDir/chunks")) {

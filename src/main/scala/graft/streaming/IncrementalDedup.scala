@@ -368,6 +368,28 @@ object IncrementalDedup {
     * keys — so the per-batch pruned reads open exactly one file per
     * probed bucket. (`parts` is retained for source compatibility; the
     * docs rewrite is bucketed now, so it is ignored.) */
+  /** Compaction POLICY for a long-running ingest: compact when the
+    * append-only band index has accumulated more than
+    * `maxFilesPerBucket` files per occupied bucket (each trigger
+    * appends one file per non-empty bucket, so files/bucket ≈ triggers
+    * since the last compaction — the small-files metadata tax grows
+    * linearly with it). Returns true iff it compacted. Runs under the
+    * same single-operator contract as [[compactStore]]: call it from
+    * the ingest's OWN maintenance slot (e.g. every N triggers inside
+    * foreachBatch, or a quiet window) — never concurrently with other
+    * store entry points. Because [[compactStore]] rewrites at the
+    * size-scheduled fan-out, a maintenance-window `maybeCompact` also
+    * pre-pays any pending fan-out migration, so the next trigger's
+    * reconcile is a no-op instead of a mid-trigger rewrite. */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      maxFilesPerBucket: Int = 32): Boolean = {
+    recoverStore(spark, storeDir)
+    val (files, dirs) = AtomicStore.filesPerDir(spark, s"$storeDir/bands", "bucket")
+    if (dirs == 0L || files <= maxFilesPerBucket * dirs) return false
+    compactStore(spark, storeDir)
+    true
+  }
+
   def compactStore(spark: SparkSession, storeDir: String, parts: Int = 16): Unit = {
     recoverStore(spark, storeDir) // clears any crashed prior compaction
     if (exists(spark, s"$storeDir/docs")) {

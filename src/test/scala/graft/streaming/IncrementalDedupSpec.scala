@@ -379,6 +379,22 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(bad === 0L, s"$bad band rows in dirs inconsistent with fan-out $detected")
   }
 
+  test("maybeCompact: fires once files-per-bucket crosses the policy " +
+      "threshold, is a no-op right after, decisions unchanged") {
+    val store = Files.createTempDirectory("incdedup-policy-").toString
+    for (i <- 0 until 4) admit(Seq(doc(10L * i + 1, s"mc$i")), store)
+    val (files0, dirs0) = AtomicStore.filesPerDir(spark, s"$store/bands", "bucket")
+    assert(files0 > dirs0, s"fixture vacuous: $files0 files over $dirs0 dirs")
+    assert(IncrementalDedup.maybeCompact(spark, store, maxFilesPerBucket = 1),
+      "policy did not fire above threshold")
+    // compaction ends at one file per non-empty bucket → immediately quiet
+    assert(!IncrementalDedup.maybeCompact(spark, store, maxFilesPerBucket = 1),
+      "policy re-fired on a just-compacted store")
+    // decisions unchanged: a near-dup of a pre-compaction doc still rejects
+    assert(admit(Seq(99L -> (doc(1L, "mc0")._2 + " x")), store).count() === 0L,
+      "compacted store lost rejection power")
+  }
+
   test("size-adaptive fan-out growth: admission decisions identical across " +
       "a 64 -> 256 migration, cross-boundary history still rejects") {
     val fixed = Files.createTempDirectory("incdedup-fixed-").toString
