@@ -342,6 +342,22 @@ object IncrementalBm25 {
     * garbage-collects rows of batches that crashed uncommitted and
     * were never replayed (ids absent from docstats). Crash-safe via
     * [[AtomicStore.swapIn]]. */
+  /** Compaction policy ([[IncrementalDedup.maybeCompact]] semantics,
+    * same single-operator contract): compact when EITHER index holds
+    * more than `maxFilesPerBucket` files per occupied bucket; returns
+    * true iff it compacted. */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      maxFilesPerBucket: Int = 32): Boolean = {
+    recoverStore(spark, storeDir)
+    val (pf, pd) = AtomicStore.filesPerDir(spark, s"$storeDir/postings", "bucket")
+    val (df, dd) = AtomicStore.filesPerDir(spark, s"$storeDir/docstats", "dbucket")
+    val over = (pd > 0L && pf > maxFilesPerBucket * pd) ||
+      (dd > 0L && df > maxFilesPerBucket * dd)
+    if (!over) return false
+    compactStore(spark, storeDir)
+    true
+  }
+
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
     val committed =

@@ -236,6 +236,19 @@ object IncrementalEmbedDedup {
     * same temp-and-swap + roll-forward as [[IncrementalDedup
     * .compactStore]], and under the same single-operator contract
     * (writers AND readers paused — see that method's scaladoc). */
+  /** Compaction policy ([[IncrementalDedup.maybeCompact]] semantics,
+    * same single-operator contract): compact when the vector index
+    * holds more than `maxFilesPerBucket` files per occupied bucket;
+    * returns true iff it compacted. */
+  def maybeCompact(spark: SparkSession, storeDir: String,
+      maxFilesPerBucket: Int = 32): Boolean = {
+    recoverStore(spark, storeDir)
+    val (files, dirs) = AtomicStore.filesPerDir(spark, s"$storeDir/vecs", "bucket")
+    if (dirs == 0L || files <= maxFilesPerBucket * dirs) return false
+    compactStore(spark, storeDir)
+    true
+  }
+
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
     recoverStore(spark, storeDir)
     if (AtomicStore.exists(spark, s"$storeDir/vecs")) {

@@ -302,6 +302,18 @@ class IncrementalBm25Spec extends SparkTestBase {
     assert(fs.exists(new org.apache.hadoop.fs.Path(postingsPath)), "live postings not restored")
   }
 
+  test("maybeCompact: fires above the files-per-bucket threshold, no-op " +
+      "after, answers unchanged") {
+    val store = Files.createTempDirectory("bm25-policy-").toString
+    for (b <- Seq(corpus.take(9), corpus.slice(9, 21), corpus.drop(21)))
+      IncrementalBm25.admitBatch(b.toDF("doc_id", "text"), "doc_id", "text", store)
+        .count()
+    val expected = storeTopK(store)
+    assert(IncrementalBm25.maybeCompact(spark, store, maxFilesPerBucket = 1))
+    assert(!IncrementalBm25.maybeCompact(spark, store, maxFilesPerBucket = 1))
+    assert(storeTopK(store) === expected, "policy compaction changed answers")
+  }
+
   test("size-adaptive fan-out growth: search answers identical across a " +
       "64 -> 256 migration of both indexes, query pruning follows the store") {
     val fixed = Files.createTempDirectory("bm25-fixed-").toString

@@ -190,6 +190,17 @@ class IncrementalEmbedDedupSpec extends SparkTestBase {
       "stale compaction artifact not cleaned")
   }
 
+  test("maybeCompact: fires above the files-per-bucket threshold, no-op " +
+      "after, rejection unchanged") {
+    val store = java.nio.file.Files.createTempDirectory("embdedup-policy-").toString
+    for (k <- 0 until 3)
+      admit((0 until 4).map(f => (10L * k + f, fam(f, k))), store)
+    assert(IncrementalEmbedDedup.maybeCompact(spark, store, maxFilesPerBucket = 1))
+    assert(!IncrementalEmbedDedup.maybeCompact(spark, store, maxFilesPerBucket = 1))
+    assert(admit(Seq((99L, dupOf(0, 0))), store).count() === 0L,
+      "policy compaction lost rejection power")
+  }
+
   test("size-adaptive fan-out growth: admission decisions identical across " +
       "a 64 -> 256 migration, pre-migration history still rejects") {
     def run(store: String): Seq[Set[Long]] =
