@@ -149,8 +149,11 @@ object Bench {
     // driver's tail-capture window, so tools/check_bench_drift.py falls
     // back to this file when the captured artifact is truncated. Only
     // full runs persist — a BENCH_ONLY isolation run must not clobber
-    // the full-run artifact the drift gate reads.
-    if (only.isEmpty) try {
+    // the full-run artifact the drift gate reads — UNLESS an explicit
+    // SPARK_GRAFT_BENCH_OUT names a destination (the streaming solo
+    // sweep is a BENCH_ONLY run whose artifact
+    // target/bench_solo_last.json feeds check_bench_drift.py --solo).
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) try {
       // Amplified-scale runs persist to their own artifacts by default:
       // clobbering target/bench_last.json would poison the sf0.1 drift
       // fallback with ~10-100x numbers. check_bench_drift.py --sf1

@@ -60,8 +60,12 @@ object BucketFanout {
   /** Fan-out floor and the value every store starts at. */
   val Base = 64
 
-  /** Runtime-settable thresholds (bytes of index data at which the
-    * scheduled fan-out becomes 256 / 1024). */
+  /** Runtime-settable thresholds (bytes of index data ABOVE which the
+    * scheduled fan-out becomes 256 / 1024). Must be positive: the
+    * comparison is strict (`>`), so an (invalid) threshold of 0 still
+    * keeps a brand-new zero-byte store at [[Base]] instead of paying
+    * the measured super-linear 1024-dir commit tax from trigger one
+    * (ADVICE r17). */
   val GrowAt256Key = "spark.graft.store.growAt256Bytes"
   val GrowAt1024Key = "spark.graft.store.growAt1024Bytes"
   val DefaultGrowAt256: Long = 4L << 30
@@ -74,32 +78,58 @@ object BucketFanout {
   def scheduled(spark: SparkSession, storeBytes: Long): Int = {
     val g256 = spark.conf.get(GrowAt256Key, DefaultGrowAt256.toString).toLong
     val g1024 = spark.conf.get(GrowAt1024Key, DefaultGrowAt1024.toString).toLong
-    if (storeBytes >= g1024) 1024 else if (storeBytes >= g256) 256 else Base
+    if (storeBytes > g1024) 1024 else if (storeBytes > g256) 256 else Base
   }
 
   /** Total data bytes under the index dir (metadata-only probe). */
   def dirBytes(spark: SparkSession, path: String): Long =
     fs(spark, path).getContentSummary(new Path(path)).getLength
 
-  /** Stamp the store's fan-out manifest (idempotent overwrite). */
+  /** Stamp the store's fan-out manifest (idempotent overwrite).
+    *
+    * Written via temp file + delete + rename rather than an in-place
+    * truncating create: a crash (or a concurrent reader — search is
+    * allowed alongside appends) inside a truncate-then-write window
+    * would observe an EMPTY `_fanout`, and before round 18 that threw
+    * an unhandled NumberFormatException from every store entry point
+    * until someone deleted the file by hand (ADVICE r17). The rename
+    * window instead exposes either the old complete manifest or a
+    * brief ABSENCE — and absence is safe by construction: readers fall
+    * back to the occupied-dir detection, which the power-of-two
+    * argument in the header proves bucket-compatible. */
   def writeManifest(spark: SparkSession, indexDir: String, fanout: Int): Unit = {
-    val out = fs(spark, indexDir).create(new Path(indexDir, "_fanout"), true)
+    val f = fs(spark, indexDir)
+    val tmp = new Path(indexDir, "_fanout.tmp")
+    val dst = new Path(indexDir, "_fanout")
+    val out = f.create(tmp, true)
     try out.write(fanout.toString.getBytes("UTF-8")) finally out.close()
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst)) throw new java.io.IOException(
+      s"could not rename $tmp to $dst while stamping the fan-out manifest")
   }
 
-  private def readManifest(spark: SparkSession, indexDir: String): Option[Int] = {
-    val p = new Path(indexDir, "_fanout")
-    val f = fs(spark, indexDir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
-      } finally in.close()
-    }
-  }
+  /** `Some(fanout)` from a readable manifest; `None` when the file is
+    * absent, empty, unparseable, or unreadable (e.g. a checksum
+    * mismatch from a torn write) — all of which fall back to the
+    * occupied-dir detection. The fallback is bucket-compatible by the
+    * power-of-two argument in the header, so degrading on ANY read
+    * failure is always correct; a damaged manifest must never wedge
+    * the store (ADVICE r17). */
+  private def readManifest(spark: SparkSession, indexDir: String): Option[Int] =
+    scala.util.Try {
+      val p = new Path(indexDir, "_fanout")
+      val f = fs(spark, indexDir)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          scala.util.Try(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt)
+            .toOption.filter(_ > 0)
+        } finally in.close()
+      }
+    }.toOption.flatten
 
   private def nextPow2(n: Int): Int = {
     var p = 1
@@ -143,7 +173,11 @@ object BucketFanout {
     val actual = storeFanout(spark, path, dirCol)
     val t = target(spark, path, dirCol)
     if (t != actual) AtomicStore.swapIn(spark, storeDir, sub)(rewrite(t))
-    else writeManifest(spark, path, actual)
+    // stamp pre-manifest stores once; skip the rewrite when the stamped
+    // value is already current, so steady-state triggers never re-enter
+    // the manifest's (brief, fallback-covered) replacement window
+    else if (!readManifest(spark, path).contains(actual))
+      writeManifest(spark, path, actual)
     t
   }
 }

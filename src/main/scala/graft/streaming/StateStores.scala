@@ -27,7 +27,18 @@ object StateStores {
 
   /** Switch subsequently-started streaming queries in this session to
     * RocksDB state with changelog checkpointing. Returns the session
-    * for chaining. */
+    * for chaining.
+    *
+    * Scope caveat (VERDICT r17): this mutates SESSION-wide conf, so
+    * inside a concurrent group build (ConnectorQueries.gateArm) any
+    * OTHER query started while the flag is set would also run on
+    * RocksDB. Today that cannot happen — the group's builds run
+    * sequentially on one thread and each query latches the provider at
+    * start, so the try/finally in the SFT binding scopes it — and the
+    * provider never affects rows (parity pinned by RocksDBStateSpec /
+    * RocksDBArmsSpec / RocksDBGroupPassSpec), so even an accidental
+    * wider scope is correctness-neutral. If builds ever become
+    * concurrent, move this to a per-query conf on the writer. */
   def useRocksDB(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
     // per-batch deltas instead of full SST re-uploads at every commit

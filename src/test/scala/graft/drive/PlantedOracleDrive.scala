@@ -317,9 +317,15 @@ object PlantedOracleDrive {
     }
 
     // ---------- report ----------
-    val json = results.map { case (k, (ok, d)) =>
+    // provenance stamp (ADVICE r17): check_oracle_sf1.py refuses to let
+    // a stale planted file vouch for a later Verify run, and this meta
+    // records which fixture generation the evidence came from
+    val srcMtime = new java.io.File(s"$src/documents.parquet").lastModified()
+    val meta =
+      s""""_meta": {"src": "$src", "src_mtime_ms": $srcMtime, "written_ms": ${System.currentTimeMillis()}}"""
+    val json = (results.map { case (k, (ok, d)) =>
       s""""$k": {"planted_ok": $ok, "detail": "${d.replace("\"", "'")}"}"""
-    }.mkString("{", ", ", "}")
+    } :+ meta).mkString("{", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonOut), json)
     val failed = results.filter(!_._2._1)
     println(s"PLANTED summary: ${results.size - failed.size}/${results.size} ok" +

@@ -3,6 +3,18 @@
 
 Usage: python3 tools/check_bench_drift.py BENCH_rN.json [factor] [--sf1|--sf10]
        python3 tools/check_bench_drift.py [artifact] [factor] --pipeline
+       python3 tools/check_bench_drift.py [artifact] [factor] --solo
+
+--solo checks the once-per-round per-arm STREAMING SOLO SWEEP (VERDICT
+r17 item 1) against tools/bench_reference_solo.json: each non-leader
+gate arm run via its SPARK_GRAFT_BENCH_ONLY solo fallback so a kernel
+regression the 13-arm leader wall would dilute below the gate cannot
+ship silently. Produce the artifact with
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  SPARK_GRAFT_BENCH_ONLY=<the 12 non-leader q_streaming_* arms> \
+  SPARK_GRAFT_BENCH_OUT=target/bench_solo_last.json \
+  sbt -batch "runMain graft.Bench"
+(default artifact: target/bench_solo_last.json).
 
 --pipeline checks the CurationPipelineDrive composed run instead of
 per-query bench shares: the artifact (default target/pipeline_last.json,
@@ -40,17 +52,37 @@ from pathlib import Path
 SF1 = "--sf1" in sys.argv
 SF10 = "--sf10" in sys.argv
 PIPELINE = "--pipeline" in sys.argv
-if sum((SF1, SF10, PIPELINE)) > 1:
-    sys.exit("error: --sf1 / --sf10 / --pipeline are mutually exclusive "
-             "(each selects its own reference pins); pass exactly one")
-sys.argv = [a for a in sys.argv if a not in ("--sf1", "--sf10", "--pipeline")]
+SOLO = "--solo" in sys.argv
+if sum((SF1, SF10, PIPELINE, SOLO)) > 1:
+    sys.exit("error: --sf1 / --sf10 / --pipeline / --solo are mutually "
+             "exclusive (each selects its own reference pins); pass exactly one")
+sys.argv = [a for a in sys.argv
+            if a not in ("--sf1", "--sf10", "--pipeline", "--solo")]
 
-_SUFFIX = "_sf10" if SF10 else ("_sf1" if SF1 else "")
+_SUFFIX = "_solo" if SOLO else ("_sf10" if SF10 else ("_sf1" if SF1 else ""))
 REF_PATH = Path(__file__).parent / f"bench_reference{_SUFFIX}.json"
 # below this absolute cost, ratio noise is meaningless (first-touch
 # and scheduling jitter are a large share of tiny queries); amplified
 # runs carry ~10-100x the work so the floor scales with them
 MIN_FLAG_SECONDS = 3.0 if SF10 else (1.0 if SF1 else 0.3)
+
+# The one-pass streaming gate (round 17) made every NON-LEADER arm's
+# full-run number a deposit lookup: machinery, not a kernel — its
+# jitter (a deposit fetch that re-runs a few-job store query can spread
+# 0.3 -> 0.76 s) carries no regression signal, and a BENCH_ONLY subset
+# without the leader silently takes the SOLO fallback and reads
+# 10-100x the deposit pin (ADVICE r17). Full-run modes therefore never
+# gate non-leader arms; their real per-arm signal is the once-per-round
+# solo sweep checked with --solo against bench_reference_solo.json
+# (artifact: target/bench_solo_last.json, produced by
+# SPARK_GRAFT_BENCH_ONLY=<non-leader arms> SPARK_GRAFT_BENCH_OUT=...).
+STREAM_LEADER = "q_streaming_best_of_n"
+STREAM_ARMS = {
+    "q_streaming_best_of_n", "q_streaming_bm25", "q_streaming_chunks",
+    "q_streaming_decontam", "q_streaming_domain_quota",
+    "q_streaming_embed_neardup", "q_streaming_kmv", "q_streaming_neardup",
+    "q_streaming_psi", "q_streaming_reservoir", "q_streaming_rl_metrics",
+    "q_streaming_sessionize", "q_streaming_sft"}
 
 
 FALLBACK = Path(__file__).parent.parent / "target" / (
@@ -144,8 +176,25 @@ def main():
               + (" — CONTENDED (host-steal regime)" if contended else ""))
 
     drifted, new, unflagged_ratios = [], [], []
+    leader_present = STREAM_LEADER in cur
     for q, t in sorted(cur.items()):
         if q == "_warmup":
+            continue
+        if SOLO and (q not in STREAM_ARMS or q == STREAM_LEADER):
+            # the solo sweep's scope is the 12 non-leader arms; the
+            # leader's solo run IS the full group pass, gated by its
+            # full-run pin, and anything else in the artifact is noise
+            print(f"SKIP  {q}: outside the solo-sweep scope")
+            continue
+        if not SOLO and q in STREAM_ARMS and q != STREAM_LEADER:
+            if leader_present:
+                print(f"DEPOSIT {q}: {t:.2f}s (deposit-lookup machinery, "
+                      "not gated; per-arm kernel signal lives in the solo "
+                      "sweep — check_bench_drift.py --solo)")
+            else:
+                print(f"SKIP  {q}: leader {STREAM_LEADER} absent from this "
+                      "run, so this arm took the SOLO fallback — full-run "
+                      "deposit pins do not apply; compare with --solo")
             continue
         if q in on_demand:
             print(f"SKIP  {q}: measure-on-demand pin ({on_demand[q]:.1f}s "
@@ -167,30 +216,44 @@ def main():
     #  - UNIFORM (median >= REGIME_FACTOR): the whole run is 1.4x+ —
     #    the judge's isolated-box case (controls read 2-3x). Every
     #    flag measures the host.
-    #  - TAIL (>= max(TAIL_MIN_COUNT, TAIL_MIN_FRAC of controls) read
-    #    >= TAIL_RATIO): the run had degraded windows that inflated a
-    #    subset — the r16 driver-run case (median 1.10 but 15/118
-    #    controls at 1.5-1.9x alongside 5 flags at 2.0-3.5x).
-    #    Calibration: r16 sf0.1 run 15/118 >= 1.5 (fires); builder's
-    #    idle 0-drift sf1 run 6/61 (stays quiet); a healthy run with
-    #    one true regression (r14 q_distinct_kmv class) has quiet
-    #    controls and stays un-annotated — synthetic negative pinned
-    #    in BASELINE.md round-17 notes.
+    #  - TAIL (>= max(TAIL_MIN_COUNT, TAIL_MIN_FRAC of observations)
+    #    read >= TAIL_RATIO): the run had degraded windows that
+    #    inflated a subset — the r16 driver-run case (median 1.10 but
+    #    15/118 controls at 1.5-1.9x alongside 5 flags at 2.0-3.5x).
+    #    Round-18 calibration (VERDICT r17 item 3): the FLAGGED queries
+    #    themselves count as tail observations — a flag at 2-3.5x on
+    #    untouched code IS a degraded-window reading, and the r17
+    #    driver run sat one control short of the gate (10 vs 11) with
+    #    4 such flags un-annotated. To keep a genuine MASS regression
+    #    (many flags, quiet controls) from self-annotating, the tail
+    #    must also carry minimum UNFLAGGED support.
+    #    Retro-validation: r16 sf0.1 run 15+5/123 (fires); r17 driver
+    #    run 10+4/114 (fires — previously missed by one); builder's
+    #    idle 0-drift sf1 run 6+0/61 (quiet); a healthy run with one
+    #    true regression (r14 q_distinct_kmv class) has quiet controls
+    #    and stays un-annotated; a synthetic 10-flag mass regression
+    #    with quiet controls fails the unflagged-support guard.
     REGIME_FACTOR = 1.4
     TAIL_RATIO = 0.75 * factor     # 1.5 at the default 2.0 gate
     TAIL_MIN_COUNT, TAIL_MIN_FRAC = 8, 0.10
+    TAIL_MIN_UNFLAGGED = 4         # mass-regression guard (see above)
     regime = (sorted(unflagged_ratios)[len(unflagged_ratios) // 2]
               if unflagged_ratios else None)
-    tail_n = sum(1 for r in unflagged_ratios if r >= TAIL_RATIO)
-    tail_gate = max(TAIL_MIN_COUNT, TAIL_MIN_FRAC * len(unflagged_ratios))
+    tail_unflagged = sum(1 for r in unflagged_ratios if r >= TAIL_RATIO)
+    tail_n = tail_unflagged + sum(1 for _, _, _, r in drifted if r >= TAIL_RATIO)
+    n_obs = len(unflagged_ratios) + len(drifted)
+    tail_gate = max(TAIL_MIN_COUNT, TAIL_MIN_FRAC * n_obs)
     degraded = regime is not None and regime >= REGIME_FACTOR
-    tail_degraded = (not degraded) and unflagged_ratios and tail_n >= tail_gate
+    tail_degraded = (not degraded) and unflagged_ratios and tail_n >= tail_gate \
+        and tail_unflagged >= max(TAIL_MIN_UNFLAGGED,
+                                  0.05 * len(unflagged_ratios))
     if regime is not None:
         print(f"regime factor: median ratio-to-pin over "
               f"{len(unflagged_ratios)} unflagged controls >= "
               f"{MIN_FLAG_SECONDS:g}s = {regime:.2f}; "
-              f"{tail_n} controls >= {TAIL_RATIO:g}x (tail gate "
-              f"{tail_gate:.1f})"
+              f"{tail_n} observations >= {TAIL_RATIO:g}x "
+              f"({tail_unflagged} unflagged + {tail_n - tail_unflagged} "
+              f"flagged; tail gate {tail_gate:.1f})"
               + (f" — HOST-REGIME DEGRADED (median >= {REGIME_FACTOR:g}): "
                  "flags below measure the host, not the code"
                  if degraded else "")
@@ -204,8 +267,9 @@ def main():
         suffix += (f" [host-regime — re-measure: run's own controls at "
                    f"{regime:.2f}x their pins]")
     elif tail_degraded:
-        suffix += (f" [host-regime (tail) — re-measure: {tail_n} unflagged "
-                   f"controls read >= {TAIL_RATIO:g}x their pins]")
+        suffix += (f" [host-regime (tail) — re-measure: {tail_n} observations "
+                   f"({tail_unflagged} unflagged) read >= {TAIL_RATIO:g}x "
+                   "their pins]")
     for q, t, r, ratio in drifted:
         print(f"DRIFT {q}: {t:.2f}s vs reference {r:.2f}s ({ratio:.1f}x){suffix}")
     for q, t in new:

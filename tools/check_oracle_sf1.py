@@ -73,7 +73,16 @@ def norm(df):
 # target/planted_sf1.json): linear-cost constructed oracles at sf1 —
 # injected known-dup pairs with globally unique vocabulary / exact-copy
 # vectors, exact-set or full-recall assertions on the planted slice.
+#
+# Staleness gate (ADVICE r17): a planted file left over from a PRIOR
+# round would silently vouch for a query after a regression. A planted
+# file only counts when it is at least as new as the Verify dump being
+# checked (outdir/oracle_sql.json mtime) — run the planted drives AFTER
+# Verify. Stale files are reported loudly and their queries fall back
+# to the skip accounting. The drives also stamp a "_meta" provenance
+# entry (src dir + fixture mtime), echoed here for the audit trail.
 planted = {}
+_verify_mtime = os.path.getmtime(f"{outdir}/oracle_sql.json")
 # the streaming-admission arms' planted evidence lands in its own file
 # (graft.drive.StreamingPlantedDrive, round 17): merge it the same way
 _seen_main = False
@@ -81,12 +90,22 @@ for cand in ("target/planted_sf1.json",
              os.path.join(os.path.dirname(outdir), "planted_sf1.json"),
              "target/planted_stream_sf1.json"):
     if os.path.exists(cand):
+        if os.path.getmtime(cand) < _verify_mtime:
+            print(f"STALE {cand}: predates {outdir}/oracle_sql.json — "
+                  "ignored (re-run the planted drive after Verify)")
+            continue
+        doc = json.load(open(cand))
+        meta = doc.pop("_meta", None)
+        if meta:
+            print(f"planted {cand}: src={meta.get('src')} "
+                  f"src_mtime_ms={meta.get('src_mtime_ms')} "
+                  f"written_ms={meta.get('written_ms')}")
         # first hit wins for the MAIN planted file's two locations;
         # the streaming file is additive (disjoint query names)
         if cand.endswith("planted_stream_sf1.json"):
-            planted.update(json.load(open(cand)))
+            planted.update(doc)
         elif not _seen_main:
-            planted.update(json.load(open(cand)))
+            planted.update(doc)
             _seen_main = True
 
 fails, ok, skipped = [], 0, 0
