@@ -29,17 +29,28 @@ import graft.streaming.{BucketFanout, IncrementalDedup}
   * boundaries — is asserted exactly.
   *
   * Usage: Test/runMain graft.drive.FanoutScaleDrive \
-  *   [dir=target/sf1] [rounds=10] [big=4000]
+  *   [dir=target/sf1] [rounds=10] [big=4000] [grow256B] [grow1024B]
+  *
+  * The optional threshold args shrink the adaptive schedule at
+  * fixture scale: the round-17 run (4/16 MiB) ended at 15 MB of bands
+  * — one round short of the 256 → 1024 boundary — so the second
+  * migration and the 1024-dir commit tax were asserted, not measured
+  * (VERDICT r17 item 4). A run with e.g. 2/6 MiB crosses BOTH
+  * boundaries mid-run.
   */
 object FanoutScaleDrive {
   private var Rounds = 10
   private var Big = 4000L
   private val Probe = 5L
+  private var Grow256 = 4L << 20
+  private var Grow1024 = 16L << 20
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "target/sf1"
     if (args.length > 1) Rounds = args(1).toInt
     if (args.length > 2) Big = args(2).toLong
+    if (args.length > 3) Grow256 = args(3).toLong
+    if (args.length > 4) Grow1024 = args(4).toLong
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -78,10 +89,10 @@ object FanoutScaleDrive {
 
     def run(mode: String): Seq[Set[Long]] = {
       if (mode == "adaptive") {
-        // migrate 64 -> 256 around round 2 and 256 -> 1024 around
-        // round 6 of the ~40 MB-final band store
-        spark.conf.set(BucketFanout.GrowAt256Key, (4L << 20).toString)
-        spark.conf.set(BucketFanout.GrowAt1024Key, (16L << 20).toString)
+        // default 4/16 MiB: migrate 64 -> 256 around round 2 of the
+        // ~15 MB-final band store (shrink via args to cross 1024 too)
+        spark.conf.set(BucketFanout.GrowAt256Key, Grow256.toString)
+        spark.conf.set(BucketFanout.GrowAt1024Key, Grow1024.toString)
       } else {
         spark.conf.unset(BucketFanout.GrowAt256Key)
         spark.conf.unset(BucketFanout.GrowAt1024Key)

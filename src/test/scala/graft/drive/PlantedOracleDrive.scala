@@ -325,7 +325,7 @@ object PlantedOracleDrive {
       s""""_meta": {"src": "$src", "src_mtime_ms": $srcMtime, "written_ms": ${System.currentTimeMillis()}}"""
     val json = (results.map { case (k, (ok, d)) =>
       s""""$k": {"planted_ok": $ok, "detail": "${d.replace("\"", "'")}"}"""
-    } :+ meta).mkString("{", ", ", "}")
+    }.toSeq :+ meta).mkString("{", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonOut), json)
     val failed = results.filter(!_._2._1)
     println(s"PLANTED summary: ${results.size - failed.size}/${results.size} ok" +

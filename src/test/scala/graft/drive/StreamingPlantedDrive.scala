@@ -139,6 +139,21 @@ object StreamingPlantedDrive {
       embSchema).write.mode("append").parquet(s"$out/embeddings.parquet")
 
     // ---------- run the unmodified gate bindings and assert ----------
+    // per-trigger instrumentation (VERDICT r17 item 6): at amplified
+    // scale the interesting number is the PER-TRIGGER ingest cost of
+    // the admission arms, not just the end-to-end wall
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0)
+          println(f"PLANTED trigger batch=${e.progress.batchId} " +
+            f"rows=${e.progress.numInputRows} " +
+            f"sec=${e.progress.batchDuration / 1000.0}%.1f")
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, String)]
     def check(name: String)(body: => (Boolean, String)): Unit = {
       val t0 = System.nanoTime()
@@ -188,7 +203,7 @@ object StreamingPlantedDrive {
       s""""_meta": {"src": "$src", "src_mtime_ms": $srcMtime, "written_ms": ${System.currentTimeMillis()}}"""
     val json = (results.map { case (k, (ok, d)) =>
       s""""$k": {"planted_ok": $ok, "detail": "${d.replace("\"", "'")}"}"""
-    } :+ meta).mkString("{", ", ", "}")
+    }.toSeq :+ meta).mkString("{", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonOut), json)
     val failed = results.filter(!_._2._1)
     println(s"PLANTED summary: ${results.size - failed.size}/${results.size} ok" +
