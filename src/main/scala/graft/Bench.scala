@@ -29,7 +29,14 @@ import org.apache.spark.sql.SparkSession
   *
   * SPARK_GRAFT_BENCH_ONLY (comma-separated query names) restricts the
   * run — the isolation-audit mode for chasing a drifted number without
-  * the other 45 queries contending for the same cores.
+  * the other queries contending for the same cores. Streaming-arm
+  * caveat (ADVICE r17): a subset containing a non-leader q_streaming_*
+  * arm WITHOUT q_streaming_best_of_n makes that arm take its SOLO
+  * fallback (full per-arm replay, 10-100x the full-run deposit
+  * number) — compare such runs against tools/bench_reference_solo.json
+  * via `check_bench_drift.py --solo`, never against the full-run pins
+  * (the checker enforces this by skipping non-leader arms when the
+  * leader is absent from the artifact).
   *
   * SPARK_GRAFT_BENCH_WARM=<queries> is the pin-seeding flavor of ONLY:
   * same restriction, but after the standard warmup it first runs two

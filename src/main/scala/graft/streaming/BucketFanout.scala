@@ -98,6 +98,10 @@ object BucketFanout {
     * back to the occupied-dir detection, which the power-of-two
     * argument in the header proves bucket-compatible. */
   def writeManifest(spark: SparkSession, indexDir: String, fanout: Int): Unit = {
+    // every store entry point re-stamps after its append; skip when the
+    // stamp is already current so steady-state triggers never re-enter
+    // the (brief, fallback-covered) replacement window at all
+    if (readManifest(spark, indexDir).contains(fanout)) return
     val f = fs(spark, indexDir)
     val tmp = new Path(indexDir, "_fanout.tmp")
     val dst = new Path(indexDir, "_fanout")
@@ -173,11 +177,10 @@ object BucketFanout {
     val actual = storeFanout(spark, path, dirCol)
     val t = target(spark, path, dirCol)
     if (t != actual) AtomicStore.swapIn(spark, storeDir, sub)(rewrite(t))
-    // stamp pre-manifest stores once; skip the rewrite when the stamped
-    // value is already current, so steady-state triggers never re-enter
+    // stamps pre-manifest stores once; a current stamp is a no-op
+    // inside writeManifest, so steady-state triggers never re-enter
     // the manifest's (brief, fallback-covered) replacement window
-    else if (!readManifest(spark, path).contains(actual))
-      writeManifest(spark, path, actual)
+    else writeManifest(spark, path, actual)
     t
   }
 }

@@ -37,7 +37,8 @@ import graft.streaming.{BucketFanout, IncrementalDedup}
   * path.
   *
   * Usage: Test/runMain graft.drive.CompactionHorizonDrive \
-  *   [dir=/root/testdata/sf0.1] [triggers=50] [batch=100] [maxFiles=8]
+  *   [dir=/root/testdata/sf0.1] [triggers=50] [batch=100] [maxFiles=8] \
+  *   [phase=all|horizon|prepay]
   */
 object CompactionHorizonDrive {
 
@@ -46,6 +47,7 @@ object CompactionHorizonDrive {
     val triggers = if (args.length > 1) args(1).toInt else 50
     val batch = if (args.length > 2) args(2).toLong else 100L
     val maxFiles = if (args.length > 3) args(3).toInt else 8
+    val phase = if (args.length > 4) args(4) else "all"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -87,6 +89,7 @@ object CompactionHorizonDrive {
     println(s"COMPACTHORIZON dir=$dir triggers=$triggers batch=$batch " +
       s"maxFiles=$maxFiles docs=$total")
 
+    var ok = true
     case class Obs(sec: Double, readMb: Double, filesPerBucket: Double,
       compacted: Boolean, admitted: Set[Long])
 
@@ -124,10 +127,10 @@ object CompactionHorizonDrive {
       out
     }
 
+    if (phase != "prepay") {
     val compacted = run(compact = true)
     val control = run(compact = false)
 
-    var ok = true
     val parity = compacted.zip(control).zipWithIndex.count { case ((a, c), k) =>
       if (a.admitted != c.admitted) {
         println(s"COMPACTHORIZON PARITY FAIL trigger=$k " +
@@ -156,7 +159,9 @@ object CompactionHorizonDrive {
       f"controlFPB=$lastControl%.2f " +
       f"meanSecCompacted=${compacted.map(_.sec).sum / triggers}%.2f " +
       f"meanSecControl=${control.map(_.sec).sum / triggers}%.2f")
+    }
 
+    if (phase != "horizon") {
     // ---------- pre-pay phase ----------
     def buildPending(): String = {
       spark.conf.set(BucketFanout.GrowAt256Key, Long.MaxValue.toString)
@@ -200,6 +205,7 @@ object CompactionHorizonDrive {
       f"controlMigratingTriggerSec=$migrateSec%.2f " +
       "(the maintenance window absorbs the rewrite; the control pays it " +
       "inside the ingest trigger)")
+    }
     spark.stop()
     if (!ok) sys.exit(1)
   }
