@@ -296,12 +296,17 @@ object ConnectorQueries {
         (org.apache.spark.sql.streaming.StreamingQuery, () => DataFrame)]): DataFrame = {
     val appId = spark.sparkContext.applicationId
     val leader = group.keys.min
+    // per-pass completion bound: 5 min covers every gate scale up to
+    // sf1 with 10x headroom, but an sf10 planted run's admission
+    // triggers alone cost 150-250 s each — amplified drives raise this
+    // via conf rather than the kernels silently failing a healthy run
+    val timeoutMs = spark.conf.get("spark.graft.gate.timeoutMs", "300000").toLong
     if (arm != leader) {
       writtenRoots.synchronized(armDeposits.get((appId, dir, arm))) match {
         case Some(df) => return df
         case None => // solo fallback: this arm only, its own pass
           val (q, fetch) = group(arm)(spark, dir)
-          require(q.awaitTermination(300000), s"streaming $arm gate timed out")
+          require(q.awaitTermination(timeoutMs), s"streaming $arm gate timed out")
           q.stop()
           return fetch()
       }
@@ -311,7 +316,7 @@ object ConnectorQueries {
       (n, build(spark, dir))
     }
     val results = started.map { case (n, (q, fetch)) =>
-      require(q.awaitTermination(300000), s"streaming $n gate timed out")
+      require(q.awaitTermination(timeoutMs), s"streaming $n gate timed out")
       q.stop()
       n -> fetch()
     }.toMap

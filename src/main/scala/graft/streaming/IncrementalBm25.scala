@@ -143,9 +143,14 @@ object IncrementalBm25 {
     val docstatsPath = s"$storeDir/docstats"
     val statsPath = s"$storeDir/stats"
 
+    // pin the batch once (round 18; IncrementalDedup rationale): the
+    // uniqueness probe plus the tf materialization would otherwise
+    // each re-read the streaming source
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // loud in-batch duplicate-id guard: two rows sharing an id would
     // silently MERGE their texts under one doc (the tf groupBy spans both)
-    Admission.requireUnique(batch, "IncrementalBm25.admitBatch", id)
+    Admission.requireUnique(pinned, "IncrementalBm25.admitBatch", id)
 
     bootstrapStats(spark, storeDir)
     val termFan = BucketFanout.reconcile(spark, storeDir, "postings")(
@@ -153,10 +158,14 @@ object IncrementalBm25 {
     val docFan = BucketFanout.reconcile(spark, storeDir, "docstats", "dbucket")(
       docstatsRewrite(spark, _))
 
-    val tf = batch
+    // tf is cached too: it feeds BOTH the dl rollup and the postings
+    // append — without the cache the tokenize + term-grain shuffle runs
+    // twice per trigger
+    val tf = pinned
       .select(col(id).cast("long").as("doc_id"),
         explode(graft.api.Graft.tokens(coalesce(col(text), lit("")))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cache()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .withColumn("dbucket", docBucket("doc_id", docFan))
       .cache()
@@ -209,7 +218,9 @@ object IncrementalBm25 {
       .withColumn("admitted", coalesce(col("admitted"), lit(false)))
       .localCheckpoint(true)
     dl.unpersist()
+    tf.unpersist()
     out
+    } finally batch.unpersist()
   }
 
   /** One-time migration for stores written before the stats sub

@@ -96,15 +96,21 @@ object IncrementalChunkStore {
       window: Int = 16, modulus: Long = 64L): DataFrame = {
     val spark = batch.sparkSession
     recoverStore(spark, storeDir)
+    // pin the batch once: the uniqueness probe and the chunk-kernel
+    // materialization are separate actions, and an unpinned
+    // foreachBatch frame re-reads the streaming source per action
+    // (round 18; IncrementalDedup rationale)
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // two rows sharing an id would collide on (doc, chunk_idx) and the
     // per-doc novelty accounting would silently merge their chunks
-    Admission.requireUnique(batch, "IncrementalChunkStore.admitBatch", id)
+    Admission.requireUnique(pinned, "IncrementalChunkStore.admitBatch", id)
     val chunksPath = s"$storeDir/chunks"
     val fanout = BucketFanout.reconcile(spark, storeDir, "chunks")(
       chunksRewrite(spark, _))
 
     val rows = graft.api.Graft
-      .cdcChunkRows(batch.select(col(id), col(text)), id, text, window, modulus)
+      .cdcChunkRows(pinned.select(col(id), col(text)), id, text, window, modulus)
       .select(col("__id"), col("chunk_idx"), col("chunk_len"), col("chunk_fp"))
       .withColumn("bucket", bucketCol(fanout))
       .cache()
@@ -155,6 +161,7 @@ object IncrementalChunkStore {
     BucketFanout.writeManifest(spark, chunksPath, fanout)
     rows.unpersist()
     perDoc
+    } finally batch.unpersist()
   }
 
   /** Unique chunk keys stored so far (store entry point — rolls

@@ -206,10 +206,21 @@ object IncrementalDedup {
     def phase(s: String): Unit =
       spark.sparkContext.setJobDescription(s"admitBatch/$s")
     recoverStore(spark, storeDir)
+    // Pin the batch ONCE: downstream it feeds four separate actions
+    // (uniqueness probe, signature materialization, the survivors
+    // semi-join, the admitted build), and an unpinned foreachBatch
+    // frame re-plans from the STREAMING SOURCE per action — the sf10
+    // planted run's per-trigger instrumentation read numInputRows =
+    // 4× the trigger cap, i.e. every ingest byte fetched four times
+    // (round 18). MEMORY_AND_DISK, not localCheckpoint: a 100 TB
+    // trigger slice must be allowed to spill, and eager truncation is
+    // unnecessary — only re-read avoidance is.
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // two rows sharing an id would both survive within-batch
     // canonicalization (self-pairs are excluded) and double-append
     phase("requireUnique")
-    Admission.requireUnique(batch, "IncrementalDedup.admitBatch", id)
+    Admission.requireUnique(pinned, "IncrementalDedup.admitBatch", id)
     val docsPath = s"$storeDir/docs"
     val bandsPath = s"$storeDir/bands"
 
@@ -221,7 +232,7 @@ object IncrementalDedup {
     val fanout = reconcileFanout(spark, storeDir, bandsPath)
     val docFanout = reconcileDocsFanout(spark, storeDir, docsPath)
 
-    val newDocs = batch.select(col(id).as("doc_id"), col(text).as("text"))
+    val newDocs = pinned.select(col(id).as("doc_id"), col(text).as("text"))
     // cached: reused for history verify AND the admitted band append, so
     // the CPU-bound signature kernel runs once per batch
     val newSigs = DedupQueries.signatures(newDocs, "doc_id", "text").cache()
@@ -330,6 +341,7 @@ object IncrementalDedup {
     newSigs.unpersist()
     phase(null)
     admitted
+    } finally batch.unpersist()
   }
 
   /** The admitted corpus so far (empty frame if nothing admitted).

@@ -125,14 +125,22 @@ object IncrementalEmbedDedup {
       ivf: Ivf.Params = Ivf.Params()): DataFrame = {
     val spark = batch.sparkSession
     recoverStore(spark, storeDir)
+    // Pin the batch once: it feeds several separate actions below
+    // (uniqueness probe, emptiness probe, home assignment, the radius
+    // probe, the survivors anti-join), and an unpinned foreachBatch
+    // frame re-plans from the STREAMING SOURCE per action — the sf10
+    // planted run's per-trigger instrumentation read numInputRows at
+    // ~3x the trigger cap (round 18; IncrementalDedup rationale).
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // two rows sharing an id would both survive within-batch
     // canonicalization (self-pairs are excluded) and double-append
-    Admission.requireUnique(batch, "IncrementalEmbedDedup.admitBatch", id)
+    Admission.requireUnique(pinned, "IncrementalEmbedDedup.admitBatch", id)
     val vecsPath = s"$storeDir/vecs"
     val radiiPath = s"$storeDir/radii"
     val indexPath = s"$storeDir/index"
 
-    val newVecs = batch.select(col(id).as("doc_id"), col(vec).as("vec"))
+    val newVecs = pinned.select(col(id).as("doc_id"), col(vec).as("vec"))
     if (newVecs.isEmpty) return newVecs
     val fanout = BucketFanout.reconcile(spark, storeDir, "vecs")(
       vecsRewrite(spark, _))
@@ -217,6 +225,7 @@ object IncrementalEmbedDedup {
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(vecsPath)
     BucketFanout.writeManifest(spark, vecsPath, fanout)
     admittedHome.select(col("doc_id"), col("vec"))
+    } finally batch.unpersist()
   }
 
   /** The admitted vectors so far (empty frame if nothing admitted).

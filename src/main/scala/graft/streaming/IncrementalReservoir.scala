@@ -65,7 +65,12 @@ object IncrementalReservoir {
     val spark = batch.sparkSession
     AtomicStore.recover(spark, storeDir, Seq(Sub))
     val live = s"$storeDir/$Sub"
-    val keyed = batch
+    // pin the batch once: the consistency guard and the reservoir
+    // rebuild are separate actions over it (round 18; IncrementalDedup
+    // rationale)
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val keyed = pinned
       .filter(col(weight).cast("double") > 0.0d)
       .select(col(stratum).cast("string").as("stratum"),
         col(id).cast("long").as("id"),
@@ -102,6 +107,7 @@ object IncrementalReservoir {
       next.write.parquet(tmp)
     }
     current(spark, storeDir)
+    } finally batch.unpersist()
   }
 
   /** The store's sample as (stratum, id, weight, rank) — a plain scan

@@ -58,6 +58,9 @@ object StreamingPlantedDrive {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // amplified fixtures: a single admission trigger costs minutes at
+    // sf10, so raise the gate's per-pass completion bound (30 min)
+    spark.conf.set("spark.graft.gate.timeoutMs", "1800000")
     import spark.implicits._
 
     // ---------- planted documents (unique vocabulary) ----------
