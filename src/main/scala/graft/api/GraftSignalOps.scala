@@ -73,8 +73,21 @@ trait GraftSignalOps { this: Graft.type =>
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct().cache()
     val nN = nodes.count().toDouble
+    // The rank vector is |nodes| rows of (key, double). When that fits
+    // an executor hash relation, broadcasting it turns EVERY
+    // per-iteration edge join (and the nodes-side outer join) into a
+    // BroadcastHashJoin — the edge table is never sorted or shuffled
+    // again after the one outdeg join. The threshold derives from the
+    // MEASURED node count (≈ 2M rows ≈ tens of MB framed), not from
+    // the local core count; a billion-node graph takes the shuffle
+    // path unchanged.
+    val bcastRanks = nN <= 2e6
+    def rankSide(df: DataFrame): DataFrame = if (bcastRanks) broadcast(df) else df
     val outdeg = e.groupBy(col("__src")).agg(count(lit(1)).cast("double").as("__deg"))
-    val withDeg = e.join(outdeg, "__src").cache()
+    // outdeg is nodes-sized like the rank vector: under the same gate,
+    // broadcasting it spares the edge table the sort+exchange of a
+    // sort-merge join when filling the per-iteration cache
+    val withDeg = e.join(rankSide(outdeg), "__src").cache()
     // sinks: nodes that appear only as destinations (no out-edges)
     lazy val dangling = nodes
       .join(outdeg.select(col("__src").as("node")), Seq("node"), "left_anti")
@@ -88,8 +101,9 @@ trait GraftSignalOps { this: Graft.type =>
       // localCheckpoint keeps it flat — and materializing the rank
       // vector each round is what distributed PageRank does anyway.
       if (redistributeDangling) ranks = ranks.localCheckpoint(true)
+      val rs = rankSide(ranks)
       val contribs = withDeg
-        .join(ranks, withDeg("__src") === ranks("node"))
+        .join(rs, withDeg("__src") === rs("node"))
         .groupBy(col("__dst"))
         .agg(sum(col("rank") / col("__deg")).as("__in"))
       // per-node uniform share of this iteration's dangling mass — a
@@ -99,8 +113,9 @@ trait GraftSignalOps { this: Graft.type =>
           nodes.crossJoin(broadcast(dangling.join(ranks, "node")
             .agg((coalesce(sum(col("rank")), lit(0.0)) / nN).as("__dshare"))))
         else nodes.withColumn("__dshare", lit(0.0))
+      val cs = rankSide(contribs)
       ranks = base
-        .join(contribs, base("node") === contribs("__dst"), "left")
+        .join(cs, base("node") === cs("__dst"), "left")
         .select(base("node"),
           (lit((1.0 - damping) / nN) +
             lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dshare")))
@@ -438,11 +453,24 @@ trait GraftSignalOps { this: Graft.type =>
       queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
-    val terms = df.select(col(id), explode(tokens(col(text))).as("term"))
-    val tf = terms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qtf = tf.filter(col("term").isin(queryTerms: _*))
+    // Only the QUERY terms' tf/df ever reach the scorer, and dl is just
+    // the token count — so never build the full (id, term) tf table:
+    // that groupBy shuffles one row per distinct (doc, term) of the
+    // whole corpus to score a handful of terms. Instead: dl from
+    // size(tokens) (one narrow (id, len) exchange), and tf/df from the
+    // tokens FILTERED to the query terms before the explode (the
+    // exchange carries only matching occurrences). Values are
+    // identical: dl = Σ_term tf = token count; per-doc query-term
+    // counts and their doc frequencies don't depend on the other terms.
+    val toks = tokens(col(text))
+    val dl = df.select(col(id), size(toks).cast("long").as("__len"))
+      .filter(col("__len") > 0)
+      .groupBy(col(id)).agg(sum(col("__len")).as("dl"))
+    val qSet = queryTerms.toSet
+    val qterms = df.select(col(id),
+        explode(filter(toks, t => t.isin(qSet.toSeq: _*))).as("term"))
+    val qtf = qterms.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     bm25TopK(qtf, dfreq, dl, id, k, k1, b)
   }
 

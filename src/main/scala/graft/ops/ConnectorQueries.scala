@@ -312,13 +312,24 @@ object ConnectorQueries {
       }
     }
     // leader: one concurrent AvailableNow pass over the whole group
+    val trace = sys.env.contains("SPARK_GRAFT_GATE_TRACE")
+    def t0 = System.nanoTime()
+    val passStart = t0
     val started = group.toSeq.sortBy(_._1).map { case (n, build) =>
-      (n, build(spark, dir))
+      val b0 = t0
+      val sq = build(spark, dir)
+      if (trace) System.err.println(
+        f"[gate] build $n ${(System.nanoTime() - b0) / 1e9}%.2fs (at ${(System.nanoTime() - passStart) / 1e9}%.2fs)")
+      (n, sq)
     }
     val results = started.map { case (n, (q, fetch)) =>
       require(q.awaitTermination(timeoutMs), s"streaming $n gate timed out")
       q.stop()
-      n -> fetch()
+      val f0 = t0
+      val r = fetch()
+      if (trace) System.err.println(
+        f"[gate] done  $n at ${(f0 - passStart) / 1e9}%.2fs fetch ${(System.nanoTime() - f0) / 1e9}%.2fs")
+      n -> r
     }.toMap
     writtenRoots.synchronized {
       for ((n, df) <- results if n != arm) armDeposits((appId, dir, n)) = df

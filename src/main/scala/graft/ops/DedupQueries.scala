@@ -406,7 +406,15 @@ object DedupQueries {
 
   def ngramJaccardOn(df: DataFrame, id: String, text: String, n: Int, threshold: Double,
       dfCap: Int = 8): DataFrame = {
-    val docs = hashedGramDocs(df, id, text, n)
+    // Shingle ONCE: the hashed-gram table feeds six downstream scans
+    // (posting ×2 self-join sides, the df-cap aggregate, and both
+    // verify joins), and mapPartitions subtrees never exchange-reuse —
+    // without materialization the corpus is re-hashed per scan
+    // (measured: 6 MapPartitions of the full corpus in the r18 before
+    // plan). The eager localCheckpoint stores ~8 bytes/char
+    // (MEMORY_AND_DISK, spillable) and recomputes per invocation —
+    // nothing persists across runs.
+    val docs = hashedGramDocs(df, id, text, n).localCheckpoint(true)
     val posting = docs.select(col("__id"), col("n"), explode(col("h")).as("s"))
     val rare = posting.groupBy(col("s")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select(col("s"))

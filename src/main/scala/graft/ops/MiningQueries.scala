@@ -217,6 +217,11 @@ object MiningQueries {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
+      // materialize the distinct edge list ONCE: the symmetrizing union
+      // + pageRank's nodes/outdeg/withDeg construction otherwise
+      // recompute the orders⋈lineitem→distinct subtree four times
+      // (mapless subtrees don't exchange-reuse across the union sides)
+      .localCheckpoint(true)
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     Graft.pageRank(e, "src", "dst", iters = 3, damping = 0.85)
   }

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The classic OLAP shapes (TPC-H Q1/Q3/Q6 silhouettes) plus calendar
   * gap-fill and ordered path concatenation — the reporting layer a
@@ -382,14 +383,37 @@ object OlapQueries {
     * integer-count arithmetic; the cut is a TakeOrderedAndProject with
     * full deterministic tiebreak. */
   def qBasket(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // One exchange on l_orderkey builds the per-order DISTINCT item
+    // set (collect_set dedups, so no separate .distinct() exchange),
+    // and the localCheckpoint materializes it ONCE — the old
+    // formulation recomputed the items-distinct subtree four times
+    // (self-join x/y sides + both itemCnt joins) because mapless
+    // repeated subtrees don't exchange-reuse across aliases. Pairs are
+    // generated group-locally from the sorted set (items/order is a
+    // small constant, so pairs ∝ orders — same bound as the old
+    // self-join), and per-part counts come from exploding the same
+    // checkpointed sets.
+    val sets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("__ps"))
+      .select(col("__ps"))
+      .localCheckpoint(true)
     val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("__n"))
-    val itemCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("__ci"))
-    val pairs = items.as("x").join(items.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+    val itemCnt = sets.select(explode(col("__ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("__ci"))
+    val pairEnc = Encoders.row(StructType(Seq(
+      StructField("part_a", LongType), StructField("part_b", LongType))))
+    val pairRows = sets.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val ps = r.getSeq[Long](0).toArray
+        java.util.Arrays.sort(ps)
+        for {
+          i <- ps.indices.iterator
+          j <- Iterator.range(i + 1, ps.length)
+        } yield Row(ps(i), ps(j))
+      }
+    }(pairEnc)
+    val pairs = pairRows
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= 3L)
     pairs
