@@ -311,26 +311,60 @@ object ConnectorQueries {
           return fetch()
       }
     }
-    // leader: one concurrent AvailableNow pass over the whole group
+    // leader: one concurrent AvailableNow pass over the whole group.
+    // Builds run longest-arm-first (solo-pin cost order, guide §2.6:
+    // submit the long pole first) so the arms that bound the wall —
+    // the two admission arms — start streaming while the cheap arms
+    // are still being built; alphabetical order cost the tail arm a
+    // ~1.5 s late start (r18 gate trace). Results and deposits are
+    // unchanged: the queries are independent and every arm is still
+    // awaited and fetched.
     val trace = sys.env.contains("SPARK_GRAFT_GATE_TRACE")
     def t0 = System.nanoTime()
     val passStart = t0
-    val started = group.toSeq.sortBy(_._1).map { case (n, build) =>
-      val b0 = t0
-      val sq = build(spark, dir)
-      if (trace) System.err.println(
-        f"[gate] build $n ${(System.nanoTime() - b0) / 1e9}%.2fs (at ${(System.nanoTime() - passStart) / 1e9}%.2fs)")
-      (n, sq)
+    // q_streaming_sft MUST build last: its binding flips the session
+    // state-store provider for its own start and restores it in a
+    // finally — any build after it would latch the restored provider
+    // (the StateStores.useRocksDB ordering caveat; RocksDBGroupPassSpec
+    // runs the whole group under RocksDB and pins exactly this).
+    val buildOrder = Seq(
+      "q_streaming_neardup", "q_streaming_embed_neardup", "q_streaming_bm25",
+      "q_streaming_sessionize", "q_streaming_kmv",
+      "q_streaming_psi", "q_streaming_rl_metrics", "q_streaming_chunks",
+      "q_streaming_decontam", "q_streaming_domain_quota",
+      "q_streaming_reservoir", "q_streaming_sft").zipWithIndex.toMap
+    val started = group.toSeq
+      .sortBy { case (n, _) => (buildOrder.getOrElse(n, -1), n) }
+      .map { case (n, build) =>
+        val b0 = t0
+        val sq = build(spark, dir)
+        if (trace) System.err.println(
+          f"[gate] build $n ${(System.nanoTime() - b0) / 1e9}%.2fs (at ${(System.nanoTime() - passStart) / 1e9}%.2fs)")
+        (n, sq)
+      }
+    // await + fetch PER ARM, concurrently: a finished arm's fetch (the
+    // bm25 deposit re-runs IncrementalBm25.search, ~3 s) overlaps the
+    // still-streaming tail arms instead of serializing after them
+    val fetchPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, started.size))
+    implicit val fetchEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(fetchPool)
+    val futures = started.map { case (n, (q, fetch)) =>
+      n -> scala.concurrent.Future {
+        require(q.awaitTermination(timeoutMs), s"streaming $n gate timed out")
+        q.stop()
+        val f0 = t0
+        val r = fetch()
+        if (trace) System.err.println(
+          f"[gate] done  $n at ${(f0 - passStart) / 1e9}%.2fs fetch ${(System.nanoTime() - f0) / 1e9}%.2fs")
+        r
+      }
     }
-    val results = started.map { case (n, (q, fetch)) =>
-      require(q.awaitTermination(timeoutMs), s"streaming $n gate timed out")
-      q.stop()
-      val f0 = t0
-      val r = fetch()
-      if (trace) System.err.println(
-        f"[gate] done  $n at ${(f0 - passStart) / 1e9}%.2fs fetch ${(System.nanoTime() - f0) / 1e9}%.2fs")
-      n -> r
-    }.toMap
+    val results =
+      try futures.map { case (n, f) =>
+        n -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }.toMap
+      finally fetchPool.shutdown()
     writtenRoots.synchronized {
       for ((n, df) <- results if n != arm) armDeposits((appId, dir, n)) = df
     }

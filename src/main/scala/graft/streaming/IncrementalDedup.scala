@@ -298,12 +298,15 @@ object IncrementalDedup {
     //    restricting the cached rows to survivors is exactly
     //    minhashDupes(survivors) without a second kernel pass
     val sBands = newBands.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // no .distinct() here: a pair colliding in several bands just
+    // evaluates the (cheap, array-local) jaccard filter more than once
+    // and dupClusters' own edges-distinct dedups — the distinct cost a
+    // full exchange + AQE stage round per trigger for nothing
     val cands = sBands.as("x").join(sBands.as("y"),
         col("x.band") === col("y.band") &&
         col("x.bandhash") === col("y.bandhash") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
     val pairs = cands
       .join(newSigs.select(col("doc_id"), col("sh").as("sh_a")),
         col("doc_a") === col("doc_id")).drop("doc_id")
@@ -323,20 +326,46 @@ object IncrementalDedup {
       .select(col("doc_id"), col("text"))
       .localCheckpoint(true)
 
-    phase("docs-append")
-    admitted.withColumn("dbucket", docBucketCol(docFanout))
-      .repartition(col("dbucket"))
-      .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docsPath)
-    BucketFanout.writeManifest(spark, docsPath, docFanout)
+    // The two store appends are independent (different subdirs, both
+    // inputs eagerly materialized above) and each pays a
+    // dynamic-partition COMMIT measured at ~1-1.7 s over 64 dirs —
+    // the largest single stages of a trigger (r18 probe). Run them
+    // CONCURRENTLY (guide §2.6): the commit constants overlap instead
+    // of adding. Crash-ordering note: either append landing without
+    // the other converges under replay exactly like the sequential
+    // order did — docs-without-bands re-admits (exact-dup docs rows,
+    // the documented dropDuplicates class), bands-without-docs finds
+    // the band match but no text to verify against and re-admits
+    // (exact-dup band rows, removed by compaction) — unlike the embed
+    // store there is no over/under-bound asymmetry between the subs.
+    // Job groups/descriptions are thread-local: set per thread.
+    phase(null)
+    val appendPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val appendEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(appendPool)
+    val docsF = scala.concurrent.Future {
+      phase("docs-append")
+      admitted.withColumn("dbucket", docBucketCol(docFanout))
+        .repartition(col("dbucket"))
+        .write.mode(SaveMode.Append).partitionBy("dbucket").parquet(docsPath)
+      BucketFanout.writeManifest(spark, docsPath, docFanout)
+    }
     // repartition by bucket before the partitioned append: one file per
     // non-empty bucket per batch instead of tasks × buckets tiny files
-    phase("bands-append")
-    newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
-    // stamp the fan-out the dirs were just written at (first append
-    // creates the store; later appends overwrite with the same value)
-    BucketFanout.writeManifest(spark, bandsPath, fanout)
+    val bandsF = scala.concurrent.Future {
+      phase("bands-append")
+      newBands.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Append).partitionBy("bucket").parquet(bandsPath)
+      // stamp the fan-out the dirs were just written at (first append
+      // creates the store; later appends overwrite with the same value)
+      BucketFanout.writeManifest(spark, bandsPath, fanout)
+    }
+    try {
+      import scala.concurrent.duration.Duration
+      scala.concurrent.Await.result(docsF, Duration.Inf)
+      scala.concurrent.Await.result(bandsF, Duration.Inf)
+    } finally appendPool.shutdown()
     newBands.unpersist()
     newSigs.unpersist()
     phase(null)

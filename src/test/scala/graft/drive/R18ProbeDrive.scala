@@ -43,11 +43,27 @@ object R18ProbeDrive {
       }
     })
     val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stageInput = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) stageInput
+          .computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.AtomicLong)
+          .addAndGet(m.inputMetrics.bytesRead)
+      }
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (sys.env.contains("PROBE_JOBS")) {
+          val desc = Option(js.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")
+          stageLog.add(f"job ${js.jobId}%4d start  [$desc] stages=${js.stageIds.mkString(",")}")
+        }
+      }
+    })
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val dur = for (s <- si.submissionTime; c <- si.completionTime) yield c - s
-        stageLog.add(f"stage ${si.stageId}%3d ${dur.getOrElse(-1L)}%5d ms ${si.numTasks}%4d tasks  ${si.name.takeWhile(_ != '(').trim} ${si.details.linesIterator.toSeq.drop(1).headOption.getOrElse("")}")
+        val in = Option(stageInput.get(si.stageId)).map(_.get).getOrElse(0L)
+        stageLog.add(f"stage ${si.stageId}%3d ${dur.getOrElse(-1L)}%5d ms ${si.numTasks}%4d tasks ${in / 1e6}%7.1fMB  ${si.name.takeWhile(_ != '(').trim} ${si.details.linesIterator.toSeq.drop(1).headOption.getOrElse("")}")
       }
     })
     for (i <- 1 to reps) {

@@ -18,10 +18,10 @@ import graft.{SparkEntry, SparkTestBase}
   *
   * Note the SFT arm's gate binding sets RocksDB for ITSELF in both
   * passes (its documented posture), and its `finally` restores the
-  * default provider — safe here because the group builds run
-  * alphabetically and q_streaming_sft is last, so every other query
-  * has already latched its provider when the restore happens (the
-  * ordering caveat documented on [[StateStores.useRocksDB]]). */
+  * default provider — safe here because gateArm's longest-first build
+  * order pins q_streaming_sft LAST, so every other query has already
+  * latched its provider when the restore happens (the ordering caveat
+  * documented on [[StateStores.useRocksDB]]; this spec is the pin). */
 class RocksDBGroupPassSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
