@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * `{"metric":"total","value":sec,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":sec,"unit":"sec","queries":{...},"sf":...}`
+  * followed by a compact one-line summary (same metric/value/unit/sf,
+  * plus n/nerr/cpus/loadavg, no per-query map) as the LAST stdout line:
+  * the full line is ~8 KB at 199 queries and cannot survive the
+  * driver's 2000-char tail capture (BENCH_r16..r18 all parsed:null),
+  * so the machine-readable summary must fit the window. Per-query
+  * timings remain in the full line and the persisted artifact.
   *
   * Each query is forced through a noop DSv2 write (full column
   * materialization — `count()` would let Catalyst prune the work).
@@ -150,7 +156,7 @@ object Bench {
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadAfter = loadAvg1m()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadBefore,$loadAfter]}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadBefore,$loadAfter]}"""
     println(line)
     // The stdout line is also persisted: at 80+ queries it exceeds the
     // driver's tail-capture window, so tools/check_bench_drift.py falls
@@ -160,23 +166,39 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT names a destination (the streaming solo
     // sweep is a BENCH_ONLY run whose artifact
     // target/bench_solo_last.json feeds check_bench_drift.py --solo).
-    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")) try {
-      // Amplified-scale runs persist to their own artifacts by default:
-      // clobbering target/bench_last.json would poison the sf0.1 drift
-      // fallback with ~10-100x numbers. check_bench_drift.py --sf1
-      // reads bench_sf1_last.json; sf10 (the x100 scale gate) gets its
-      // own file likewise.
-      val trimmed = sfDir.replaceAll("/+$", "")
-      val defaultOut =
-        if (trimmed.endsWith("sf10")) "target/bench_sf10_last.json"
-        else if (trimmed.endsWith("sf1")) "target/bench_sf1_last.json"
-        else "target/bench_last.json"
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
+    // Amplified-scale runs persist to their own artifacts by default:
+    // clobbering target/bench_last.json would poison the sf0.1 drift
+    // fallback with ~10-100x numbers. check_bench_drift.py --sf1
+    // reads bench_sf1_last.json; sf10 (the x100 scale gate) gets its
+    // own file likewise. Runs at cpus != 32 likewise get a cpus-keyed
+    // artifact (bench_last_c<cpus>.json): the round-18 driver's cpus=8
+    // scaling run clobbered bench_last.json and poisoned the drift
+    // fallback with 8-core numbers (VERDICT r18 item 2); the pins are
+    // seeded at the driver's 32-core regime, so only cpus=32 full runs
+    // may write the fallback path.
+    val trimmed = sfDir.replaceAll("/+$", "")
+    val cpuSuffix = if (cpus == "32") "" else s"_c$cpus"
+    val defaultOut =
+      if (trimmed.endsWith("sf10")) s"target/bench_sf10_last$cpuSuffix.json"
+      else if (trimmed.endsWith("sf1")) s"target/bench_sf1_last$cpuSuffix.json"
+      else s"target/bench_last$cpuSuffix.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val persist = only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    // The full line above is ~8 KB at 199 queries and can never survive
+    // the driver's 2000-char tail capture (BENCH_r16..r18: parsed:null —
+    // the head of the line is always cut off, so nothing parses and
+    // PERF_rN arrives empty). Print a compact summary as the LAST stdout
+    // line: it is well under the window, so the driver's tail always
+    // contains one complete parseable JSON object. Per-query timings
+    // stay in the full line and in the persisted artifact.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"nerr":${errors.size},"cpus":$cpus,"sf":"$sfDir","loadavg":[$loadBefore,$loadAfter],"queries_file":"$outPath"}"""
+    println(compact)
+    if (persist) try {
+      val out = java.nio.file.Paths.get(outPath)
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist bench_last.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -97,27 +97,53 @@ FALLBACK = Path(__file__).parent.parent / "target" / (
 CONTENTION_LOAD = 8.0
 
 
+# The reference pins are seeded from the driver's 32-core regime; a
+# fallback artifact recorded at any other cpu count (e.g. the driver's
+# cpus=8 scaling run, which clobbered bench_last.json in round 18 and
+# poisoned the fallback with 8-core numbers) measures a different
+# machine shape and must never gate the pins.
+PIN_CPUS = 32
+
+
+def _check_cpus(d, source):
+    cpus = d.get("cpus")
+    if cpus is not None and int(cpus) != PIN_CPUS:
+        raise SystemExit(
+            f"refusing {source}: recorded cpus={cpus} != pin regime "
+            f"{PIN_CPUS} — re-run the bench at SPARK_GRAFT_CPUS={PIN_CPUS} "
+            "(cpus!=32 runs persist to cpus-suffixed artifacts precisely "
+            "so they cannot gate the 32-core pins)")
+
+
 def load_bench(path):
     """Returns (queries, loadavg) — loadavg is the Bench-recorded
     [before, after] 1-min load pair, or None for pre-round-16
     artifacts that did not record it."""
     d = json.load(open(path))
     if "queries" in d:  # a raw graft.Bench output line
+        _check_cpus(d, path)
         return d["queries"], d.get("loadavg")
     if isinstance(d.get("parsed"), dict) and "queries" in d.get("parsed", {}):
+        _check_cpus(d["parsed"], path)
         return d["parsed"]["queries"], d["parsed"].get("loadavg")
     m = re.search(r'\{"metric".*\}', d.get("tail", ""))
     if m:
         try:
             parsed = json.loads(m.group(0))
-            return parsed["queries"], parsed.get("loadavg")
+            # The bench's LAST stdout line is a compact driver-facing
+            # summary with no "queries" map (round 19); per-query data
+            # lives in the persisted artifact — fall through to it.
+            if "queries" in parsed:
+                _check_cpus(parsed, path)
+                return parsed["queries"], parsed.get("loadavg")
         except json.JSONDecodeError:
             pass  # tail-capture truncated the line mid-JSON
     # Bench.scala persists the full line to target/bench_last.json for
-    # exactly this case: the 80+-query line exceeds tail capture.
+    # exactly this case: the 199-query line exceeds tail capture.
     if FALLBACK.exists():
         print(f"(artifact {path} truncated/absent; using {FALLBACK})")
         d = json.load(open(FALLBACK))
+        _check_cpus(d, FALLBACK)
         return d["queries"], d.get("loadavg")
     raise SystemExit(f"no bench JSON line found in {path} and no {FALLBACK}")
 
