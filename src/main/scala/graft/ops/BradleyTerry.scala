@@ -97,8 +97,18 @@ object BradleyTerry {
             .join(broadcast(sDf.withColumnRenamed("p", "l_src").withColumnRenamed("s", "sl")), "l_src")
             .withColumn("d", expr(s"$FxNum div (sw + sl)"))
         }
-      val perPlayer = withS.select(col("w_src").as("p"), col("d"), lit(1L).as("win"))
-        .union(withS.select(col("l_src").as("p"), col("d"), lit(0L).as("win")))
+      // one pass, not a self-union: the union's two sides each re-scan
+      // (and on iters ≥ 2 re-JOIN) the withS subtree — exploding the
+      // (winner, loser) contributions as a 2-element array keeps the
+      // scan and the strength joins single-shot (guide §2: don't
+      // compute the same subtree twice). All aggregates are integer
+      // (sum/max/count over longs), so the row-order change is
+      // hash-invisible.
+      val perPlayer = withS
+        .select(explode(array(
+          struct(col("w_src").as("p"), col("d"), lit(1L).as("win")),
+          struct(col("l_src").as("p"), col("d"), lit(0L).as("win")))).as("e"))
+        .select(col("e.p").as("p"), col("e.d").as("d"), col("e.win").as("win"))
         .groupBy(col("p"))
         .agg(sum(col("d")).as("dsum"), sum(col("win")).as("wins"),
           max(col("d")).as("mx"), count(lit(1)).as("c"))

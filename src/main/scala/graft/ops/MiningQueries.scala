@@ -211,17 +211,21 @@ object MiningQueries {
     * lineitem, symmetrized so the bipartite graph has no sinks),
     * 3 iterations at d = 0.85. Node ids are 'c<custkey>'/'s<suppkey>'. */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val e0raw = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
-      // materialize the distinct edge list ONCE: the symmetrizing union
-      // + pageRank's nodes/outdeg/withDeg construction otherwise
-      // recompute the orders⋈lineitem→distinct subtree four times
-      // (mapless subtrees don't exchange-reuse across the union sides)
-      .localCheckpoint(true)
+    // share the distinct edge list across the symmetrizing union +
+    // pageRank's nodes/outdeg/withDeg construction (otherwise the
+    // orders⋈lineitem→distinct subtree is recomputed four times) with a
+    // LAZY persist: the round-18 eager localCheckpoint here cost
+    // +1.5-2.5 s wall (min-of-4 interleaved in-JVM A/B — its extra
+    // blocking materialization job outweighed the recompute it saved)
+    // and burned lineage fault tolerance; persist() keeps the sharing,
+    // spills under pressure, and recomputes on executor loss.
+    val e0 = e0raw.persist()
     val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
     Graft.pageRank(e, "src", "dst", iters = 3, damping = 0.85)
   }
