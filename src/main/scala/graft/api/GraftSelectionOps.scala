@@ -637,8 +637,15 @@ trait GraftSelectionOps { this: Graft.type =>
     val grams = df.select(col(id), tokens(col(text)).as("__ts"))
       .select(col(id), explode(array_distinct(wordGrams(col("__ts"), n))).as("__s"))
       .select(col(id), xxhash64(col("__s")).as("__g"))
-    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val per = grams.join(dfreq, Seq("__g"))
+    // df per occurrence via a count window over the gram partitioning
+    // instead of agg + self-join: the agg's and the join's child plans
+    // differ (partial agg vs raw rows), so Catalyst reuses NOTHING and
+    // the tokenize+explode+hash subtree — the dominant map cost — ran
+    // TWICE (two corpus scans in the r18 plan dump). One windowed pass
+    // shuffles the gram rows once and keeps df exact-integer.
+    val per = grams
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
       .groupBy(col(id))
       .agg(count(lit(1)).as("__ng"), sum(col("__df")).as("__sumdf"))
     df.select(col(id)).join(per, Seq(id), "left")
@@ -672,8 +679,11 @@ trait GraftSelectionOps { this: Graft.type =>
     val grams = df.select(col(id), tokens(col(text)).as("__ts"))
       .select(col(id), explode(array_distinct(wordGrams(col("__ts"), n))).as("__s"))
       .select(col(id), xxhash64(col("__s")).as("__g"))
-    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-    val per = grams.join(dfreq, Seq("__g"))
+    // count window over the gram partitioning, not agg + self-join —
+    // see softDedupWeights: the join form tokenizes the corpus twice
+    val per = grams
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))))
       .groupBy(col(id))
       .agg(count(lit(1)).as("__ng"),
         sum(when(col("__df") === 1L, lit(1L)).otherwise(lit(0L))).as("__nov"))

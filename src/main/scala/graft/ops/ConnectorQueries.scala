@@ -297,15 +297,33 @@ object ConnectorQueries {
     val appId = spark.sparkContext.applicationId
     val leader = group.keys.min
     // per-pass completion bound: 5 min covers every gate scale up to
-    // sf1 with 10x headroom, but an sf10 planted run's admission
-    // triggers alone cost 150-250 s each — amplified drives raise this
-    // via conf rather than the kernels silently failing a healthy run
+    // sf1 with 10x headroom AT THE OLD SEQUENTIAL AWAIT semantics; the
+    // r18 concurrent awaits all start at ~pass start, so later arms no
+    // longer inherit earlier arms' await durations as slack — under a
+    // multi-minute host-steal window the effective headroom is the raw
+    // conf value, not 10x. Raise via conf for amplified/degraded runs.
     val timeoutMs = spark.conf.get("spark.graft.gate.timeoutMs", "300000").toLong
+    // The gate's streams plan their shuffle/state stages at the
+    // session's spark.sql.shuffle.partitions (32 in the bench): 13
+    // concurrent micro-batch queries × 32 state partitions × 4-5
+    // triggers is thousands of near-empty state tasks per pass, pure
+    // scheduling/state-store overhead at the capped trigger sizes
+    // (≤ ~250k rows/trigger at EVERY scale — caps are n-derived).
+    // Scope the gate's streams to a smaller count; each query clones
+    // the session state at start(), so restoring after the builds
+    // leaves the session's batch queries untouched. Amplified drives
+    // raise this via conf alongside gate.timeoutMs.
+    val gateParts = spark.conf.get("spark.graft.gate.shufflePartitions", "8")
+    def withGateParts[A](body: => A): A = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", gateParts)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     if (arm != leader) {
       writtenRoots.synchronized(armDeposits.get((appId, dir, arm))) match {
         case Some(df) => return df
         case None => // solo fallback: this arm only, its own pass
-          val (q, fetch) = group(arm)(spark, dir)
+          val (q, fetch) = withGateParts(group(arm)(spark, dir))
           require(q.awaitTermination(timeoutMs), s"streaming $arm gate timed out")
           q.stop()
           return fetch()
@@ -328,20 +346,29 @@ object ConnectorQueries {
     // (the StateStores.useRocksDB ordering caveat; RocksDBGroupPassSpec
     // runs the whole group under RocksDB and pins exactly this).
     val buildOrder = Seq(
+      "q_streaming_best_of_n",
       "q_streaming_neardup", "q_streaming_embed_neardup", "q_streaming_bm25",
       "q_streaming_sessionize", "q_streaming_kmv",
       "q_streaming_psi", "q_streaming_rl_metrics", "q_streaming_chunks",
       "q_streaming_decontam", "q_streaming_domain_quota",
       "q_streaming_reservoir", "q_streaming_sft").zipWithIndex.toMap
-    val started = group.toSeq
-      .sortBy { case (n, _) => (buildOrder.getOrElse(n, -1), n) }
+    // drift guard (ADVICE r18): every arm must be listed — an arm added
+    // to the group but not here would silently build first via a
+    // getOrElse(-1), and in particular could build AFTER q_streaming_sft
+    // and latch its restored state-store provider
+    require(group.keySet == buildOrder.keySet,
+      s"gate buildOrder out of sync with the group: " +
+        s"missing ${group.keySet -- buildOrder.keySet}, " +
+        s"stale ${buildOrder.keySet -- group.keySet}")
+    val started = withGateParts(group.toSeq
+      .sortBy { case (n, _) => (buildOrder(n), n) }
       .map { case (n, build) =>
         val b0 = t0
         val sq = build(spark, dir)
         if (trace) System.err.println(
           f"[gate] build $n ${(System.nanoTime() - b0) / 1e9}%.2fs (at ${(System.nanoTime() - passStart) / 1e9}%.2fs)")
         (n, sq)
-      }
+      })
     // await + fetch PER ARM, concurrently: a finished arm's fetch (the
     // bm25 deposit re-runs IncrementalBm25.search, ~3 s) overlaps the
     // still-streaming tail arms instead of serializing after them

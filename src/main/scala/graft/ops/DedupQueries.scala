@@ -124,7 +124,12 @@ object DedupQueries {
   }
 
   def minhashDupesOn(df: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
-    val docs = signatures(df, id, text)
+    val docs = df.sparkSession.conf
+      .getOption("spark.graft.minhash.mat").getOrElse("ckpt") match {
+      case "none"  => signatures(df, id, text)
+      case "cache" => signatures(df, id, text).persist()
+      case _       => signatures(df, id, text).localCheckpoint(true)
+    }
     val bands = bandsOf(docs)
 
     val candidates = bands.as("x").join(bands.as("y"),

@@ -393,8 +393,12 @@ object OlapQueries {
     // small constant, so pairs ∝ orders — same bound as the old
     // self-join), and per-part counts come from exploding the same
     // checkpointed sets.
+    // cast enforces the row accessor's long assumption in the plan
+    // (ADVICE r18): an int32 partkey fixture would otherwise CCE in
+    // the mapPartitions getSeq[Long] at runtime
     val sets = Tables.lineitem(spark, dir)
-      .groupBy(col("l_orderkey")).agg(collect_set(col("l_partkey")).as("__ps"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey").cast("long")).as("__ps"))
       .select(col("__ps"))
       .localCheckpoint(true)
     val nOrders = Tables.orders(spark, dir).agg(count(lit(1)).as("__n"))

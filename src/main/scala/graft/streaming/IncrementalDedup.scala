@@ -363,8 +363,14 @@ object IncrementalDedup {
     }
     try {
       import scala.concurrent.duration.Duration
-      scala.concurrent.Await.result(docsF, Duration.Inf)
-      scala.concurrent.Await.result(bandsF, Duration.Inf)
+      // await BOTH before propagating a failure (ADVICE r18): rethrowing
+      // on the first failed future would leave the other append still
+      // writing while the foreachBatch unwinds — the replay could then
+      // overlap an in-flight append (convergent, but a concurrent writer
+      // the sequential code never had)
+      val outcomes = Seq(docsF, bandsF)
+        .map(f => scala.util.Try(scala.concurrent.Await.result(f, Duration.Inf)))
+      outcomes.foreach(_.get)
     } finally appendPool.shutdown()
     newBands.unpersist()
     newSigs.unpersist()

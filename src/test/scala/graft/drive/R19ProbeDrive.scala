@@ -39,6 +39,46 @@ object R19ProbeDrive {
           val label = if (bc == "true") "shuffle" else "bcast"
           t(label) { noop(graft.ops.MiningQueries.qPagerank(spark, dir)) }
         }
+      case "minhash" =>
+        // variants OUTER, reps inner: once the "cache" variant registers
+        // the signatures plan, CacheManager substitutes it into every
+        // later identical subtree — so the clean variants must run first
+        for (mat <- Seq("none", "ckpt", "cache"); i <- 1 to reps) {
+          spark.conf.set("spark.graft.minhash.mat", mat)
+          t(s"cluster_dedup+$mat") {
+            noop(graft.ops.DedupQueries.qClusterDedup(spark, dir)) }
+        }
+      case "novelty-ab" =>
+        // old join-form ngramNovelty inlined for a true in-JVM A/B
+        import org.apache.spark.sql.functions._
+        def cut4(c: org.apache.spark.sql.Column) =
+          floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+        def oldNovelty(): org.apache.spark.sql.DataFrame = {
+          val d = graft.ops.Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text"))
+          val toks = filter(split(col("text"), " "), t => t =!= "")
+          val gramsArr = expr(
+            "CASE WHEN size(__ts) < 3 THEN array() ELSE transform(sequence(0, size(__ts) - 3), i -> concat_ws(' ', slice(__ts, i + 1, 3))) END")
+          val grams = d.select(col("doc_id"), toks.as("__ts"))
+            .select(col("doc_id"), explode(array_distinct(gramsArr)).as("__s"))
+            .select(col("doc_id"), xxhash64(col("__s")).as("__g"))
+          val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+          val per = grams.join(dfreq, Seq("__g"))
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("__ng"),
+              sum(when(col("__df") === 1L, lit(1L)).otherwise(lit(0L))).as("__nov"))
+          d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("__ng"), lit(0L)).cast("long").as("n_grams"),
+              coalesce(col("__nov"), lit(0L)).cast("long").as("novel_grams"),
+              coalesce(cut4(col("__nov").cast("double") / col("__ng").cast("double")),
+                lit(0.0)).as("novelty"))
+        }
+        for (i <- 1 to reps) {
+          t("novelty-old-join") { noop(oldNovelty()) }
+          t("novelty-new-window") {
+            noop(graft.SparkEntry.queries("q_novelty")(spark, dir)) }
+        }
       case q =>
         val fn = graft.SparkEntry.queries(q)
         for (i <- 1 to reps) t(q) { noop(fn(spark, dir)) }
