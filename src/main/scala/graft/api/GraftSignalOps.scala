@@ -149,7 +149,12 @@ trait GraftSignalOps { this: Graft.type =>
     * as in [[lmScore]]. */
   def perplexityBuckets(df: DataFrame, id: String, text: String,
                         lang: String): DataFrame = {
-    val scored = lmScore(df, id, text, Seq(lang))
+    // one row per doc, but fed by the whole lmScore pipeline: the
+    // quantile agg and the bucket join below each re-ran it
+    // unmaterialized (half the r18 ccnet plan's 36 exchanges). Lazy
+    // persist: both consumers share one InMemoryRelation with no
+    // eager-checkpoint barrier job.
+    val scored = lmScore(df, id, text, Seq(lang)).persist()
     val cuts = scored.groupBy(col(lang))
       .agg(round(expr(s"percentile(bits_per_token, ${1.0 / 3})"), 6).as("__c1"),
            round(expr(s"percentile(bits_per_token, ${2.0 / 3})"), 6).as("__c2"))

@@ -571,8 +571,14 @@ trait GraftTextOps { this: Graft.type =>
               carry: Seq[String]): DataFrame = {
     val keep = (col(id) +: carry.map(col)).toIndexedSeq
     val toks = df.select(keep :+ tokens(col(text)).as("__ts"): _*)
+    // vocabulary-sized after the agg, but its INPUT is a corpus-scale
+    // unigram explode: unmaterialized, the vocab-count agg and the
+    // smoothing join below each re-ran that explode. Materializing the
+    // (token, count) table also lets AQE see its real size and
+    // broadcast the smoothing join when it fits.
     val uni = toks.select(explode(col("__ts")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+      .persist()
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val bi = toks.select(keep :+ explode(
         when(size(col("__ts")) >= 2,
@@ -581,8 +587,12 @@ trait GraftTextOps { this: Graft.type =>
               element_at(col("__ts"), i + 2).as("w2"))))
           .otherwise(array())).as("__b"): _*)
       .select(keep :+ col("__b.w1").as("w1") :+ col("__b.w2").as("w2"): _*)
-    val bcnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
-    bi.join(bcnt, Seq("w1", "w2"))
+    // bigram counts via a count window over (w1, w2) instead of
+    // agg + self-join: the join form ran the corpus bigram explode
+    // twice (raw side + aggregated side share no subtree), and a
+    // sort-merge join would sort by (w1, w2) anyway
+    bi.withColumn("__cb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"), col("w2"))))
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__term",

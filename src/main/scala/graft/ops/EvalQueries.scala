@@ -93,8 +93,12 @@ object EvalQueries {
     val truth = Tables.documents(spark, dir)
       .filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), col("lang"))
+    // |classes|² rows, but fed by the FULL NB train+score pass: byTrue
+    // and byPred below would each recompute that pass (2 scoring runs
+    // in the r18 plan dump) — materialize the tiny cell matrix once
     val cells = pred.join(truth, Seq("doc_id"))
       .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val byTrue = cells.groupBy(col("lang")).agg(
       sum(when(col("pred_lang") === col("lang"), col("__n")).otherwise(0L)).as("tp"),
       sum(when(col("pred_lang") =!= col("lang"), col("__n")).otherwise(0L)).as("fn"))
@@ -241,18 +245,14 @@ object EvalQueries {
       .select((col("doc_id") / 2).cast("long").as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
         filter(split(col("text"), " "), t => t =!= "").as("__t"))
-    def gramCounts(n: Int): DataFrame = {
-      val grams =
-        if (n == 1) d.select(col("pair_id"), col("side"), explode(col("__t")).as("g"))
-        else d
-          .filter(size(col("__t")) >= n)
-          .select(col("pair_id"), col("side"),
-            explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-              i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
-              .as("g"))
-      grams.groupBy(col("pair_id"), col("side"), col("g"))
-        .agg(count(lit(1)).as("c"))
-    }
+    def grams(n: Int): DataFrame =
+      if (n == 1) d.select(col("pair_id"), col("side"), explode(col("__t")).as("g"))
+      else d
+        .filter(size(col("__t")) >= n)
+        .select(col("pair_id"), col("side"),
+          explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1))))
+            .as("g"))
     // gram totals come from the DOC frame, not the exploded counts, so
     // a side with zero tokens/bigrams still yields a (pair, 0) total in
     // BOTH engines instead of dropping the pair on one side only
@@ -263,13 +263,19 @@ object EvalQueries {
         .otherwise(0L)).as("__tr2"),
       sum(when(col("side") === 1, greatest(size(col("__t")) - 1, lit(0)).cast("long"))
         .otherwise(0L)).as("__tc2"))
-    def overlap(n: Int, name: String): DataFrame = {
-      val gc = gramCounts(n)
-      gc.filter(col("side") === 0).select(col("pair_id"), col("g"), col("c").as("cr"))
-        .join(gc.filter(col("side") === 1)
-          .select(col("pair_id"), col("g"), col("c").as("cc")), Seq("pair_id", "g"))
+    // clipped overlap in ONE pass: the old side-0 ⋈ side-1 self-join
+    // computed the gram subtree (scan + explode + agg) once per side;
+    // a two-sided conditional agg over (pair_id, g) reads the grams
+    // once and needs no join. Grams present on one side only
+    // contribute least(c, 0) = 0, exactly what the inner join dropped,
+    // and a pair with zero shared grams now sums to 0 instead of going
+    // missing — identical after the downstream coalesce(·, 0).
+    def overlap(n: Int, name: String): DataFrame =
+      grams(n)
+        .groupBy(col("pair_id"), col("g"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("cr"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"))
         .groupBy(col("pair_id")).agg(sum(least(col("cr"), col("cc"))).as(name))
-    }
     def metrics(ov: String, tr: String, tc: String, pfx: String): Seq[org.apache.spark.sql.Column] = {
       val o = coalesce(col(ov), lit(0L)).cast("double")
       val p = when(col(tc) > 0L, o / col(tc).cast("double")).otherwise(0.0)

@@ -79,6 +79,52 @@ object R19ProbeDrive {
           t("novelty-new-window") {
             noop(graft.SparkEntry.queries("q_novelty")(spark, dir)) }
         }
+      case "rouge-ab" =>
+        import org.apache.spark.sql.functions._
+        def oldRouge(): org.apache.spark.sql.DataFrame = {
+          val d = graft.ops.Tables.documents(spark, dir)
+            .select((col("doc_id") / 2).cast("long").as("pair_id"),
+              pmod(col("doc_id"), lit(2)).as("side"),
+              filter(split(col("text"), " "), t => t =!= "").as("__t"))
+          def gramCounts(n: Int): org.apache.spark.sql.DataFrame = {
+            val grams =
+              if (n == 1) d.select(col("pair_id"), col("side"), explode(col("__t")).as("g"))
+              else d.filter(size(col("__t")) >= n)
+                .select(col("pair_id"), col("side"),
+                  explode(transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+                    i => concat_ws(" ", element_at(col("__t"), i), element_at(col("__t"), i + 1)))).as("g"))
+            grams.groupBy(col("pair_id"), col("side"), col("g")).agg(count(lit(1)).as("c"))
+          }
+          val totals = d.groupBy(col("pair_id")).agg(
+            sum(when(col("side") === 0, size(col("__t")).cast("long")).otherwise(0L)).as("__tr1"),
+            sum(when(col("side") === 1, size(col("__t")).cast("long")).otherwise(0L)).as("__tc1"),
+            sum(when(col("side") === 0, greatest(size(col("__t")) - 1, lit(0)).cast("long")).otherwise(0L)).as("__tr2"),
+            sum(when(col("side") === 1, greatest(size(col("__t")) - 1, lit(0)).cast("long")).otherwise(0L)).as("__tc2"))
+          def overlap(n: Int, name: String): org.apache.spark.sql.DataFrame = {
+            val gc = gramCounts(n)
+            gc.filter(col("side") === 0).select(col("pair_id"), col("g"), col("c").as("cr"))
+              .join(gc.filter(col("side") === 1)
+                .select(col("pair_id"), col("g"), col("c").as("cc")), Seq("pair_id", "g"))
+              .groupBy(col("pair_id")).agg(sum(least(col("cr"), col("cc"))).as(name))
+          }
+          def metrics(ov: String, tr: String, tc: String, pfx: String): Seq[org.apache.spark.sql.Column] = {
+            val o = coalesce(col(ov), lit(0L)).cast("double")
+            val p = when(col(tc) > 0L, o / col(tc).cast("double")).otherwise(0.0)
+            val r = when(col(tr) > 0L, o / col(tr).cast("double")).otherwise(0.0)
+            Seq(round(p, 6).as(s"${pfx}_p"), round(r, 6).as(s"${pfx}_r"),
+              round(when(p + r > 0.0, lit(2.0) * p * r / (p + r)).otherwise(0.0), 6).as(s"${pfx}_f"))
+          }
+          totals.join(overlap(1, "__ov1"), Seq("pair_id"), "left")
+            .join(overlap(2, "__ov2"), Seq("pair_id"), "left")
+            .select(col("pair_id") +:
+              (metrics("__ov1", "__tr1", "__tc1", "r1") ++
+                metrics("__ov2", "__tr2", "__tc2", "r2")): _*)
+        }
+        for (i <- 1 to reps) {
+          t("rouge-old-selfjoin") { noop(oldRouge()) }
+          t("rouge-new-condagg") {
+            noop(graft.SparkEntry.queries("q_rouge")(spark, dir)) }
+        }
       case q =>
         val fn = graft.SparkEntry.queries(q)
         for (i <- 1 to reps) t(q) { noop(fn(spark, dir)) }
