@@ -555,6 +555,8 @@ object MultimodalQueries {
     // self-join, both expansion joins) — without materialization each
     // consumer re-decodes the corpus (exchange reuse is not guaranteed
     // across the differing projections)
+    // eager ckpt beats a lazy persist HERE (r19 A/B: 1.48 vs 2.32 s) —
+    // five consumers of a decode-pipeline subtree; see ngramJaccardOn
     val ph = qPhash(spark, dir).localCheckpoint(true)
     val hashes = ph.select(col("phash_lo"), col("phash_hi")).distinct()
     val bandExprs = (0 until 8).map { j =>

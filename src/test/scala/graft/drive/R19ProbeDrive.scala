@@ -79,6 +79,10 @@ object R19ProbeDrive {
           t("novelty-new-window") {
             noop(graft.SparkEntry.queries("q_novelty")(spark, dir)) }
         }
+      // (the r19 "mat-ab" ckpt-vs-persist probe ran here; outcomes are
+      // hardcoded at the call sites now — ngram/phash keep the eager
+      // ckpt (2.71 vs 4.33 s / 1.48 vs 2.32 s), packSpanTable persists
+      // the span frame (1.29 -> 1.01 s))
       case "rouge-ab" =>
         import org.apache.spark.sql.functions._
         def oldRouge(): org.apache.spark.sql.DataFrame = {

@@ -671,9 +671,16 @@ class PlanSpec extends SparkTestBase {
       case a: AdaptiveSparkPlanExec => p +: expand(a.executedPlan)
       case _ => p +: p.children.flatMap(expand)
     }
-    // data-derived partition keys: cardinality grows with the corpus
+    // data-derived partition keys: cardinality grows with the corpus.
+    // __g (gram hash, r19 softDedup/novelty df-count windows) and
+    // w1/w2 (lmScore bigram-count window) are the same class as the
+    // long-blessed __s span hash (q_dup_spans): the window count over
+    // the hash is the single-pass form of agg + self-join — the hot
+    // key's rows concentrate in one task EITHER way (the join shuffles
+    // them to one reducer too); the window form just also tokenizes
+    // the corpus once instead of twice.
     val dataDerived =
-      """(?i).*(id|key)$|^sid$|^__chunk$|^__s$|^shard$|^_w\d+$""".r
+      """(?i).*(id|key)$|^sid$|^__chunk$|^__s$|^__g$|^w[12]$|^shard$|^_w\d+$""".r
     // columns a bounded-grain aggregate may group by (beyond the
     // window's own partition keys): fixed-cardinality strata, the
     // chunk ordinal, calendar buckets
