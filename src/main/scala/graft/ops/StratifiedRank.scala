@@ -60,7 +60,16 @@ object StratifiedRank {
     require(strata.nonEmpty, "stratifiedRank needs at least one stratum column")
     val n = Chunking.chunkCount(df.sparkSession)
     val base0 = df.withColumn("__rk", rankKey.cast("double"))
-    val base = weight.fold(base0)(w => base0.withColumn("__w", w.cast("long")))
+    val base1 = weight.fold(base0)(w => base0.withColumn("__w", w.cast("long")))
+    // the input subtree feeds THREE consumers (the 5% quantile-sketch
+    // sample, the per-(stratum, chunk) counts agg, and the final
+    // within-chunk window join) — persist it once so callers' possibly
+    // expensive projections (qPrefPairsQuality's stopword scoring,
+    // qRankFuncs' tie-group agg) run a single time. Lazy and
+    // spillable; recomputes on executor loss.
+    val base = if (df.sparkSession.conf
+        .getOption("spark.graft.srank.mat").contains("none")) base1
+      else base1.persist()
     // Boundaries only decide CHUNKING, never values, so they come as
     // cheaply as possible: a caller whose key distribution is known
     // (e.g. the uniform 31-bit LCG of tokenBudgetSample) passes an

@@ -83,6 +83,12 @@ object R19ProbeDrive {
       // hardcoded at the call sites now — ngram/phash keep the eager
       // ckpt (2.71 vs 4.33 s / 1.48 vs 2.32 s), packSpanTable persists
       // the span frame (1.29 -> 1.01 s))
+      case "srank-ab" =>
+        for (mat <- Seq("none", "cache"); i <- 1 to reps;
+             q <- Seq("q_rank_funcs", "q_pref_pairs_quality", "q_ntile")) {
+          spark.conf.set("spark.graft.srank.mat", mat)
+          t(s"$q+$mat") { noop(graft.SparkEntry.queries(q)(spark, dir)) }
+        }
       case "rouge-ab" =>
         import org.apache.spark.sql.functions._
         def oldRouge(): org.apache.spark.sql.DataFrame = {
